@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Determinism helpers (SURVEY.md §7.3).
+  *
+  * Cross-engine hash-equality with DuckDB requires every aggregate to be
+  * order-independent: doubles are summed as exact DECIMALs and only converted
+  * back to DOUBLE at the very end (decimal addition is exact, so partial
+  * aggregation / shuffle merge order cannot change the result — this is also
+  * what makes the same query stable across a 1000-executor run vs local[4]).
+  */
+object Fns {
+  /** Exact order-independent sum of a double measure: SUM(CAST(x AS
+    * DECIMAL(18,6))) cast back to DOUBLE. DuckDB twin:
+    * `CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)`.
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** Exact sum with wider integral part (squares etc.). DuckDB twin uses the
+    * same DECIMAL(30,10).
+    */
+  def dsumWide(c: Column): Column =
+    sum(c.cast(DecimalType(30, 10))).cast("double")
+
+  /** COUNT(*) as BIGINT in both engines. */
+  def cnt: Column = count(lit(1)).cast(LongType)
+
+  /** Deterministic mean: exact decimal sum / count, both in double space. */
+  def davg(c: Column): Column = dsum(c) / cnt
+
+  /** Sample stddev from exact decimal sums: sqrt((S2 - S1^2/n)/(n-1)).
+    * Written with the identical formula in the DuckDB oracle; avoids
+    * engine-specific Welford/merge orders.
+    */
+  def dstddev(c: Column): Column = {
+    val s1 = dsum(c)
+    val s2 = sum((c * c).cast(DecimalType(30, 10))).cast("double")
+    val n = cnt
+    sqrt((s2 - s1 * s1 / n) / (n - lit(1)))
+  }
+}

@@ -1,0 +1,247 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.Fns._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY.md §2.D — aggregations.
+  *
+  * Reference analogs: global standardize stats (`trainer/flax_model.py:243`),
+  * per-epoch loss means (`:256-259`), the 9-class inventory (`:23`), two-level
+  * metric granularity (`:366-375` — rollup), one-hot (`:184` — pivot), argmax
+  * (`:195`), accuracy (`:195`), MSE (`:210`), softmax cross-entropy
+  * (`:188-190`).
+  *
+  * Every double aggregate goes through exact DECIMAL partial sums (Fns) so
+  * partial+final hash aggregation is order-independent — the same plan merges
+  * identically on 4 local threads or 1000 executors.
+  */
+object Aggregations extends QueryPack {
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "agg_global_mean_std",
+      Some("""SELECT
+             |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+             |  ROUND(sqrt((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+             |        - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             |          * CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+             |        / (COUNT(*) - 1)), 6) AS std_qty,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM lineitem""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .agg(
+            round(davg(col("l_quantity")), 6).as("avg_qty"),
+            round(dstddev(col("l_quantity")), 6).as("std_qty"),
+            cnt.as("n"))),
+
+    // TPC-H Q1 shape: partial+final hash agg over two low-cardinality keys.
+    Q(
+      "agg_groupby_hash",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc,
+             |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast(DecimalType(18, 6))).cast("double").as("sum_disc"),
+            round(davg(col("l_quantity")), 6).as("avg_qty"),
+            cnt.as("n"))
+          .orderBy("l_returnflag", "l_linestatus")),
+
+    Q(
+      "agg_count_distinct",
+      Some("""SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+             |       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio
+             |FROM orders""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .agg(
+            countDistinct(col("o_custkey")).cast("long").as("n_cust"),
+            countDistinct(col("o_orderpriority")).cast("long").as("n_prio"))),
+
+    // HLL++ sketch — the 100 TB path for distincts. Approx values are
+    // engine-defined, so: no oracle (smoke + bench only).
+    Q(
+      "agg_approx_distinct_hll",
+      None,
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
+
+    Q(
+      "agg_rollup_grouping_sets",
+      Some("""SELECT r_name, n_name,
+             |  CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP(r_name, n_name)
+             |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin),
+      // Written as Spark SQL text (same ANSI text the oracle runs): the
+      // DataFrame rollup+grouping() combination trips Spark 4's ambiguous-
+      // self-join detector on reused cached dims; SQL resolution does not.
+      (s, dir) => {
+        Seq("customer", "nation", "region")
+          .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+        s.sql("""SELECT r_name, n_name,
+                |  CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n,
+                |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal,
+                |  CAST(COUNT(*) AS BIGINT) AS n
+                |FROM customer
+                |JOIN nation ON c_nationkey = n_nationkey
+                |JOIN region ON n_regionkey = r_regionkey
+                |GROUP BY ROLLUP(r_name, n_name)
+                |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+      }),
+
+    // one_hot as conditional aggregation (explicit SUM(CASE ...) both sides
+    // for column-name parity with the oracle).
+    Q(
+      "agg_pivot_onehot",
+      Some {
+        val cols = Seq("click", "view", "purchase", "signup", "error")
+          .map(t => s"  CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+          .mkString(",\n")
+        s"SELECT user_id,\n$cols\nFROM events GROUP BY user_id ORDER BY user_id"
+      },
+      (s, dir) => {
+        val aggs = Seq("click", "view", "purchase", "signup", "error").map(t =>
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).cast("long").as(s"n_$t"))
+        Tables(s, dir, "events")
+          .groupBy("user_id")
+          .agg(aggs.head, aggs.tail: _*)
+          .orderBy("user_id")
+      }),
+
+    // argmax with a total tie-break (never max_by: its tie order is
+    // engine-defined) — row_number top-1 per group.
+    Q(
+      "agg_top1_argmax_per_group",
+      Some("""SELECT n_nationkey, c_custkey, c_name, c_acctbal FROM (
+             |  SELECT n_nationkey, c_custkey, c_name, c_acctbal,
+             |    row_number() OVER (PARTITION BY n_nationkey
+             |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey) t
+             |WHERE rn = 1 ORDER BY n_nationkey""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("n_nationkey")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        Tables(s, dir, "customer")
+          .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("n_nationkey", "c_custkey", "c_name", "c_acctbal")
+          .orderBy("n_nationkey")
+      }),
+
+    Q(
+      "agg_accuracy_eq_rate",
+      Some("""SELECT l_linestatus,
+             |  ROUND(CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS DOUBLE)
+             |        / COUNT(*), 6) AS n_rate,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy("l_linestatus")
+          .agg(
+            round(sum(when(col("l_returnflag") === "N", 1L).otherwise(0L))
+              .cast("double") / cnt, 6).as("n_rate"),
+            cnt.as("n"))
+          .orderBy("l_linestatus")),
+
+    // MSE between observed price and a "prediction" (retailprice * qty).
+    Q(
+      "agg_mse_loss",
+      Some("""SELECT
+             |  ROUND(CAST(SUM(CAST((l_extendedprice - p_retailprice * l_quantity)
+             |                      * (l_extendedprice - p_retailprice * l_quantity)
+             |                      AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 4) AS mse,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin),
+      (s, dir) => {
+        val err = col("l_extendedprice") - col("p_retailprice") * col("l_quantity")
+        Tables(s, dir, "lineitem")
+          .join(broadcast(Tables(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .agg(
+            round(dsumWide(err * err) / cnt, 4).as("mse"),
+            cnt.as("n"))
+      }),
+
+    // Softmax cross-entropy over the first 10 embedding dims vs label%10.
+    // The 10-term exp-sum is written as an explicit left-assoc chain so both
+    // engines produce the bit-identical double; per-row xent is rounded then
+    // decimal-summed for an order-independent mean.
+    Q(
+      "agg_softmax_xent",
+      Some {
+        val expSum = (1 to 10)
+          .map(i => s"exp(CAST(embedding[$i] AS DOUBLE))")
+          .mkString(" + ")
+        s"""SELECT
+           |  ROUND(CAST(SUM(CAST(ROUND(LN($expSum)
+           |    - CAST(embedding[label % 10 + 1] AS DOUBLE), 8) AS DECIMAL(18,8))) AS DOUBLE)
+           |    / COUNT(*), 4) AS avg_xent,
+           |  CAST(COUNT(*) AS BIGINT) AS n
+           |FROM embeddings""".stripMargin
+      },
+      (s, dir) => {
+        val expSum = (1 to 10)
+          .map(i => exp(element_at(col("embedding"), i).cast("double")))
+          .reduceLeft(_ + _)
+        val picked = element_at(col("embedding"), (col("label") % 10 + 1).cast("int"))
+          .cast("double")
+        val xent = round(log(expSum) - picked, 8).cast(DecimalType(18, 8))
+        Tables(s, dir, "embeddings")
+          .agg(
+            round(sum(xent).cast("double") / cnt, 4).as("avg_xent"),
+            cnt.as("n"))
+      }),
+
+    // Exact median via ordered-window math (identical in both dialects —
+    // percentile()/quantile_cont() semantics drift between engines).
+    Q(
+      "agg_median_quantile",
+      Some("""WITH r AS (
+             |  SELECT o_orderpriority AS priority, o_totalprice AS v,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |                       ORDER BY o_totalprice, o_orderkey) AS rn,
+             |    count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+             |  FROM orders)
+             |SELECT priority,
+             |  ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 2) AS median
+             |FROM r
+             |WHERE rn = CAST(floor((cnt + 1) / 2.0) AS BIGINT)
+             |   OR rn = CAST(ceil((cnt + 1) / 2.0) AS BIGINT)
+             |GROUP BY priority ORDER BY priority""".stripMargin),
+      (s, dir) => {
+        val wOrd = Window.partitionBy("o_orderpriority")
+          .orderBy("o_totalprice", "o_orderkey")
+        val wAll = Window.partitionBy("o_orderpriority")
+        Tables(s, dir, "orders")
+          .select(
+            col("o_orderpriority").as("priority"), col("o_totalprice").as("v"),
+            row_number().over(wOrd).as("rn"),
+            count(lit(1)).over(wAll).as("cnt"))
+          .filter(
+            col("rn") === floor((col("cnt") + 1) / 2.0).cast("long") ||
+              col("rn") === ceil((col("cnt") + 1) / 2.0).cast("long"))
+          .groupBy("priority")
+          .agg(round(davg(col("v")), 2).as("median"))
+          .orderBy("priority")
+      }))
+}

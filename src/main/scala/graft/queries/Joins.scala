@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.Fns._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY.md §2.C — joins.
+  *
+  * Reference analogs: palette lookup `np.take` (`trainer/flax_inference.ipynb`
+  * cell 8 — broadcast dim join), positional alignment of
+  * inputs/labels_landcover/labels_lst (`trainer/flax_model.py:62-66,108-120` —
+  * multiway equi-join), all-keys-present requirement (`:62-64` — semi join),
+  * dropped incomplete batch (`:235` — anti join), validity-band membership
+  * (`:70-75` — theta join), and the t / t+6mo temporal pairing (`README.md:6`
+  * — as-of / interval joins).
+  *
+  * Scale notes: dimension sides (`region`, `nation`, `customer` at dim scale)
+  * are broadcast — no shuffle of the fact table; the flagship star join
+  * shuffles `lineitem` once on `l_orderkey` (SMJ/SHJ chosen by Catalyst+AQE)
+  * and every subsequent dim hop is broadcast. The as-of join is a
+  * partition-local window over `user_id` — the 100 TB-safe formulation (no
+  * O(events x signups) blow-up).
+  */
+object Joins extends QueryPack {
+
+  private val revenue =
+    sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast(DecimalType(18, 6))).cast("double")
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "join_broadcast_dim",
+      Some("""SELECT n_nationkey, n_name, r_name
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |ORDER BY n_nationkey""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "nation")
+          .join(broadcast(Tables(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name", "r_name")
+          .orderBy("n_nationkey")),
+
+    // Flagship: star-schema multiway join + decimal-exact revenue rollup.
+    Q(
+      "join_star_multiway",
+      Some("""SELECT r_name, CAST(year(o_orderdate) AS INT) AS o_year,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), year(col("o_orderdate")).cast("int").as("o_year"))
+          .agg(revenue.as("revenue"), cnt.as("n"))
+          .orderBy("r_name", "o_year")),
+
+    Q(
+      "join_left_outer",
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+             |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"), "left")
+          .groupBy("o_orderstatus")
+          .agg(
+            cnt.as("n_rows"),
+            sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).cast("long").as("n_null"))
+          .orderBy("o_orderstatus")),
+
+    Q(
+      "join_semi",
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "customer")
+          .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")),
+
+    Q(
+      "join_anti",
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "customer")
+          .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")),
+
+    Q(
+      "join_theta_range",
+      Some("""SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN part
+             |  ON l_partkey = p_partkey AND l_quantity > p_size
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .join(broadcast(Tables(s, dir, "part")),
+            col("l_partkey") === col("p_partkey") && col("l_quantity") > col("p_size"))
+          .groupBy("p_brand")
+          .agg(cnt.as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("p_brand")),
+
+    // As-of join: latest strictly-earlier signup of the same user, expressed
+    // as a partition-local running last_value over (ts, event_id) — identical
+    // window SQL on the DuckDB side, and shuffle-once-on-user_id at scale.
+    Q(
+      "join_asof_latest_before",
+      Some("""SELECT event_id, strftime(asof_ts, '%Y-%m-%d %H:%M:%S.%f') AS asof_signup_ts FROM (
+             |  SELECT event_id,
+             |    last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_ts
+             |  FROM events)
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables(s, dir, "events")
+          .select(
+            col("event_id"),
+            date_format(
+              last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true)
+                .over(w),
+              "yyyy-MM-dd HH:mm:ss.SSSSSS").as("asof_signup_ts"))
+          .orderBy("event_id")
+      }),
+
+    // Interval-overlap join: lineitems shipped within 90 days of their
+    // order's date (equi key + range predicate: no cross product at scale).
+    Q(
+      "join_interval_overlap",
+      Some("""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+             |       CAST(COUNT(*) AS BIGINT) AS n
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             | AND l_shipdate >= o_orderdate
+             | AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .join(Tables(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") >= col("o_orderdate") &&
+              col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 90 DAY"))
+          .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("month"))
+          .agg(cnt.as("n"))
+          .orderBy("month")))
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.Fns._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY.md §2.J — the reference's core compute, relationalized.
+  *
+  * Reference analogs: `nn.Conv` 5x5 / gaussian_filter 2-D convolution
+  * (`trainer/flax_model.py:156,73` — conv-as-join), `jax.nn.standardize`
+  * (`:243` — z-score), `nn.Dense` matvec (`:160,173`), softmax+argmax head
+  * (`:188,195`), and the full permute->batch->grad->update training loop
+  * (`:229-260` — iterative gradient descent).
+  */
+object MLOps extends QueryPack {
+
+  def queries: Seq[Q] = Seq(
+    // 2-D convolution as a relation: sparse grid (user x day) self-joined
+    // against a 9-row kernel-offset table, then group-sum. Scales to any
+    // raster: the offset table broadcasts, the grid shuffles once on its key.
+    Q(
+      "ml_conv2d_join_agg",
+      Some("""WITH grid AS (
+             |  SELECT user_id AS u,
+             |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS d,
+             |         CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |offs AS (SELECT a.dy, b.dx
+             |         FROM (VALUES (-1), (0), (1)) a(dy), (VALUES (-1), (0), (1)) b(dx)),
+             |conv AS (
+             |  SELECT g.u, g.d, SUM(n.c) AS s
+             |  FROM grid g JOIN offs o ON TRUE
+             |  JOIN grid n ON n.u = g.u + o.dy AND n.d = g.d + o.dx
+             |  GROUP BY 1, 2)
+             |SELECT u, d, ROUND(CAST(s AS DOUBLE) / 9.0, 6) AS conv
+             |FROM conv ORDER BY u, d""".stripMargin),
+      (s, dir) => {
+        val grid = Tables(s, dir, "events")
+          .groupBy(
+            col("user_id").as("u"),
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+              .cast("int").as("d"))
+          .agg(cnt.as("c"))
+        val offs = s.createDataFrame(
+          for { dy <- Seq(-1, 0, 1); dx <- Seq(-1, 0, 1) } yield (dy, dx))
+          .toDF("dy", "dx")
+        val n = grid.select(col("u").as("nu"), col("d").as("nd"), col("c").as("nc"))
+        grid.crossJoin(broadcast(offs))
+          .join(n, col("nu") === col("u") + col("dy") && col("nd") === col("d") + col("dx"))
+          .groupBy("u", "d")
+          .agg(sum("nc").as("s"))
+          .select(col("u"), col("d"), round(col("s").cast("double") / 9.0, 6).as("conv"))
+          .orderBy("u", "d")
+      }),
+
+    // Per-group standardize: exact decimal moments per segment, broadcast
+    // back — one shuffle of the small agg, zero shuffles of the fact rows.
+    Q(
+      "ml_zscore_standardize",
+      Some("""WITH j AS (
+             |  SELECT c_mktsegment AS seg, o_orderkey, o_totalprice AS v
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |s AS (
+             |  SELECT seg, CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             |    CAST(SUM(CAST(v * v AS DECIMAL(30,10))) AS DOUBLE) AS s2,
+             |    COUNT(*) AS n
+             |  FROM j GROUP BY seg)
+             |SELECT j.o_orderkey, j.seg,
+             |  ROUND((j.v - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS z
+             |FROM j JOIN s ON j.seg = s.seg ORDER BY j.o_orderkey""".stripMargin),
+      (s, dir) => {
+        val j = Tables(s, dir, "orders")
+          .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"), col("o_orderkey"), col("o_totalprice").as("v"))
+        val stats = j.groupBy("seg").agg(
+          dsum(col("v")).as("s1"),
+          sum((col("v") * col("v")).cast(DecimalType(30, 10))).cast("double").as("s2"),
+          cnt.as("n"))
+        j.join(broadcast(stats), "seg")
+          .select(
+            col("o_orderkey"), col("seg"),
+            round((col("v") - col("s1") / col("n")) /
+              sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 6)
+              .as("z"))
+          .orderBy("o_orderkey")
+      }),
+
+    // Dense layer as matvec against a fixed +/-1 weight vector; sequential
+    // left-to-right fold in both engines.
+    Q(
+      "ml_dense_matvec",
+      Some("""SELECT vec_id,
+             |  ROUND(list_sum(list_transform(range(1, 65),
+             |    i -> CAST(embedding[i] AS DOUBLE)
+             |         * (CASE WHEN i % 2 = 1 THEN 1.0 ELSE -1.0 END))), 4) AS dot
+             |FROM embeddings ORDER BY vec_id""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            round(
+              aggregate(sequence(lit(1), lit(64)), lit(0.0),
+                (acc, i) =>
+                  acc + element_at(col("embedding"), i.cast("int")).cast("double") *
+                    when(i % 2 === 1, 1.0).otherwise(-1.0)), 4).as("dot"))
+          .orderBy("vec_id")),
+
+    // Inference head: argmax over the first 10 dims with a deterministic
+    // first-max tie-break (position ascending).
+    Q(
+      "ml_softmax_argmax_infer",
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(i AS INT) AS i, CAST(embedding[i] AS DOUBLE) AS v
+             |  FROM embeddings, (SELECT unnest(range(1, 11)) AS i) t),
+             |r AS (SELECT vec_id, i, v,
+             |        row_number() OVER (PARTITION BY vec_id ORDER BY v DESC, i) AS rn
+             |      FROM e)
+             |SELECT vec_id, CAST(i - 1 AS INT) AS pred_class, ROUND(v, 6) AS logit
+             |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("vec_id").orderBy(col("v").desc, col("i"))
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 10)))
+          .select(
+            col("vec_id"), (col("pos") + 1).cast("int").as("i"),
+            col("col").cast("double").as("v"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(
+            col("vec_id"), (col("i") - 1).cast("int").as("pred_class"),
+            round(col("v"), 6).as("logit"))
+          .orderBy("vec_id")
+      }),
+
+    // The training loop: 3 fixed gradient-descent steps for
+    // l_extendedprice ~ l_quantity. Each step is one distributed aggregate
+    // (exact decimal sums); the driver only carries the 2 scalars (w, b) —
+    // no collect of data rows. Iterative => no single-SQL oracle.
+    Q(
+      "ml_train_gd_iterations",
+      None,
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+        val n = li.count().toDouble
+        var w = 0.0
+        var b = 0.0
+        val lr = 0.001
+        val hist = (1 to 3).map { it =>
+          val g = li.agg(
+            dsumWide((lit(w) * col("x") + lit(b) - col("y")) * col("x")).as("gw"),
+            dsumWide(lit(w) * col("x") + lit(b) - col("y")).as("gb"),
+            dsumWide((lit(w) * col("x") + lit(b) - col("y")) *
+              (lit(w) * col("x") + lit(b) - col("y"))).as("sse"))
+            .head()
+          val mse = g.getDouble(2) / n
+          w -= lr * 2.0 * g.getDouble(0) / n
+          b -= lr * 2.0 * g.getDouble(1) / n
+          (it, w, b, mse)
+        }
+        s.createDataFrame(hist).toDF("iter", "w", "b", "mse")
+      }))
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.Fns._
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.H — scalar functions (string / date / math / array / JSON).
+  *
+  * Reference analogs: min-max render normalization
+  * (`trainer/flax_inference.ipynb` cell 7), hex-palette string slicing
+  * (cell 8), the 6-month horizon + epoch bucketing (`README.md:6`), per-pixel
+  * channel arrays (`trainer/flax_model.py:83-94`), the config dict
+  * (`:393-399`), and np.interp palette interpolation (cell 8).
+  */
+object Scalars extends QueryPack {
+
+  def queries: Seq[Q] = Seq(
+    // Global min-max normalize: one tiny agg broadcast against the table —
+    // no per-row shuffle at any scale.
+    Q(
+      "scalar_minmax_normalize",
+      Some("""SELECT o_orderkey, ROUND((o_totalprice - mn) / (mx - mn), 6) AS norm
+             |FROM orders CROSS JOIN
+             |  (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders) s
+             |ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val stats = o.agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+        o.crossJoin(broadcast(stats))
+          .select(
+            col("o_orderkey"),
+            round((col("o_totalprice") - col("mn")) / (col("mx") - col("mn")), 6)
+              .as("norm"))
+          .orderBy("o_orderkey")
+      }),
+
+    Q(
+      "scalar_string_funcs",
+      Some("""SELECT doc_id, substr(text, 1, 20) AS prefix,
+             |  CAST(length(text) AS BIGINT) AS len, upper(lang) AS lang_u,
+             |  concat(lang, '-', source) AS tag,
+             |  replace(source, 'src', 'S') AS src_code
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            substring(col("text"), 1, 20).as("prefix"),
+            length(col("text")).cast("long").as("len"),
+            upper(col("lang")).as("lang_u"),
+            concat(col("lang"), lit("-"), col("source")).as("tag"),
+            expr("replace(source, 'src', 'S')").as("src_code"))
+          .orderBy("doc_id")),
+
+    Q(
+      "scalar_date_funcs",
+      Some("""WITH b AS (
+             |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, o_totalprice
+             |  FROM orders)
+             |SELECT bucket, CAST(year(bucket) AS INT) AS y, CAST(month(bucket) AS INT) AS m,
+             |  CAST(bucket + INTERVAL 6 MONTH AS DATE) AS bucket_plus6,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM b GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .select(
+            date_trunc("month", col("o_orderdate")).cast("date").as("bucket"),
+            col("o_totalprice"))
+          .groupBy(
+            col("bucket"),
+            year(col("bucket")).cast("int").as("y"),
+            month(col("bucket")).cast("int").as("m"),
+            add_months(col("bucket"), 6).as("bucket_plus6"))
+          .agg(dsum(col("o_totalprice")).as("rev"), cnt.as("n"))
+          .orderBy("bucket")),
+
+    // Array ops over the 64-dim embedding column; the element sum folds
+    // left-to-right in both engines (Spark aggregate() vs DuckDB list_sum).
+    Q(
+      "scalar_array_funcs",
+      Some("""SELECT vec_id, CAST(len(embedding) AS INT) AS sz,
+             |  ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+             |  ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS total
+             |FROM embeddings ORDER BY vec_id""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            size(col("embedding")).cast("int").as("sz"),
+            round(element_at(col("embedding"), 1).cast("double"), 6).as("first_elem"),
+            round(
+              aggregate(col("embedding"), lit(0.0),
+                (acc, x) => acc + x.cast("double")), 4).as("total"))
+          .orderBy("vec_id")),
+
+    Q(
+      "scalar_map_json",
+      Some("""SELECT event_type,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy("event_type")
+          .agg(
+            sum(get_json_object(col("props"), "$.k").cast("int")).cast("long").as("sum_k"),
+            cnt.as("n"))
+          .orderBy("event_type")),
+
+    // np.interp over breakpoints (0,0)-(100,50)-(200,250) as pure arithmetic.
+    Q(
+      "scalar_piecewise_interp",
+      Some("""SELECT event_id, value,
+             |  ROUND(CASE WHEN value <= 100 THEN value * 0.5
+             |             ELSE 50 + (value - 100) * 2.0 END, 6) AS interp
+             |FROM events WHERE value >= 0 AND value <= 200
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .filter(col("value") >= 0 && col("value") <= 200)
+          .select(
+            col("event_id"), col("value"),
+            round(
+              when(col("value") <= 100, col("value") * 0.5)
+                .otherwise(lit(50) + (col("value") - 100) * 2.0), 6).as("interp"))
+          .orderBy("event_id")))
+}

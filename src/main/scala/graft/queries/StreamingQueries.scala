@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.Fns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY.md §2.I — streaming over `events`.
+  *
+  * Reference analog: the per-epoch metric emission loop
+  * (`trainer/flax_model.py:349-375`) consumed live by TensorBoard
+  * (`trainer/tensorboard.ipynb:37-55`) — an unbounded append-only series.
+  *
+  * Oracle-checked rows use the batch twins (identical window semantics);
+  * `stream_late_data_policy` is a true Structured Streaming run
+  * (Trigger.AvailableNow + watermark, append mode) and is bench/smoke only.
+  * The batch/stream twin pairing is asserted in StreamingTwinSpec.
+  */
+object StreamingQueries extends QueryPack {
+
+  /** True streaming read of the events table. The file stream source needs a
+    * directory (the driver's `events.parquet` is a single file) and an
+    * explicit schema, and Spark can't stream the driver's TIMESTAMP(NANOS)
+    * column natively — so we materialize the normalized batch table (µs
+    * timestamps, see [[Tables]]) into a temp spool dir once per session and
+    * stream from that. At scale the spool is the landing zone a real
+    * pipeline would already have.
+    */
+  private[graft] def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val batch = Tables(s, dir, "events")
+    val spool = java.nio.file.Files
+      .createTempDirectory("graft_events_spool").toString
+    batch.write.mode("overwrite").parquet(spool)
+    s.readStream.schema(batch.schema).parquet(spool)
+  }
+
+  def queries: Seq[Q] = Seq(
+    // Tumbling 1h windows per event_type (streaming twin: window() +
+    // withWatermark; here the oracle-checked batch form).
+    Q(
+      "stream_tumbling_counts",
+      // Window starts travel as formatted strings: a raw TIMESTAMP column
+      // hash-compares tz-aware (Spark, UTC instant) vs naive (DuckDB reading
+      // the driver's isAdjustedToUTC=0 parquet) — never emit bare timestamps
+      // in oracle-checked output.
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws, event_type,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(cnt.as("n"), round(dsum(col("value")), 4).as("sum_v"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+            col("event_type"), col("n"), col("sum_v"))
+          .orderBy("ws", "event_type")),
+
+    // Sliding 1h/30min windows == union of two phase-shifted 30-min grids.
+    Q(
+      "stream_sliding_windows",
+      Some("""WITH g AS (
+             |  SELECT date_trunc('hour', ts)
+             |    + CASE WHEN extract(minute FROM ts) >= 30
+             |           THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS b
+             |  FROM events),
+             |w AS (SELECT b AS ws FROM g
+             |      UNION ALL
+             |      SELECT b - INTERVAL 30 MINUTE AS ws FROM g)
+             |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM w GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(cnt.as("n"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+            col("n"))
+          .orderBy("ws")),
+
+    // Session windows (30-min gap) as gaps-and-islands — the same lag +
+    // cumulative-flag SQL in both engines; keyed by user_id so state is
+    // partition-local at scale (streaming twin: session_window()).
+    Q(
+      "stream_session_windows",
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |              >= INTERVAL 30 MINUTE
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM o)
+             |SELECT user_id, CAST(sid AS BIGINT) AS sid,
+             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_start,
+             |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_end,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gapUs = 30L * 60 * 1000000
+        val newS = when(
+          lag(col("ts"), 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >= gapUs,
+          1L).otherwise(0L)
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), newS.as("new_s"))
+          .select(
+            col("user_id"), col("ts"),
+            sum(col("new_s")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("sid"))
+          .groupBy(col("user_id"), col("sid").cast("long").as("sid"))
+          .agg(
+            date_format(min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_start"),
+            date_format(max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_end"),
+            cnt.as("n"))
+          .orderBy("user_id", "sid")
+      }),
+
+    // Exactly-once re-emission guard: dropDuplicates over a doubled input
+    // (streaming twin: dropDuplicates + watermark state eviction).
+    Q(
+      "stream_dedup_watermark",
+      Some("""WITH dup AS (SELECT * FROM events UNION ALL SELECT * FROM events),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+             |      FROM dup)
+             |SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+             |  user_id, event_type, value
+             |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        ev.unionAll(ev)
+          .dropDuplicates("event_id")
+          .select(
+            col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+          .orderBy("event_id")
+      }),
+
+    // True Structured Streaming run: AvailableNow over the events parquet,
+    // 1-day watermark, append-mode windowed counts into a memory sink. Append
+    // mode only emits windows the watermark has passed — the late-data policy
+    // (drop-beyond-watermark, bounded state) demonstrated for real.
+    Q(
+      "stream_late_data_policy",
+      None,
+      (s, dir) => {
+        val sink = s"mem_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_stream_ckpt").toString
+        val q = eventsStream(s, dir)
+          .withWatermark("ts", "1 day")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(cnt.as("n"))
+          .select(col("window.start").as("ws"), col("event_type"), col("n"))
+          .writeStream
+          .queryName(sink)
+          .outputMode("append")
+          .format("memory")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink).orderBy("ws", "event_type")
+      }))
+}

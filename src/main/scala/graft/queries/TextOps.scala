@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.Fns._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.K (text) — LLM-data-pipeline text analysis + dedup.
+  *
+  * Tokenize/explode, TF-IDF, exact hash dedup, and exact-Jaccard near-dup
+  * pairs (the MinHash/LSH approximation lives in
+  * `graft.functions.MinHash` + `dedup_minhash_lsh`). All token pipelines
+  * shuffle on the token key (partial-aggregated), never on raw text.
+  */
+object TextOps extends QueryPack {
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "text_tokenize_wordcount",
+      Some("""SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM (SELECT unnest(string_split(text, ' ')) AS token
+             |      FROM documents WHERE lang = 'en') t
+             |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .filter(col("lang") === "en")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token")
+          .agg(cnt.as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(20)),
+
+    Q(
+      "text_tfidf_topterms",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term,
+             |    ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+             |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+             |  WHERE tf.doc_id < 50),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |                                   ORDER BY tfidf DESC, term) AS rn
+             |      FROM scored)
+             |SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rn
+             |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin),
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(cnt.as("tf"))
+        val dfreq = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        val n = Tables(s, dir, "documents").count()
+        val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+        tf.filter(col("doc_id") < 50)
+          .join(dfreq, "term")
+          .select(
+            col("doc_id"), col("term"),
+            round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+          .withColumn("rn", row_number().over(w).cast("int"))
+          .filter(col("rn") <= 3)
+          .select("doc_id", "term", "tfidf", "rn")
+          .orderBy("doc_id", "rn")
+      }),
+
+    // Exact dedup by normalized content hash; representative = min doc_id.
+    Q(
+      "dedup_exact_hash",
+      Some("""SELECT md5(lower(trim(text))) AS content_hash,
+             |  CAST(MIN(doc_id) AS BIGINT) AS rep_doc,
+             |  CAST(COUNT(*) AS BIGINT) AS n_dups
+             |FROM documents
+             |GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY content_hash""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .groupBy(md5(lower(trim(col("text")))).as("content_hash"))
+          .agg(min("doc_id").cast("long").as("rep_doc"), cnt.as("n_dups"))
+          .filter(col("n_dups") > 1)
+          .orderBy("content_hash")),
+
+    // Exact near-dup pairs: token-key self-join computes |A n B| without a
+    // doc x doc cross product — the same inverted-index shape LSH banding
+    // produces, here with exact Jaccard.
+    Q(
+      "dedup_jaccard_pairs",
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+             |           WHERE lang = 'en' AND doc_id < 100),
+             |t AS (SELECT DISTINCT doc_id, tok FROM
+             |        (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d) x),
+             |sz AS (SELECT doc_id, COUNT(*) AS sz FROM t GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+             |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT da, db,
+             |  ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+             |FROM inter
+             |JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+             |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+             |ORDER BY da, db""".stripMargin),
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .filter(col("lang") === "en" && col("doc_id") < 100)
+        val t = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .distinct()
+        val sz = t.groupBy("doc_id").agg(cnt.as("sz"))
+        val inter = t.as("a")
+          .join(t.as("b"),
+            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(cnt.as("i"))
+        val jac = col("i").cast("double") / (col("sa") + col("sb") - col("i"))
+        inter
+          .join(sz.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
+          .join(sz.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
+          .filter(jac >= 0.8)
+          .select(col("da"), col("db"), round(jac, 6).as("jaccard"))
+          .orderBy("da", "db")
+      }))
+}

@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.Fns._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY.md §2.E — window functions.
+  *
+  * Reference analogs: first-N image dumps / keep-3 checkpoints
+  * (`trainer/flax_inference.ipynb` cell 7, `trainer/flax_model.py:377` —
+  * top-k), cumulative epoch progress (`:349-375` — running sum), t -> t+6mo
+  * deltas (`README.md:6` — lag), Gaussian smoothing (`:73,88` — moving avg),
+  * 90/10 split + fixed batches (`:125-131,234-236` — ntile).
+  *
+  * All windows except ntile are partitioned — they scale horizontally. The
+  * global ntile is inherently a total-order op (documented as the split
+  * semantics of the reference); at 100 TB you'd ntile within range-partition
+  * buckets instead.
+  */
+object Windows extends QueryPack {
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "window_topk_per_group",
+      Some("""SELECT c_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+             |  SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3 ORDER BY c_custkey, rn""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables(s, dir, "orders")
+          .select(
+            col("o_custkey").as("c_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).cast("int").as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy("c_custkey", "rn")
+      }),
+
+    Q(
+      "window_running_sum",
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+             |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+             |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            sum(col("o_totalprice").cast(DecimalType(18, 6))).over(w)
+              .cast("double").as("running"))
+          .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+          .select("o_custkey", "o_orderkey", "running")
+      }),
+
+    Q(
+      "window_lag_delta",
+      Some("""SELECT user_id, event_id,
+             |  ROUND(value - lag(value) OVER (PARTITION BY user_id
+             |                                 ORDER BY ts, event_id), 6) AS delta
+             |FROM events ORDER BY user_id, event_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables(s, dir, "events")
+          .select(
+            col("user_id"), col("event_id"),
+            round(col("value") - lag(col("value"), 1).over(w), 6).as("delta"))
+          .orderBy("user_id", "event_id")
+      }),
+
+    // Centered 3-row moving average of exact daily revenue (the 1-D
+    // separable analog of the reference's Gaussian smoothing). Written as an
+    // explicit lag/cur/lead chain so the summation order is pinned.
+    Q(
+      "window_moving_avg",
+      Some("""WITH d AS (
+             |  SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+             |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS rev
+             |  FROM lineitem GROUP BY 1)
+             |SELECT day,
+             |  ROUND((coalesce(lag(rev) OVER (ORDER BY day), 0) + rev
+             |         + coalesce(lead(rev) OVER (ORDER BY day), 0))
+             |        / ((CASE WHEN lag(rev) OVER (ORDER BY day) IS NULL THEN 0 ELSE 1 END)
+             |           + 1
+             |           + (CASE WHEN lead(rev) OVER (ORDER BY day) IS NULL THEN 0 ELSE 1 END)),
+             |        4) AS ma3
+             |FROM d ORDER BY day""".stripMargin),
+      (s, dir) => {
+        val daily = Tables(s, dir, "lineitem")
+          .groupBy(date_trunc("day", col("l_shipdate")).cast("date").as("day"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 6))).cast("double").as("rev"))
+        val w = Window.orderBy("day")
+        val lg = lag(col("rev"), 1).over(w)
+        val ld = lead(col("rev"), 1).over(w)
+        daily
+          .select(
+            col("day"),
+            round((coalesce(lg, lit(0.0)) + col("rev") + coalesce(ld, lit(0.0))) /
+              (when(lg.isNull, 0).otherwise(1) + lit(1) +
+                when(ld.isNull, 0).otherwise(1)), 4).as("ma3"))
+          .orderBy("day")
+      }),
+
+    Q(
+      "window_ntile_split",
+      Some("""WITH t AS (
+             |  SELECT o_totalprice, ntile(10) OVER (ORDER BY o_orderkey) AS bucket
+             |  FROM orders)
+             |SELECT CAST(bucket AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val w = Window.orderBy("o_orderkey")
+        Tables(s, dir, "orders")
+          .select(col("o_totalprice"), ntile(10).over(w).cast("int").as("bucket"))
+          .groupBy("bucket")
+          .agg(cnt.as("n"), dsum(col("o_totalprice")).as("s"))
+          .orderBy("bucket")
+      }),
+
+    Q(
+      "window_rank_dense_rank",
+      Some("""SELECT n_name, s_suppkey, s_acctbal,
+             |  CAST(rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS INT) AS rnk,
+             |  CAST(dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS INT) AS drnk,
+             |  CAST(row_number() OVER (PARTITION BY s_nationkey
+             |                          ORDER BY s_acctbal DESC, s_suppkey) AS INT) AS rn
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |ORDER BY n_name, rn""".stripMargin),
+      (s, dir) => {
+        val wv = Window.partitionBy("s_nationkey").orderBy(col("s_acctbal").desc)
+        val wr = Window.partitionBy("s_nationkey")
+          .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+        Tables(s, dir, "supplier")
+          .join(broadcast(Tables(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .select(
+            col("n_name"), col("s_suppkey"), col("s_acctbal"),
+            rank().over(wv).cast("int").as("rnk"),
+            dense_rank().over(wv).cast("int").as("drnk"),
+            row_number().over(wr).cast("int").as("rn"))
+          .orderBy("n_name", "rn")
+      }))
+}

@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+
+Reads <verifyOutDir>/oracle_sql.json, runs each oracle SQL in DuckDB over the
+parquet tables in <sfDir>, reads the Spark result parquet the graft.Verify run
+wrote, sorts columns by name on both sides, and compares row count, column
+names, and values exactly. Dev tool only — the JVM library has no Python
+dependency; the real gate is driver-owned.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def compare(name, spark_df, duck_df):
+    problems = []
+    scols = sorted(spark_df.columns)
+    dcols = sorted(duck_df.columns)
+    if scols != dcols:
+        return [f"schema mismatch: spark={scols} duck={dcols}"]
+    if len(spark_df) != len(duck_df):
+        return [f"row count: spark={len(spark_df)} duck={len(duck_df)}"]
+    s = spark_df[scols]
+    d = duck_df[dcols]
+    for ci, c in enumerate(scols):
+        sv = s[c].tolist()
+        dv = d[c].tolist()
+        for ri, (a, b) in enumerate(zip(sv, dv)):
+            a, b = norm_cell(a), norm_cell(b)
+            if a is None and b is None:
+                continue
+            if (a is None) != (b is None):
+                problems.append(f"row {ri} col {c}: spark={a!r} duck={b!r}")
+            elif isinstance(a, float) or isinstance(b, float):
+                try:
+                    fa, fb = float(a), float(b)
+                except (TypeError, ValueError):
+                    problems.append(f"row {ri} col {c}: spark={a!r} duck={b!r}")
+                    continue
+                if fa != fb and not (math.isnan(fa) and math.isnan(fb)):
+                    problems.append(
+                        f"row {ri} col {c}: spark={fa!r} duck={fb!r} "
+                        f"(diff={fa - fb:.3e})")
+            elif str(a) != str(b):
+                problems.append(f"row {ri} col {c}: spark={a!r} duck={b!r}")
+            if len(problems) >= 5:
+                return problems
+    return problems
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
+        try:
+            duck = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        try:
+            spark = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL {name}: spark result missing: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, spark, duck)
+        if problems:
+            print(f"FAIL {name} ({len(spark)} spark rows, {len(duck)} duck rows)")
+            for p in problems:
+                print(f"   {p}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(duck)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
