@@ -30,6 +30,8 @@ object Registry {
     queries.StreamingQueries,
     queries.MLOps,
     queries.TextOps,
+    queries.TextAnalysis,
+    queries.DedupOps,
     queries.SimOps)
 
   lazy val all: Seq[Q] = {

@@ -1,0 +1,200 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.Fns._
+import graft.functions.{MinHash, MinHashParams}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.K — near-duplicate detection for LLM-corpus curation:
+  * MinHash+LSH banding, SimHash, and character-n-gram Jaccard.
+  *
+  * Reference analog: the reference dedups/aligns examples by *positional*
+  * identity (`read_example` requires matching npz keys,
+  * `trainer/flax_model.py:62-66`); a 100 TB text corpus needs *content*
+  * identity instead. All three schemes here avoid the O(n²) doc×doc cross
+  * product: MinHash shuffles k=16 longs per doc and joins only within LSH
+  * band buckets; SimHash reduces each doc to one 32-bit word before pairing;
+  * n-gram Jaccard joins through the inverted gram index.
+  *
+  * Determinism: token/gram hashes are the first 15 hex chars of md5 cast to
+  * BIGINT — `conv(..,16,10)` on the Spark side, `('0x'||..)::BIGINT` in
+  * DuckDB — so both engines compute bit-identical signatures; every
+  * intermediate stays < 2^62 (exact in signed 64-bit).
+  */
+object DedupOps extends QueryPack {
+  import MinHashParams._
+
+  /** 60-bit deterministic token hash, identical in both engines. */
+  private def tokHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private val duckTokHash = "CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT)"
+
+  private def tokens(s: SparkSession, dir: String, maxDoc: Int): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") < maxDoc)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+
+  // ---- MinHash oracle-SQL fragments, generated from MinHashParams ----
+  private val mhMins = (0 until NumHashes)
+    .map(i => s"MIN((${a(i)}*hm + ${b(i)}) % $P) AS m$i").mkString(", ")
+  private val mhBands = (0 until NumBands).map { bd =>
+    val cols = (0 until RowsPerBand).map(r => s"m${RowsPerBand * bd + r}").mkString(", ")
+    s"SELECT doc_id, $bd AS b, md5(concat_ws(',', $cols)) AS bkey FROM sig"
+  }.mkString("\n  UNION ALL ")
+  private val mhMatch = (0 until NumHashes)
+    .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+
+  def queries: Seq[Q] = Seq(
+    // MinHash signatures + LSH banding (4 bands x 4 rows): candidate pairs
+    // are docs sharing >= 1 band key; estimated Jaccard = matching minima /16.
+    Q(
+      "dedup_minhash_lsh",
+      Some(s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+              |t AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS tok FROM d),
+              |h AS (SELECT doc_id, $duckTokHash % $P AS hm FROM t),
+              |sig AS (SELECT doc_id, $mhMins FROM h GROUP BY doc_id),
+              |bands AS ($mhBands),
+              |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+              |         FROM bands x JOIN bands y
+              |           ON x.bkey = y.bkey AND x.b = y.b AND x.doc_id < y.doc_id),
+              |est AS (SELECT cand.da, cand.db, ROUND(($mhMatch)/16.0, 6) AS est_jaccard
+              |        FROM cand JOIN sig sa ON cand.da = sa.doc_id
+              |                  JOIN sig sb ON cand.db = sb.doc_id)
+              |SELECT da, db, est_jaccard FROM est
+              |ORDER BY est_jaccard DESC, da, db LIMIT 50""".stripMargin),
+      (s, dir) => {
+        val h = tokens(s, dir, 200)
+          .select(col("doc_id"), (tokHash(col("tok")) % P).as("hm"))
+        val minCols = (0 until NumHashes)
+          .map(i => min((col("hm") * a(i) + b(i)) % P).as(s"m$i"))
+        val sig = h.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+        val bands = (0 until NumBands).map { bd =>
+          sig.select(
+            col("doc_id"), lit(bd).as("b"),
+            md5(concat_ws(",",
+              (0 until RowsPerBand)
+                .map(r => col(s"m${RowsPerBand * bd + r}").cast("string")): _*))
+              .as("bkey"))
+        }.reduce(_ unionAll _)
+        val cand = bands.as("x")
+          .join(bands.as("y"),
+            col("x.bkey") === col("y.bkey") && col("x.b") === col("y.b") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .distinct()
+        val sa = sig.select(
+          col("doc_id").as("da") +:
+            (0 until NumHashes).map(i => col(s"m$i").as(s"am$i")): _*)
+        val sb = sig.select(
+          col("doc_id").as("db") +:
+            (0 until NumHashes).map(i => col(s"m$i").as(s"bm$i")): _*)
+        val matches = (0 until NumHashes)
+          .map(i => when(col(s"am$i") === col(s"bm$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        cand.join(sa, "da").join(sb, "db")
+          .select(col("da"), col("db"),
+            round(matches / lit(16.0), 6).as("est_jaccard"))
+          .orderBy(col("est_jaccard").desc, col("da"), col("db"))
+          .limit(50)
+      }),
+
+    // 32-bit SimHash: per-doc signed bit-vote over token hashes; near-dups =
+    // pairs within Hamming distance (bit_count of xor). One word per doc
+    // crosses the shuffle — the cheapest near-dup sketch at corpus scale.
+    Q(
+      "dedup_simhash", {
+        val bits = (0 until 32)
+          .map(j => s"SUM(2*((hm >> $j) & 1) - 1) AS s$j").mkString(", ")
+        val sh = (0 until 32)
+          .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+          .mkString(" + ")
+        Some(s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+                |t AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS tok FROM d),
+                |h AS (SELECT doc_id, $duckTokHash AS hm FROM t),
+                |b AS (SELECT doc_id, $bits FROM h GROUP BY doc_id),
+                |s AS (SELECT doc_id, CAST($sh AS BIGINT) AS simhash FROM b)
+                |SELECT x.doc_id AS da, y.doc_id AS db,
+                |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+                |FROM s x JOIN s y ON x.doc_id < y.doc_id
+                |ORDER BY hamming, da, db LIMIT 50""".stripMargin)
+      },
+      (s, dir) => {
+        val h = tokens(s, dir, 200)
+          .select(col("doc_id"), tokHash(col("tok")).as("hm"))
+        val bitSums = (0 until 32).map(j =>
+          sum(shiftright(col("hm"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j"))
+        val b = h.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        val simhash = (0 until 32)
+          .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        val sdf = b.select(col("doc_id"), simhash.cast("long").as("simhash"))
+        sdf.select(col("doc_id").as("da"), col("simhash").as("ha"))
+          .join(sdf.select(col("doc_id").as("db"), col("simhash").as("hb")),
+            col("da") < col("db"))
+          .select(col("da"), col("db"),
+            bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+          .orderBy(col("hamming"), col("da"), col("db"))
+          .limit(50)
+      }),
+
+    // Character 5-gram (shingle) Jaccard through the inverted gram index —
+    // word-order-sensitive near-dup, complements token-set Jaccard
+    // (`dedup_jaccard_pairs`).
+    Q(
+      "dedup_ngram_jaccard",
+      Some("""WITH d AS (SELECT doc_id, lower(text) AS tx FROM documents WHERE doc_id < 100),
+             |g AS (SELECT DISTINCT doc_id, substr(tx, CAST(i AS INT), 5) AS gram
+             |      FROM d, unnest(range(1, len(tx)-3)) AS r(i)),
+             |sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
+             |inter AS (SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS i
+             |          FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT da, db,
+             |  ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+             |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+             |ORDER BY jaccard DESC, da, db LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), lower(col("text")).as("tx"))
+        val g = d
+          .select(col("doc_id"), col("tx"),
+            explode(sequence(lit(1), length(col("tx")) - 4)).as("i"))
+          .select(col("doc_id"), expr("substring(tx, i, 5)").as("gram"))
+          .distinct()
+        val sz = g.groupBy("doc_id").agg(cnt.as("sz"))
+        val inter = g.as("x")
+          .join(g.as("y"),
+            col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .agg(cnt.as("i"))
+        val jac = col("i").cast("double") / (col("sa") + col("sb") - col("i"))
+        inter
+          .join(sz.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
+          .join(sz.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
+          .select(col("da"), col("db"), round(jac, 6).as("jaccard"))
+          .orderBy(round(jac, 6).desc, col("da"), col("db"))
+          .limit(20)
+      }),
+
+    // Typed-Aggregator variant (SURVEY.md §4.3 custom piece): same signature
+    // as dedup_minhash_lsh's declarative form, computed by the MinHashAgg
+    // UDAF (partial-aggregating, k longs per doc over the shuffle). No SQL
+    // oracle (UDAF not expressible in DuckDB) — equivalence with the
+    // declarative signature is asserted by MinHashSpec.
+    Q(
+      "dedup_minhash_udaf",
+      None,
+      (s, dir) => {
+        val h = tokens(s, dir, 200)
+          .select(col("doc_id"), tokHash(col("tok")).as("hm"))
+        h.groupBy("doc_id").agg(MinHash.signature(col("hm")).as("sig"))
+          .select(col("doc_id"),
+            element_at(col("sig"), 1).as("m0"),
+            element_at(col("sig"), NumHashes).as(s"m${NumHashes - 1}"))
+          .orderBy("doc_id")
+      }))
+}

@@ -6,12 +6,15 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** SURVEY.md §2.K (vectors) — similarity search + multimodal join.
+/** SURVEY.md §2.K (vectors) — similarity search + multimodal columns.
   *
-  * Exact brute-force cosine top-k is the correctness baseline; the
-  * LSH-bucketed scale path lives in `ann_lsh_topk` (non-oracle). Dot products
-  * fold left-to-right (Spark `aggregate`, DuckDB `list_sum`) so both engines
-  * produce the identical IEEE double.
+  * Exact brute-force cosine top-k is the correctness baseline;
+  * `sim_ann_lsh_topk` is the sub-linear scale path (random-hyperplane LSH:
+  * each vector hashes to one of 2^8 buckets, candidate search stays inside
+  * the bucket — at 100 TB the bucket id becomes the shuffle/partition key and
+  * no full pairwise join ever forms). Dot products fold left-to-right (Spark
+  * `aggregate`, DuckDB `list_sum`) so both engines produce the identical
+  * IEEE double.
   */
 object SimOps extends QueryPack {
 
@@ -21,6 +24,24 @@ object SimOps extends QueryPack {
       lit(0.0), (acc, x) => acc + x)
 
   private[graft] def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Deterministic pseudo-random hyperplanes for LSH bucketing: 8 planes x
+    * 64 dims of small integers in [-6, 6]. Public knowledge (Charikar
+    * SimHash/random-projection LSH); fixed integers keep both engines exact.
+    */
+  private[graft] val Planes: Array[Array[Int]] =
+    Array.tabulate(8, 64)((i, j) => ((19 * i + 7 * j) % 13) - 6)
+
+  private def planeLit(i: Int): Column =
+    array(Planes(i).map(w => lit(w.toDouble)): _*)
+
+  private def planeSql(i: Int): String =
+    Planes(i).mkString("[", ", ", "]::DOUBLE[]")
+
+  /** DuckDB twin of [[dot]] against plane i. */
+  private def duckPlaneDot(i: Int): String =
+    s"list_sum(list_transform(list_zip(embedding, ${planeSql(i)}), " +
+      "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
 
   def queries: Seq[Q] = Seq(
     // Brute-force cosine top-5 for 20 query vectors vs the whole table.
@@ -55,6 +76,105 @@ object SimOps extends QueryPack {
           .withColumn("rn", row_number().over(w).cast("int"))
           .filter(col("rn") <= 5)
           .orderBy("qa", "rn")
+      }),
+
+    // Near-duplicate pairs by embedding cosine (the dense-vector twin of the
+    // token-set dedup family in DedupOps).
+    Q(
+      "sim_cosine_neardup",
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+             |p AS (
+             |  SELECT x.vec_id AS va, y.vec_id AS vb,
+             |    list_sum(list_transform(list_zip(x.embedding, y.embedding),
+             |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS dot,
+             |    sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS na,
+             |    sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
+             |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
+             |SELECT va, vb, ROUND(dot / (na * nb), 6) AS cos
+             |FROM p ORDER BY cos DESC, va, vb LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings").filter(col("vec_id") < 200)
+        val x = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+        val y = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+        x.join(y, col("va") < col("vb"))
+          .select(col("va"), col("vb"),
+            round(dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))), 6)
+              .as("cos"))
+          .orderBy(col("cos").desc, col("va"), col("vb"))
+          .limit(20)
+      }),
+
+    // ANN via random-hyperplane LSH: bucket = 8 sign bits of plane dots;
+    // top-3 cosine neighbors searched within the query's bucket only.
+    // Deterministic planes => oracle-checkable; recall vs exact top-k is
+    // asserted separately in AnnRecallSpec.
+    Q(
+      "sim_ann_lsh_topk", {
+        val bucket = (0 until 8)
+          .map(i => s"(CASE WHEN ${duckPlaneDot(i)} > 0 THEN ${1 << i} ELSE 0 END)")
+          .mkString(" + ")
+        Some(s"""WITH eb AS (SELECT vec_id, embedding, CAST($bucket AS INT) AS bucket
+                |            FROM embeddings),
+                |p AS (
+                |  SELECT q.vec_id AS qa, c.vec_id AS qb,
+                |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS dot,
+                |    sqrt(list_sum(list_transform(q.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS na,
+                |    sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
+                |  FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+                |  WHERE q.vec_id < 20),
+                |c AS (SELECT qa, qb, ROUND(dot / (na * nb), 6) AS cos FROM p),
+                |r AS (SELECT *, row_number() OVER (PARTITION BY qa
+                |                                   ORDER BY cos DESC, qb) AS rn
+                |      FROM c)
+                |SELECT qa, qb, cos, CAST(rn AS INT) AS rn
+                |FROM r WHERE rn <= 3 ORDER BY qa, rn""".stripMargin)
+      },
+      (s, dir) => {
+        val bucket = (0 until 8)
+          .map(i => when(dot(col("embedding"), planeLit(i)) > 0, 1 << i).otherwise(0))
+          .reduce(_ + _)
+        val eb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), bucket.cast("int").as("bucket"))
+        val q = eb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qa"), col("embedding").as("ea"), col("bucket").as("ba"))
+        val c = eb
+          .select(col("vec_id").as("qb"), col("embedding").as("eb2"), col("bucket").as("bb"))
+        val w = Window.partitionBy("qa").orderBy(col("cos").desc, col("qb"))
+        q.join(c, col("ba") === col("bb") && col("qa") =!= col("qb"))
+          .select(col("qa"), col("qb"),
+            round(dot(col("ea"), col("eb2")) / (norm(col("ea")) * norm(col("eb2"))), 6)
+              .as("cos"))
+          .withColumn("rn", row_number().over(w).cast("int"))
+          .filter(col("rn") <= 3)
+          .orderBy("qa", "rn")
+      }),
+
+    // Multimodal binary-column plumbing: text re-encoded as an opaque blob
+    // with typed metadata, "decoded" by a deterministic stub (real decoders
+    // aren't in this container — the Spark-side schema/plumbing is the real
+    // part; frame_w/frame_h/n_frames stand in for image/video probe output).
+    Q(
+      "multimodal_decode_features",
+      Some("""SELECT doc_id, lang, source,
+             |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             |  md5(text) AS content_md5,
+             |  CAST(octet_length(encode(text)) % 640 AS INT) AS frame_w,
+             |  CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS frame_h,
+             |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val blob = encode(col("text"), "UTF-8")
+        val nBytes = length(blob)
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"), col("lang"), col("source"),
+            nBytes.cast("int").as("n_bytes"),
+            md5(blob).as("content_md5"),
+            (nBytes % 640).cast("int").as("frame_w"),
+            ((nBytes * 7) % 480).cast("int").as("frame_h"),
+            (nBytes % 30 + 1).cast("int").as("n_frames"))
+          .orderBy("doc_id")
       }),
 
     // Multimodal columns: text features joined with the vector modality.

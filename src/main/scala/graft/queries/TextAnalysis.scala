@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.Fns._
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.K — text analysis for LLM-corpus curation: language ID,
+  * quality scoring, tokenizer-style counting, document fingerprinting.
+  *
+  * Reference analog: the validity/cleaning gates of the reference
+  * (`trainer/flax_model.py:70-95` — range masks, smoothing, skip-invalid)
+  * generalized to text-quality gates over `documents`.
+  *
+  * Scale notes: `text_quality_score` and `text_token_count_regex` are pure
+  * map-side pipelines (array/regexp functions, zero shuffle — the whole doc
+  * table streams through one codegen stage); `text_lang_id` shuffles once on
+  * `doc_id` (token explode + partial-aggregated groupBy);
+  * `text_fingerprint` shuffles the 16-byte fingerprint, never the text.
+  */
+object TextAnalysis extends QueryPack {
+
+  private val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private val stopsSql = stops.map(s => s"'$s'").mkString(", ")
+
+  /** BPE-ish tokenizer regex: letter runs, digit runs, single punctuation. */
+  private val bpePat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def queries: Seq[Q] = Seq(
+    // Language ID by stopword-hit ratio (n-gram-profile heuristic shape:
+    // explode -> per-doc profile -> score -> threshold decision).
+    Q(
+      "text_lang_id",
+      Some(s"""WITH t AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok
+              |          FROM documents),
+              |sc AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tok,
+              |         CAST(SUM(CASE WHEN tok IN ($stopsSql) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+              |       FROM t GROUP BY 1, 2)
+              |SELECT doc_id, lang, ROUND(n_stop / n_tok, 6) AS en_score,
+              |       (n_stop / n_tok) >= 0.05 AS pred_en
+              |FROM sc ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val t = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("tok"))
+        t.groupBy("doc_id", "lang")
+          .agg(
+            cnt.as("n_tok"),
+            sum(when(col("tok").isin(stops: _*), 1).otherwise(0)).cast("long")
+              .as("n_stop"))
+          .select(
+            col("doc_id"), col("lang"),
+            round(col("n_stop") / col("n_tok"), 6).as("en_score"),
+            (col("n_stop") / col("n_tok") >= 0.05).as("pred_en"))
+          .orderBy("doc_id")
+      }),
+
+    // Quality score from length / punctuation / stopword ratios — pure array
+    // arithmetic, no explode, no shuffle.
+    Q(
+      "text_quality_score",
+      Some(s"""SELECT doc_id,
+              |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+              |  ROUND(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+              |        / length(text), 6) AS punct_ratio,
+              |  ROUND(len(list_filter(string_split(text, ' '), t -> t IN ($stopsSql)))
+              |        / len(string_split(text, ' ')), 6) AS stop_ratio,
+              |  ROUND(0.3 * least(1.0, len(string_split(text, ' ')) / 100.0)
+              |      + 0.4 * (len(list_filter(string_split(text, ' '), t -> t IN ($stopsSql)))
+              |               / len(string_split(text, ' ')))
+              |      + 0.3 * (1 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+              |               / length(text)), 6) AS quality
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val nTok = size(toks).cast("long")
+        val punctRatio =
+          length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")) /
+            length(col("text"))
+        val stopRatio =
+          size(filter(toks, t => t.isInCollection(stops))).cast("long") / nTok
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            nTok.as("n_tok"),
+            round(punctRatio, 6).as("punct_ratio"),
+            round(stopRatio, 6).as("stop_ratio"),
+            round(
+              lit(0.3) * least(lit(1.0), nTok / 100.0) +
+                lit(0.4) * stopRatio +
+                lit(0.3) * (lit(1) - punctRatio), 6).as("quality"))
+          .orderBy("doc_id")
+      }),
+
+    // Tokenizer-style counting: whitespace tokens vs BPE-ish regex tokens
+    // (letter runs / digit runs / single punctuation), rolled up per lang.
+    Q(
+      "text_token_count_regex",
+      Some(s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws,
+              |  CAST(SUM(len(regexp_extract_all(lower(text), '$bpePat'))) AS BIGINT) AS total_bpe,
+              |  ROUND(SUM(len(regexp_extract_all(lower(text), '$bpePat'))) / COUNT(*), 6) AS avg_bpe
+              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val nBpe = size(regexp_extract_all(lower(col("text")), lit(bpePat), lit(0)))
+          .cast("long")
+        Tables(s, dir, "documents")
+          .groupBy("lang")
+          .agg(
+            cnt.as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).cast("long").as("total_ws"),
+            sum(nBpe).cast("long").as("total_bpe"),
+            round(sum(nBpe) / cnt, 6).as("avg_bpe"))
+          .orderBy("lang")
+      }),
+
+    // Document fingerprint (OpenRefine-style key collision): md5 of the
+    // sorted distinct token set — clusters docs that are permutations /
+    // repetitions of the same vocabulary. Only the 16-byte key shuffles.
+    Q(
+      "text_fingerprint",
+      Some("""SELECT md5(array_to_string(list_sort(list_distinct(
+             |         string_split(lower(text), ' '))), ' ')) AS fingerprint,
+             |  CAST(MIN(doc_id) AS BIGINT) AS rep_doc,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs
+             |FROM documents GROUP BY 1
+             |ORDER BY n_docs DESC, fingerprint LIMIT 20""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .groupBy(
+            md5(array_join(array_sort(array_distinct(
+              split(lower(col("text")), " "))), " ")).as("fingerprint"))
+          .agg(min("doc_id").cast("long").as("rep_doc"), cnt.as("n_docs"))
+          .orderBy(col("n_docs").desc, col("fingerprint"))
+          .limit(20)))
+}
