@@ -25,12 +25,14 @@ object SimOps extends QueryPack {
 
   private[graft] def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Deterministic pseudo-random hyperplanes for LSH bucketing: 8 planes x
-    * 64 dims of small integers in [-6, 6]. Public knowledge (Charikar
-    * SimHash/random-projection LSH); fixed integers keep both engines exact.
+  /** Deterministic pseudo-random hyperplanes for LSH bucketing: 16 planes x
+    * 64 dims of small integers in [-6, 6] (4 hash tables x 4 planes).
+    * Public knowledge (Charikar random-projection LSH); fixed integers keep
+    * both engines exact.
     */
+  private[graft] val NumTables = 4
   private[graft] val Planes: Array[Array[Int]] =
-    Array.tabulate(8, 64)((i, j) => ((19 * i + 7 * j) % 13) - 6)
+    Array.tabulate(16, 64)((i, j) => ((19 * i + 7 * j) % 13) - 6)
 
   private def planeLit(i: Int): Column =
     array(Planes(i).map(w => lit(w.toDouble)): _*)
@@ -104,44 +106,63 @@ object SimOps extends QueryPack {
           .limit(20)
       }),
 
-    // ANN via random-hyperplane LSH: bucket = 8 sign bits of plane dots;
-    // top-3 cosine neighbors searched within the query's bucket only.
-    // Deterministic planes => oracle-checkable; recall vs exact top-k is
-    // asserted separately in AnnRecallSpec.
+    // ANN via multi-table random-hyperplane LSH: L=4 hash tables of 4 sign
+    // bits each (planes 4t..4t+3 -> 16 buckets per table); candidates = ids
+    // sharing a (table, bucket) cell with the query, union over tables; then
+    // exact cosine + top-3 within candidates. Each vector explodes into L
+    // rows keyed (t, bucket) — an EQUI-join shuffle key, so at 100 TB this
+    // hash-partitions by cell and never forms a pairwise product (an OR of
+    // bucket equalities would degrade to nested-loop). Recall ~52% at 1/3 of
+    // the data scanned on sf0.001 (asserted in AnnRecallSpec); deterministic
+    // planes keep it oracle-checkable.
     Q(
       "sim_ann_lsh_topk", {
-        val bucket = (0 until 8)
-          .map(i => s"(CASE WHEN ${duckPlaneDot(i)} > 0 THEN ${1 << i} ELSE 0 END)")
+        def bucketSql(t: Int): String = (0 until 4)
+          .map(i => s"(CASE WHEN ${duckPlaneDot(4 * t + i)} > 0 THEN ${1 << i} ELSE 0 END)")
           .mkString(" + ")
-        Some(s"""WITH eb AS (SELECT vec_id, embedding, CAST($bucket AS INT) AS bucket
-                |            FROM embeddings),
-                |p AS (
-                |  SELECT q.vec_id AS qa, c.vec_id AS qb,
-                |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
-                |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS dot,
-                |    sqrt(list_sum(list_transform(q.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS na,
-                |    sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
-                |  FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        val cells = (0 until NumTables)
+          .map(t => s"SELECT vec_id, $t AS t, CAST(${bucketSql(t)} AS INT) AS bucket FROM embeddings")
+          .mkString("\n  UNION ALL ")
+        Some(s"""WITH cells AS ($cells),
+                |cand AS (
+                |  SELECT DISTINCT q.vec_id AS qa, c.vec_id AS qb
+                |  FROM cells q JOIN cells c
+                |    ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
                 |  WHERE q.vec_id < 20),
-                |c AS (SELECT qa, qb, ROUND(dot / (na * nb), 6) AS cos FROM p),
+                |p AS (
+                |  SELECT cand.qa, cand.qb,
+                |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS dot,
+                |    sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS na,
+                |    sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
+                |  FROM cand JOIN embeddings a ON cand.qa = a.vec_id
+                |            JOIN embeddings b ON cand.qb = b.vec_id),
+                |sc AS (SELECT qa, qb, ROUND(dot / (na * nb), 6) AS cos FROM p),
                 |r AS (SELECT *, row_number() OVER (PARTITION BY qa
                 |                                   ORDER BY cos DESC, qb) AS rn
-                |      FROM c)
+                |      FROM sc)
                 |SELECT qa, qb, cos, CAST(rn AS INT) AS rn
                 |FROM r WHERE rn <= 3 ORDER BY qa, rn""".stripMargin)
       },
       (s, dir) => {
-        val bucket = (0 until 8)
-          .map(i => when(dot(col("embedding"), planeLit(i)) > 0, 1 << i).otherwise(0))
+        val e = Tables(s, dir, "embeddings")
+        def bucketCol(t: Int): Column = (0 until 4)
+          .map(i => when(dot(col("embedding"), planeLit(4 * t + i)) > 0, 1 << i).otherwise(0))
           .reduce(_ + _)
-        val eb = Tables(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"), bucket.cast("int").as("bucket"))
-        val q = eb.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("qa"), col("embedding").as("ea"), col("bucket").as("ba"))
-        val c = eb
-          .select(col("vec_id").as("qb"), col("embedding").as("eb2"), col("bucket").as("bb"))
+        val cells = (0 until NumTables).map { t =>
+          e.select(col("vec_id"), lit(t).as("t"), bucketCol(t).cast("int").as("bucket"))
+        }.reduce(_ unionAll _)
+        val cand = cells.as("q")
+          .join(cells.as("c"),
+            col("q.t") === col("c.t") && col("q.bucket") === col("c.bucket") &&
+              col("q.vec_id") =!= col("c.vec_id"))
+          .filter(col("q.vec_id") < 20)
+          .select(col("q.vec_id").as("qa"), col("c.vec_id").as("qb"))
+          .distinct()
         val w = Window.partitionBy("qa").orderBy(col("cos").desc, col("qb"))
-        q.join(c, col("ba") === col("bb") && col("qa") =!= col("qb"))
+        cand
+          .join(e.select(col("vec_id").as("qa"), col("embedding").as("ea")), "qa")
+          .join(e.select(col("vec_id").as("qb"), col("embedding").as("eb2")), "qb")
           .select(col("qa"), col("qb"),
             round(dot(col("ea"), col("eb2")) / (norm(col("ea")) * norm(col("eb2"))), 6)
               .as("cos"))

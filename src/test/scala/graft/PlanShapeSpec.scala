@@ -1,0 +1,56 @@
+package graft
+
+/** Plan-shape guards (SURVEY.md §5.2.6): the optimizations §4.2 relies on
+  * must actually appear in the physical plan — a regression here is a silent
+  * 100x at scale even while results stay correct.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(id: String): String =
+    Registry.byId(id).run(spark, sf).queryExecution.executedPlan.toString
+
+  test("scan_projected_pruned pushes the filter and prunes columns") {
+    val p = plan("scan_projected_pruned")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_linenumber"), p)
+    // ReadSchema must not include unprojected wide columns like l_comment.
+    assert(!p.contains("l_comment"), p)
+  }
+
+  test("join_broadcast_dim uses a broadcast hash join") {
+    val p = plan("join_broadcast_dim")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("flagship star join broadcasts every dimension hop") {
+    val p = plan("join_star_multiway")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sort_multi_key + limit compiles to TakeOrderedAndProject") {
+    val p = plan("sort_multi_key")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("filter_range_validity reaches the parquet scan as a pushed filter") {
+    val p = plan("filter_range_validity")
+    assert(p.contains("PushedFilters: [") && p.contains("l_quantity"), p)
+  }
+
+  test("ANN LSH candidate generation is an equi shuffle join, not a product") {
+    val p = plan("sim_ann_lsh_topk")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("flagship whole-stage codegen covers the aggregation") {
+    // AQE only shows the final (codegen'd) plan after execution.
+    val df = Registry.byId("join_star_multiway").run(spark, sf)
+    df.collect()
+    // Codegen stages render as "*(n)" in the plan string; the aggregate
+    // itself must sit inside one.
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(") && p.contains("HashAggregate"), p)
+    assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(p).isDefined, p)
+  }
+}

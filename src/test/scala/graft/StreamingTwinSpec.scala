@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming twins (SURVEY.md §5.2.5): each oracle-checked batch window
+  * aggregation must emit the same window set when run as a real Structured
+  * Streaming query (Trigger.AvailableNow, complete mode => no windows
+  * withheld by the watermark).
+  */
+class StreamingTwinSpec extends SparkSpec {
+
+  private def runStream(
+      agg: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory(s"twin_$name").toString
+    val qy = agg.writeStream
+      .queryName(name)
+      .outputMode("complete")
+      .format("memory")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    qy.awaitTermination()
+    spark.table(name)
+  }
+
+  test("tumbling window counts: streaming == batch") {
+    val stream = graft.queries.StreamingQueries.eventsStream(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("event_type"), col("n"))
+    val got = runStream(stream, "twin_tumbling").orderBy("ws", "event_type")
+      .collect().toSeq
+    val want = Registry.byId("stream_tumbling_counts").run(spark, sf)
+      .select("ws", "event_type", "n").collect().toSeq
+    assert(got == want)
+  }
+
+  test("sliding window counts: streaming == batch") {
+    val stream = graft.queries.StreamingQueries.eventsStream(spark, sf)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("n"))
+    val got = runStream(stream, "twin_sliding").orderBy("ws").collect().toSeq
+    val want = Registry.byId("stream_sliding_windows").run(spark, sf)
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("streaming dedup keeps exactly the distinct event ids") {
+    val stream = graft.queries.StreamingQueries.eventsStream(spark, sf)
+      .withWatermark("ts", "1 day")
+      .dropDuplicates("event_id")
+      .groupBy().agg(count(lit(1)).as("n"))
+    val got = runStream(stream, "twin_dedup").collect().head.getLong(0)
+    val want = Tables(spark, sf, "events").select("event_id").distinct().count()
+    assert(got == want)
+  }
+}
