@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expression: IEEE left-to-right dot product of two
+  * FLOAT-array columns, with whole-stage codegen.
+  *
+  * The declarative form `aggregate(zip_with(a, b, (x,y) => x*y), 0d, _+_)`
+  * (see `graft.queries.SimOps.dot`) is a HigherOrderFunction chain — a
+  * CodegenFallback that materializes the zipped array and boxes every
+  * element. This expression is the reference-semantics fast path
+  * (`nn.Dense` matvec, `trainer/flax_model.py:160,173`): one fused loop over
+  * the unsafe array data, no allocation, inlined into the surrounding
+  * codegen stage. Accumulation order is identical to the declarative form
+  * (left-to-right), so results are bit-equal and DuckDB-oracle-safe.
+  *
+  * Semantics: null if either array is null; elements are read as floats and
+  * widened to double; arrays of unequal length use the common prefix (our
+  * embeddings are fixed 64-dim; zip_with would null-propagate instead — do
+  * not feed ragged arrays).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<FLOAT> arguments, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object Native {
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> { args =>
+      require(args.length == 2, "graft_dot expects 2 arguments")
+      DotProduct(args(0), args(1))
+    })
+
+  /** Idempotent per-session registration (temp functions live in the
+    * session's registry).
+    */
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, b, "built-in")
+  }
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` — registers the
+  * native functions in every session built with the extension (the idiomatic
+  * deployment path on a shared cluster).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifierHelper("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+  }
+}
+
+private object FunctionIdentifierHelper {
+  def apply(name: String): org.apache.spark.sql.catalyst.FunctionIdentifier =
+    org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+}

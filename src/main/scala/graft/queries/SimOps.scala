@@ -18,12 +18,28 @@ import org.apache.spark.sql.functions._
   */
 object SimOps extends QueryPack {
 
-  /** Sequential left-to-right dot product of two float-array columns. */
+  /** Sequential left-to-right dot product of two float-array columns —
+    * declarative higher-order-function form (CodegenFallback; kept as the
+    * readable reference implementation and for the NativeDotSpec
+    * equivalence assertion).
+    */
   private[graft] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
   private[graft] def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Native-codegen dot product (graft.functions.DotProduct) — bit-equal to
+    * [[dot]], one fused loop inside whole-stage codegen. Queries call
+    * [[native]] first to register it in the session.
+    */
+  private[graft] def ndot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  private[graft] def nnorm(a: Column): Column = sqrt(ndot(a, a))
+
+  private def native(s: org.apache.spark.sql.SparkSession): Unit =
+    graft.functions.Native.register(s)
 
   /** Deterministic pseudo-random hyperplanes for LSH bucketing: 16 planes x
     * 64 dims of small integers in [-6, 6] (4 hash tables x 4 planes).
@@ -35,7 +51,7 @@ object SimOps extends QueryPack {
     Array.tabulate(16, 64)((i, j) => ((19 * i + 7 * j) % 13) - 6)
 
   private def planeLit(i: Int): Column =
-    array(Planes(i).map(w => lit(w.toDouble)): _*)
+    array(Planes(i).map(w => lit(w.toFloat)): _*)
 
   private def planeSql(i: Int): String =
     Planes(i).mkString("[", ", ", "]::DOUBLE[]")
@@ -64,6 +80,7 @@ object SimOps extends QueryPack {
              |SELECT qa, qb, cos, CAST(rn AS INT) AS rn
              |FROM r WHERE rn <= 5 ORDER BY qa, rn""".stripMargin),
       (s, dir) => {
+        native(s)
         val e = Tables(s, dir, "embeddings")
         val q = e.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qa"), col("embedding").as("ea"))
@@ -73,7 +90,7 @@ object SimOps extends QueryPack {
           .filter(col("qa") =!= col("qb"))
           .select(
             col("qa"), col("qb"),
-            round(dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))), 6)
+            round(ndot(col("ea"), col("eb")) / (nnorm(col("ea")) * nnorm(col("eb"))), 6)
               .as("cos"))
           .withColumn("rn", row_number().over(w).cast("int"))
           .filter(col("rn") <= 5)
@@ -95,12 +112,13 @@ object SimOps extends QueryPack {
              |SELECT va, vb, ROUND(dot / (na * nb), 6) AS cos
              |FROM p ORDER BY cos DESC, va, vb LIMIT 20""".stripMargin),
       (s, dir) => {
+        native(s)
         val e = Tables(s, dir, "embeddings").filter(col("vec_id") < 200)
         val x = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
         val y = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
         x.join(y, col("va") < col("vb"))
           .select(col("va"), col("vb"),
-            round(dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))), 6)
+            round(ndot(col("ea"), col("eb")) / (nnorm(col("ea")) * nnorm(col("eb"))), 6)
               .as("cos"))
           .orderBy(col("cos").desc, col("va"), col("vb"))
           .limit(20)
@@ -145,9 +163,10 @@ object SimOps extends QueryPack {
                 |FROM r WHERE rn <= 3 ORDER BY qa, rn""".stripMargin)
       },
       (s, dir) => {
+        native(s)
         val e = Tables(s, dir, "embeddings")
         def bucketCol(t: Int): Column = (0 until 4)
-          .map(i => when(dot(col("embedding"), planeLit(4 * t + i)) > 0, 1 << i).otherwise(0))
+          .map(i => when(ndot(col("embedding"), planeLit(4 * t + i)) > 0, 1 << i).otherwise(0))
           .reduce(_ + _)
         val cells = (0 until NumTables).map { t =>
           e.select(col("vec_id"), lit(t).as("t"), bucketCol(t).cast("int").as("bucket"))
@@ -164,7 +183,7 @@ object SimOps extends QueryPack {
           .join(e.select(col("vec_id").as("qa"), col("embedding").as("ea")), "qa")
           .join(e.select(col("vec_id").as("qb"), col("embedding").as("eb2")), "qb")
           .select(col("qa"), col("qb"),
-            round(dot(col("ea"), col("eb2")) / (norm(col("ea")) * norm(col("eb2"))), 6)
+            round(ndot(col("ea"), col("eb2")) / (nnorm(col("ea")) * nnorm(col("eb2"))), 6)
               .as("cos"))
           .withColumn("rn", row_number().over(w).cast("int"))
           .filter(col("rn") <= 3)
@@ -185,6 +204,7 @@ object SimOps extends QueryPack {
              |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
              |FROM documents ORDER BY doc_id""".stripMargin),
       (s, dir) => {
+        native(s)
         val blob = encode(col("text"), "UTF-8")
         val nBytes = length(blob)
         Tables(s, dir, "documents")
@@ -213,6 +233,6 @@ object SimOps extends QueryPack {
           .select(
             col("doc_id"), col("n_chars"),
             size(split(col("text"), " ")).cast("int").as("n_tokens"),
-            round(norm(col("embedding")), 4).as("l2"))
+            round(nnorm(col("embedding")), 4).as("l2"))
           .orderBy("doc_id")))
 }

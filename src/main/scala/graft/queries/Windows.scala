@@ -109,6 +109,15 @@ object Windows extends QueryPack {
           .orderBy("day")
       }),
 
+    // ntile(10) over a TOTAL order — but computed distributed: Spark's
+    // unpartitioned `ntile().over(orderBy)` collapses to one task (a serial
+    // bottleneck at 100 TB). Instead: range-partition by the order key,
+    // local row_number per partition, tiny (numPartitions-row) prefix-sum of
+    // partition sizes broadcast back, global rank = offset + local rank, and
+    // the exact SQL-standard ntile bucket from closed-form arithmetic
+    // (first n%k buckets get one extra row). Bit-identical to ntile, fully
+    // parallel. Range boundaries come from sampling and may vary run to run;
+    // the global rank (and thus the result) does not depend on them.
     Q(
       "window_ntile_split",
       Some("""WITH t AS (
@@ -118,9 +127,34 @@ object Windows extends QueryPack {
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s
              |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
       (s, dir) => {
-        val w = Window.orderBy("o_orderkey")
-        Tables(s, dir, "orders")
-          .select(col("o_totalprice"), ntile(10).over(w).cast("int").as("bucket"))
+        val k = 10
+        val o = Tables(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+          .repartitionByRange(col("o_orderkey"))
+        val local = o
+          .withColumn("pid", spark_partition_id())
+          .withColumn("lrn",
+            row_number().over(Window.partitionBy("pid").orderBy("o_orderkey")))
+        val offsets = local.groupBy("pid").agg(count(lit(1)).as("psz"))
+          .withColumn("offset",
+            coalesce(
+              sum("psz").over(
+                Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .select("pid", "offset")
+        val total = local.agg(count(lit(1)).as("ntot"))
+        val ranked = local
+          .join(broadcast(offsets), "pid")
+          .crossJoin(broadcast(total))
+          .withColumn("rank", col("offset") + col("lrn"))
+        // SQL-standard ntile: q = n div k, r = n % k; the first r buckets
+        // hold q+1 rows, the rest hold q.
+        val cut = expr(s"(ntot % $k) * (ntot div $k + 1)")
+        val bucket = when(col("rank") <= cut,
+          expr(s"(rank - 1) div (ntot div $k + 1) + 1"))
+          .otherwise(expr(s"ntot % $k + ((rank - 1 - (ntot % $k) * (ntot div $k + 1)) div (ntot div $k)) + 1"))
+        ranked
+          .select(col("o_totalprice"), bucket.cast("int").as("bucket"))
           .groupBy("bucket")
           .agg(cnt.as("n"), dsum(col("o_totalprice")).as("s"))
           .orderBy("bucket")
