@@ -29,12 +29,16 @@ object StreamingQueries extends QueryPack {
     * stream from that. At scale the spool is the landing zone a real
     * pipeline would already have.
     */
-  private[graft] def eventsStream(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def eventsStream(
+      s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val batch = Tables(s, dir, "events")
     val spool = java.nio.file.Files
       .createTempDirectory("graft_events_spool").toString
     batch.write.mode("overwrite").parquet(spool)
-    s.readStream.schema(batch.schema).parquet(spool)
+    val r = s.readStream.schema(batch.schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(spool)
   }
 
   def queries: Seq[Q] = Seq(
@@ -143,6 +147,78 @@ object StreamingQueries extends QueryPack {
             date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
             col("user_id"), col("event_type"), col("value"))
           .orderBy("event_id")
+      }),
+
+    // session_window() native batch form of the sessionization — same
+    // result set as the gaps-and-islands formulation, so it reuses that
+    // oracle (minus the island id, which session_window doesn't expose).
+    Q(
+      "stream_session_window_native",
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |              >= INTERVAL 30 MINUTE
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM s0),
+             |agg AS (
+             |  SELECT user_id,
+             |    strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_start,
+             |    strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_end,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM s GROUP BY user_id, sid)
+             |SELECT * FROM agg ORDER BY user_id, s_start""".stripMargin
+        .replace("FROM s0", "FROM o")),
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(
+            date_format(min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_start"),
+            date_format(max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_end"),
+            cnt.as("n"))
+          .select("user_id", "s_start", "s_end", "n")
+          .orderBy("user_id", "s_start")),
+
+    // Custom-state sessionization: flatMapGroupsWithState with event-time
+    // timeout (graft.streaming.Sessionize) over the AvailableNow stream —
+    // per-user open-session state; sessions emit either when a larger gap
+    // closes them in-batch or when the watermark (maxTs after the data
+    // batch; processed by the trailing no-data micro-batch) passes end+gap.
+    // Deterministic emitted set: every session except a user's final one
+    // ending within the gap of stream end. Streaming semantics => no SQL
+    // oracle; CustomStateSpec asserts the exact set against the batch twin.
+    Q(
+      "stream_custom_state_sessions",
+      None,
+      (s, dir) => {
+        import s.implicits._
+        import graft.streaming.Sessionize
+        val sink = s"sess_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_sess_ckpt").toString
+        val q = eventsStream(s, dir)
+          .withWatermark("ts", "0 seconds")
+          .select("user_id", "ts", "event_id")
+          .as[Sessionize.Ev]
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState(
+            org.apache.spark.sql.streaming.OutputMode.Append,
+            org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+            Sessionize.apply)
+          .writeStream
+          .queryName(sink)
+          .outputMode("append")
+          .format("memory")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink).orderBy("user_id", "s_start")
       }),
 
     // True Structured Streaming run: AvailableNow over the events parquet,
