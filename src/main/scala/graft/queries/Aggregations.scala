@@ -243,5 +243,31 @@ object Aggregations extends QueryPack {
           .groupBy("priority")
           .agg(round(davg(col("v")), 2).as("median"))
           .orderBy("priority")
+      }),
+
+    // Salted two-stage aggregation — the skew-mitigation pattern: a hot
+    // grouping key (only 5 event_types over the whole stream) first
+    // aggregates on (key, salt) so the load spreads over 16x partitions,
+    // then the tiny partial table reduces to the final answer. Decimal
+    // partials keep the result bit-identical to the direct groupBy (which is
+    // exactly what the oracle runs).
+    Q(
+      "agg_salted_skew",
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val partial = Tables(s, dir, "events")
+          .withColumn("salt", pmod(col("event_id"), lit(16)))
+          .groupBy("event_type", "salt")
+          .agg(
+            cnt.as("pn"),
+            sum(col("value").cast(DecimalType(18, 6))).as("ps"))
+        partial
+          .groupBy("event_type")
+          .agg(
+            sum("pn").cast("long").as("n"),
+            sum("ps").cast("double").as("sum_v"))
+          .orderBy("event_type")
       }))
 }

@@ -56,6 +56,44 @@ object Scans extends QueryPack {
         s.read.parquet(tmp).orderBy("p_partkey")
       }),
 
+    // CSV round-trip: write a projection to CSV with header, read it back
+    // with an explicit schema (CSV carries no types), aggregate. Exercises
+    // the text-format source/sink path end-to-end; result equals the same
+    // aggregate straight off parquet.
+    Q(
+      "scan_csv_roundtrip",
+      Some("""SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_nation"
+        Tables(s, dir, "nation")
+          .select("n_nationkey", "n_regionkey", "n_name")
+          .write.mode("overwrite").option("header", "true").csv(tmp)
+        s.read
+          .schema("n_nationkey BIGINT, n_regionkey BIGINT, n_name STRING")
+          .option("header", "true").csv(tmp)
+          .groupBy("n_regionkey")
+          .agg(cnt.as("n"))
+          .orderBy("n_regionkey")
+      }),
+
+    // JSON-lines round-trip: schema re-inferred from the JSON on read (text
+    // payloads with quoting/escaping survive intact).
+    Q(
+      "scan_json_roundtrip",
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_docs"
+        Tables(s, dir, "documents")
+          .write.mode("overwrite").json(tmp)
+        s.read.json(tmp)
+          .groupBy("lang")
+          .agg(cnt.as("n"), sum("n_chars").cast("long").as("chars"))
+          .orderBy("lang")
+      }),
+
     // Append-style metrics sink shape: (name, bucket, value) rows, the batch
     // twin of the TensorBoard scalar stream.
     Q(

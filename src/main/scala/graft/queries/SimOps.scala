@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object SimOps extends QueryPack {
 
+  /** Typed rows for the mapPartitions decode path. */
+  final case class DocBlob(
+      doc_id: Long, lang: String, source: String, blob: Array[Byte])
+  final case class DocFeatures(
+      doc_id: Long, lang: String, source: String, n_bytes: Int,
+      content_md5: String, frame_w: Int, frame_h: Int, n_frames: Int)
+
   /** Sequential left-to-right dot product of two float-array columns —
     * declarative higher-order-function form (CodegenFallback; kept as the
     * readable reference implementation and for the NativeDotSpec
@@ -215,6 +222,44 @@ object SimOps extends QueryPack {
             (nBytes % 640).cast("int").as("frame_w"),
             ((nBytes * 7) % 480).cast("int").as("frame_h"),
             (nBytes % 30 + 1).cast("int").as("n_frames"))
+          .orderBy("doc_id")
+      }),
+
+    // The same stub decode through the typed per-partition batch path
+    // (Dataset.mapPartitions — the JVM analog of mapInPandas): one decoder
+    // instance per partition processes an iterator of blob records, exactly
+    // the shape a real image/audio decoder needs (expensive init amortized
+    // per partition, streaming batches, no driver collect). Result is
+    // bit-identical to the declarative multimodal_decode_features, so it
+    // shares that oracle.
+    Q(
+      "multimodal_decode_mappartitions",
+      Some("""SELECT doc_id, lang, source,
+             |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             |  md5(text) AS content_md5,
+             |  CAST(octet_length(encode(text)) % 640 AS INT) AS frame_w,
+             |  CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS frame_h,
+             |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            encode(col("text"), "UTF-8").as("blob"))
+          .as[DocBlob]
+          .mapPartitions { it =>
+            // Per-partition "decoder" init (stands in for an image/audio
+            // codec handle); reset per record.
+            val md = java.security.MessageDigest.getInstance("MD5")
+            it.map { d =>
+              md.reset()
+              val hex = md.digest(d.blob).map("%02x".format(_)).mkString
+              val n = d.blob.length
+              DocFeatures(d.doc_id, d.lang, d.source, n, hex,
+                n % 640, (n * 7) % 480, n % 30 + 1)
+            }
+          }
+          .toDF()
           .orderBy("doc_id")
       }),
 
