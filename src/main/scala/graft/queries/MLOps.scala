@@ -161,5 +161,76 @@ object MLOps extends QueryPack {
           (it, w, b, mse)
         }
         s.createDataFrame(hist).toDF("iter", "w", "b", "mse")
+      }),
+
+    // Lloyd's k-means over the embeddings (k=8, 3 iterations, deterministic
+    // init = vectors 0..7). Model state (8 x 64 centroids) lives on the
+    // driver and enters each iteration as broadcast literals — the data
+    // never leaves the cluster, each iteration is one scan + one shuffle of
+    // (cluster, dim) partial sums; assignment distance uses the native
+    // graft_dot codegen expression. Iterative => no single-SQL oracle;
+    // KMeansSpec asserts WCSS monotonicity and assignment optimality.
+    Q(
+      "ml_kmeans_iterations",
+      None,
+      (s, dir) => {
+        graft.functions.Native.register(s)
+        import org.apache.spark.sql.functions.{call_function => cf}
+        val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+        val dim = 64
+        val k = 8
+        var centroids: Array[Array[Float]] = e
+          .filter(col("vec_id") < k).orderBy("vec_id")
+          .collect()
+          .map(_.getSeq[Float](1).toArray)
+        val hist = (1 to 3).map { it =>
+          val cLits = centroids.map(c => array(c.map(lit): _*))
+          // |x - c|^2 = x.x - 2 x.c + c.c ; x.x constant per row, omit.
+          val dists = cLits.zipWithIndex.map { case (c, i) =>
+            (cf("graft_dot", c, c) - lit(2.0) * cf("graft_dot", col("embedding"), c))
+              .as(s"d$i")
+          }
+          val assigned = e.select(
+            (col("vec_id") +: col("embedding") +: dists): _*)
+          val clusterCol = (1 until k).foldLeft(
+            struct(col("d0").as("d"), lit(0).as("c"))) { (best, i) =>
+            when(col(s"d$i") < best("d"),
+              struct(col(s"d$i").as("d"), lit(i).as("c"))).otherwise(best)
+          }
+          val withCluster = assigned
+            .select(col("vec_id"), col("embedding"), clusterCol.as("best"))
+            .select(col("vec_id"), col("embedding"), col("best.c").as("cluster"))
+            .cache()
+          // New centroids: per-(cluster, dim) mean via posexplode — one
+          // shuffle of k*dim partial sums.
+          val sums = withCluster
+            .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+            .groupBy("cluster", "pos")
+            .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+            .collect()
+          val next = Array.fill(k, dim)(0.0f)
+          val counts = Array.fill(k)(0L)
+          sums.foreach { r =>
+            val c = r.getInt(0)
+            next(c)(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat
+            counts(c) = r.getLong(3)
+          }
+          // Keep empty clusters' previous centroid.
+          for (c <- 0 until k if counts(c) == 0) next(c) = centroids(c)
+          val wcss = withCluster.select(
+            dsumWide(
+              cf("graft_dot", col("embedding"), col("embedding")) +
+                cLits.zipWithIndex.map { case (cl, i) =>
+                  when(col("cluster") === i,
+                    cf("graft_dot", cl, cl) -
+                      lit(2.0) * cf("graft_dot", col("embedding"), cl))
+                    .otherwise(lit(0.0))
+                }.reduce(_ + _)).as("wcss"))
+            .head().getDouble(0)
+          withCluster.unpersist()
+          centroids = next
+          (it, math.round(wcss * 10000) / 10000.0, counts.count(_ > 0))
+        }
+        s.createDataFrame(hist).toDF("iter", "wcss", "nonempty_clusters")
       }))
 }

@@ -29,13 +29,22 @@ object StreamingQueries extends QueryPack {
     * stream from that. At scale the spool is the landing zone a real
     * pipeline would already have.
     */
+  private val spools =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
   private[graft] def eventsStream(
       s: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val batch = Tables(s, dir, "events")
-    val spool = java.nio.file.Files
-      .createTempDirectory("graft_events_spool").toString
-    batch.write.mode("overwrite").parquet(spool)
+    // The spool is immutable once written — reuse it across the streaming
+    // queries/tests of a session instead of re-materializing per call.
+    val spool = spools.getOrElseUpdate(
+      (System.identityHashCode(s), dir), {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_events_spool").toString
+        batch.write.mode("overwrite").parquet(p)
+        p
+      })
     val r = s.readStream.schema(batch.schema)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
     r.parquet(spool)

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tiny-literal-DataFrame edge cases (SURVEY.md §5.2.3): empty inputs,
+  * all-NULL measures, ties, empty join sides.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dsum of empty input is null, cnt is zero") {
+    val empty = Seq.empty[(Int, Double)].toDF("k", "v")
+    val r = empty.agg(Fns.dsum(col("v")).as("s"), Fns.cnt.as("n")).collect().head
+    assert(r.isNullAt(0) && r.getLong(1) == 0)
+  }
+
+  test("dsum of all-NULL measure is null; nulls are skipped in mixed input") {
+    val df = Seq[(Int, Option[Double])]((1, None), (2, None)).toDF("k", "v")
+    assert(df.agg(Fns.dsum(col("v"))).collect().head.isNullAt(0))
+    val mixed = Seq[(Int, Option[Double])]((1, Some(2.5)), (2, None))
+      .toDF("k", "v")
+    assert(mixed.agg(Fns.dsum(col("v"))).collect().head.getDouble(0) == 2.5)
+  }
+
+  test("dstddev: single row raises under ANSI (n-1 = 0); constants give 0") {
+    // Spark 4 runs ANSI mode by default: the n-1 division surfaces as
+    // DIVIDE_BY_ZERO instead of silently yielding NaN. Every oracle query
+    // using dstddev aggregates n > 1 rows.
+    val one = Seq((1, 5.0)).toDF("k", "v")
+    val e = intercept[Exception] {
+      one.agg(Fns.dstddev(col("v"))).collect()
+    }
+    assert(e.getMessage.contains("DIVIDE_BY_ZERO"), e.getMessage)
+    val const = Seq((1, 5.0), (2, 5.0), (3, 5.0)).toDF("k", "v")
+    assert(const.agg(Fns.dstddev(col("v"))).collect().head.getDouble(0) == 0.0)
+  }
+
+  test("row_number tie-break is total: equal sort keys resolved by id") {
+    val df = Seq((1, 10.0, "a"), (2, 10.0, "b"), (3, 10.0, "c"))
+      .toDF("id", "v", "tag")
+    val w = Window.orderBy(col("v").desc, col("id"))
+    val r = df.select(col("tag"), row_number().over(w).as("rn"))
+      .orderBy("rn").as[(String, Int)].collect().toSeq
+    assert(r == Seq(("a", 1), ("b", 2), ("c", 3)))
+  }
+
+  test("left join against an empty right side keeps all left rows with nulls") {
+    val l = Seq((1, "x"), (2, "y")).toDF("k", "lv")
+    val r = Seq.empty[(Int, String)].toDF("k", "rv")
+    val j = l.join(r, Seq("k"), "left").orderBy("k").collect()
+    assert(j.length == 2 && j.forall(_.isNullAt(2)))
+  }
+
+  test("left_semi/left_anti against empty right = none/all") {
+    val l = Seq((1, "x"), (2, "y")).toDF("k", "lv")
+    val r = Seq.empty[(Int, String)].toDF("k", "rv")
+    assert(l.join(r, Seq("k"), "left_semi").count() == 0)
+    assert(l.join(r, Seq("k"), "left_anti").count() == 2)
+  }
+
+  test("groupBy over empty input yields no rows, not a zero row") {
+    val empty = Seq.empty[(Int, Double)].toDF("k", "v")
+    assert(empty.groupBy("k").agg(sum("v")).count() == 0)
+  }
+
+  test("minhash of an empty token set stays at the zero (identity) buffer") {
+    val agg = new graft.functions.MinHashAgg
+    assert(agg.finish(agg.zero).forall(_ == Long.MaxValue))
+    // merging identity with anything is a no-op
+    val buf = agg.reduce(agg.zero, 12345L)
+    assert(agg.merge(buf.clone(), agg.zero).toSeq == buf.toSeq)
+  }
+
+  test("sessionizer: open session held in state, gap closes and emits") {
+    import graft.streaming.Sessionize
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val state = TestGroupState.create[Sessionize.OpenSession](
+      org.apache.spark.api.java.Optional.empty[Sessionize.OpenSession](),
+      GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(0L), hasTimedOut = false)
+    // Two events 10 min apart, then one 2 h later: first session closes.
+    val out = Sessionize.apply(7L, Iterator(
+      Sessionize.Ev(7L, ts("2024-01-01 00:00:00"), 1L),
+      Sessionize.Ev(7L, ts("2024-01-01 00:10:00"), 2L),
+      Sessionize.Ev(7L, ts("2024-01-01 02:00:00"), 3L)), state).toSeq
+    assert(out.map(s => (s.n, s.s_start.take(19), s.s_end.take(19))) ==
+      Seq((2L, "2024-01-01 00:00:00", "2024-01-01 00:10:00")))
+    assert(state.exists && state.get.n == 1) // the 02:00 session stays open
+  }
+}
