@@ -269,5 +269,44 @@ object Aggregations extends QueryPack {
             sum("pn").cast("long").as("n"),
             sum("ps").cast("double").as("sum_v"))
           .orderBy("event_type")
+      }),
+
+    // Pearson correlation + sample covariance from closed-form decimal sums
+    // (never the engine's corr()/covar_samp() — their merge order is
+    // engine-defined; these moments are exact and order-free).
+    Q(
+      "agg_corr_covar",
+      Some("""WITH s AS (
+             |  SELECT l_returnflag AS flag, COUNT(*) AS n,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS syy,
+             |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+             |  FROM lineitem GROUP BY 1)
+             |SELECT flag, CAST(n AS BIGINT) AS n,
+             |  ROUND((sxy - sx * sy / n) / (n - 1), 4) AS covar,
+             |  ROUND((n * sxy - sx * sy)
+             |        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
+             |FROM s ORDER BY flag""".stripMargin),
+      (s, dir) => {
+        val x = col("l_quantity")
+        val y = col("l_extendedprice")
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag").as("flag"))
+          .agg(
+            cnt.as("n"),
+            dsum(x).as("sx"), dsum(y).as("sy"),
+            dsumWide(x * x).as("sxx"), dsumWide(y * y).as("syy"),
+            dsumWide(x * y).as("sxy"))
+          .select(
+            col("flag"), col("n"),
+            round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 4)
+              .as("covar"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+              .as("corr"))
+          .orderBy("flag")
       }))
 }

@@ -232,5 +232,62 @@ object MLOps extends QueryPack {
           (it, math.round(wcss * 10000) / 10000.0, counts.count(_ > 0))
         }
         s.createDataFrame(hist).toDF("iter", "wcss", "nonempty_clusters")
+      }),
+
+    // MLlib interop — MinHashLSH over hashed token sets: the platform's own
+    // implementation of the dedup_minhash_lsh pipeline (HashingTF sparse
+    // vectors -> signature -> approxSimilarityJoin). Seeded => repeatable,
+    // but signature internals are engine-specific => no SQL oracle.
+    Q(
+      "dedup_minhash_mllib",
+      None,
+      (s, dir) => {
+        import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, Tokenizer}
+        val docs = Tables(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .select("doc_id", "text")
+        val toks = new Tokenizer().setInputCol("text").setOutputCol("toks")
+          .transform(docs)
+        val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
+          .setBinary(true).setNumFeatures(1 << 18)
+          .transform(toks)
+        val model = new MinHashLSH().setInputCol("features")
+          .setOutputCol("sig").setNumHashTables(16).setSeed(42L)
+          .fit(tf)
+        model.approxSimilarityJoin(tf, tf, 0.5, "jaccard_dist")
+          .select(
+            col("datasetA.doc_id").as("da"),
+            col("datasetB.doc_id").as("db"),
+            round(col("jaccard_dist"), 6).as("jaccard_dist"))
+          .filter(col("da") < col("db"))
+          .orderBy(col("jaccard_dist"), col("da"), col("db"))
+          .limit(50)
+      }),
+
+    // MLlib interop — the platform KMeans (k-means|| init, seeded) over the
+    // same embeddings as ml_kmeans_iterations; cluster-size profile output.
+    Q(
+      "ml_kmeans_mllib",
+      None,
+      (s, dir) => {
+        import org.apache.spark.ml.feature.VectorAssembler
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.linalg.Vectors
+        val toVec = udf((a: Seq[Float]) =>
+          Vectors.dense(a.map(_.toDouble).toArray))
+        val data = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), toVec(col("embedding")).as("features"))
+        val model = new KMeans().setK(8).setMaxIter(3).setSeed(42L)
+          .setFeaturesCol("features")
+          .fit(data)
+        model.transform(data)
+          .groupBy(col("prediction"))
+          .agg(cnt.as("n"))
+          .select(col("n"))
+          .orderBy(col("n").desc)
+          .withColumn("size_rank",
+            row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col("n").desc)).cast("int"))
       }))
 }
