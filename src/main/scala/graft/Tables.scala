@@ -25,6 +25,12 @@ object Tables {
 
   private val cache = TrieMap.empty[(Int, String, String), DataFrame]
 
+  /** Diagnostic switch (graft.Plans): bypass the in-memory cache so plan
+    * dumps show the real parquet scans (PushedFilters / ReadSchema) instead
+    * of InMemoryTableScan.
+    */
+  @volatile var noCache: Boolean = false
+
   /** Cached DataFrame for one table of one scale-factor directory.
     *
     * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
@@ -34,18 +40,20 @@ object Tables {
     * every sf), so `timestamp_micros(ts div 1000)` is lossless and matches
     * DuckDB's native nanos read bit-for-bit.
     */
+  private def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      raw.withColumn(
+        "ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else raw
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cache.getOrElseUpdate(
-      (System.identityHashCode(spark), sfDir, name), {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-        val df =
-          if (name == "events")
-            raw.withColumn(
-              "ts",
-              org.apache.spark.sql.functions.timestamp_micros(
-                org.apache.spark.sql.functions.expr("ts div 1000")))
-          else raw
-        df.cache()
-      })
+    if (noCache) load(spark, sfDir, name)
+    else cache.getOrElseUpdate(
+      (System.identityHashCode(spark), sfDir, name),
+      load(spark, sfDir, name).cache())
 }
