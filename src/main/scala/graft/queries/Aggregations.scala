@@ -271,6 +271,52 @@ object Aggregations extends QueryPack {
           .orderBy("event_type")
       }),
 
+    // Full CUBE lattice with GROUPING flags (extends the rollup query to
+    // all 4 grouping sets). Null grouping keys only occur where the flag=1,
+    // so sorting by flags first keeps NULL ordering differences between
+    // engines unreachable.
+    Q(
+      "agg_cube_grouping_sets",
+      Some("""SELECT o_orderpriority, o_orderstatus,
+             |  CAST(GROUPING(o_orderpriority) AS INT) AS g1,
+             |  CAST(GROUPING(o_orderstatus) AS INT) AS g2,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s
+             |FROM orders
+             |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+             |ORDER BY g1, g2, o_orderpriority, o_orderstatus""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .cube("o_orderpriority", "o_orderstatus")
+          .agg(
+            grouping(col("o_orderpriority")).cast("int").as("g1"),
+            grouping(col("o_orderstatus")).cast("int").as("g2"),
+            cnt.as("n"), dsum(col("o_totalprice")).as("s"))
+          .select("o_orderpriority", "o_orderstatus", "g1", "g2", "n", "s")
+          .orderBy("g1", "g2", "o_orderpriority", "o_orderstatus")),
+
+    // Unpivot (melt) wide measures to long (metric, value) rows — the
+    // reshape dual of the pivot query; stack() stays whole-stage-codegen.
+    Q(
+      "agg_unpivot_stack",
+      Some("""WITH long AS (
+             |  SELECT 'quantity' AS metric, l_quantity AS v FROM lineitem
+             |  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+             |  UNION ALL SELECT 'discount', l_discount FROM lineitem)
+             |SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+             |  ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 4) AS s
+             |FROM long GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .select(expr(
+            """stack(3,
+              |  'quantity', l_quantity,
+              |  'extendedprice', l_extendedprice,
+              |  'discount', l_discount) AS (metric, v)""".stripMargin))
+          .groupBy("metric")
+          .agg(cnt.as("n"), round(dsum(col("v")), 4).as("s"))
+          .orderBy("metric")),
+
     // Pearson correlation + sample covariance from closed-form decimal sums
     // (never the engine's corr()/covar_samp() — their merge order is
     // engine-defined; these moments are exact and order-free).

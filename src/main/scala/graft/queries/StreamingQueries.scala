@@ -230,6 +230,38 @@ object StreamingQueries extends QueryPack {
         s.table(sink).orderBy("user_id", "s_start")
       }),
 
+    // foreachBatch sink: the production escape hatch for sinks Structured
+    // Streaming lacks natively (upserts, JDBC, multi-table writes). Complete
+    // mode + overwrite per micro-batch => the final batch holds the full
+    // aggregate, so the read-back equals the batch twin and shares its
+    // oracle shape.
+    Q(
+      "stream_foreachbatch_sink",
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_feb_sink"
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_feb_ckpt").toString
+        val q = eventsStream(s, dir)
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(cnt.as("n"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+            col("n"))
+          .writeStream
+          .outputMode("complete")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(out)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out).orderBy("ws")
+      }),
+
     // True Structured Streaming run: AvailableNow over the events parquet,
     // 1-day watermark, append-mode windowed counts into a memory sink. Append
     // mode only emits windows the watermark has passed — the late-data policy
