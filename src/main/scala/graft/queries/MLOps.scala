@@ -142,22 +142,35 @@ object MLOps extends QueryPack {
       "ml_train_gd_iterations",
       None,
       (s, dir) => {
-        val li = Tables(s, dir, "lineitem")
+        // Sufficient statistics: for a quadratic loss the gradient and SSE
+        // are closed-form in (n, Sx, Sy, Sxx, Sxy, Syy) — ONE distributed
+        // pass gathers exact decimal moments, then every GD iteration is
+        // pure driver arithmetic. At 100 TB this is the difference between
+        // one scan and one scan per epoch.
+        val m = Tables(s, dir, "lineitem")
           .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
-        val n = li.count().toDouble
+          .agg(
+            cnt.as("n"),
+            dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+            dsumWide(col("x") * col("x")).as("sxx"),
+            dsumWide(col("x") * col("y")).as("sxy"),
+            dsumWide(col("y") * col("y")).as("syy"))
+          .head()
+        val n = m.getLong(0).toDouble
+        val (sx, sy, sxx, sxy, syy) =
+          (m.getDouble(1), m.getDouble(2), m.getDouble(3), m.getDouble(4), m.getDouble(5))
         var w = 0.0
         var b = 0.0
         val lr = 0.001
         val hist = (1 to 3).map { it =>
-          val g = li.agg(
-            dsumWide((lit(w) * col("x") + lit(b) - col("y")) * col("x")).as("gw"),
-            dsumWide(lit(w) * col("x") + lit(b) - col("y")).as("gb"),
-            dsumWide((lit(w) * col("x") + lit(b) - col("y")) *
-              (lit(w) * col("x") + lit(b) - col("y"))).as("sse"))
-            .head()
-          val mse = g.getDouble(2) / n
-          w -= lr * 2.0 * g.getDouble(0) / n
-          b -= lr * 2.0 * g.getDouble(1) / n
+          // gw = sum((w x + b - y) x); gb = sum(w x + b - y); sse likewise.
+          val gw = w * sxx + b * sx - sxy
+          val gb = w * sx + n * b - sy
+          val sse = w * w * sxx + 2 * w * b * sx - 2 * w * sxy +
+            n * b * b - 2 * b * sy + syy
+          val mse = sse / n
+          w -= lr * 2.0 * gw / n
+          b -= lr * 2.0 * gb / n
           (it, w, b, mse)
         }
         s.createDataFrame(hist).toDF("iter", "w", "b", "mse")
@@ -200,34 +213,37 @@ object MLOps extends QueryPack {
           val withCluster = assigned
             .select(col("vec_id"), col("embedding"), clusterCol.as("best"))
             .select(col("vec_id"), col("embedding"), col("best.c").as("cluster"))
-            .cache()
-          // New centroids: per-(cluster, dim) mean via posexplode — one
-          // shuffle of k*dim partial sums.
-          val sums = withCluster
-            .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
-            .groupBy("cluster", "pos")
-            .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+          // ONE job per iteration: per-cluster count, per-dim sums (new
+          // centroid numerators) and sum|x|^2 — WCSS for the old centroids
+          // follows in closed form: sum|x|^2 - 2 c.Sx + n|c|^2 per cluster.
+          val aggCols =
+            count(lit(1)).as("cnt") +:
+              sum(cf("graft_dot", col("embedding"), col("embedding"))).as("sxx") +:
+              (0 until dim).map(j =>
+                sum(element_at(col("embedding"), j + 1).cast("double")).as(s"s$j"))
+          val rows = withCluster.groupBy("cluster")
+            .agg(aggCols.head, aggCols.tail: _*)
             .collect()
           val next = Array.fill(k, dim)(0.0f)
           val counts = Array.fill(k)(0L)
-          sums.foreach { r =>
+          var wcss = 0.0
+          rows.foreach { r =>
             val c = r.getInt(0)
-            next(c)(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat
-            counts(c) = r.getLong(3)
+            val nC = r.getLong(1)
+            counts(c) = nC
+            val sxx = r.getDouble(2)
+            var dotCS = 0.0
+            var cc = 0.0
+            for (j <- 0 until dim) {
+              val sj = r.getDouble(3 + j)
+              next(c)(j) = (sj / nC).toFloat
+              dotCS += centroids(c)(j).toDouble * sj
+              cc += centroids(c)(j).toDouble * centroids(c)(j).toDouble
+            }
+            wcss += sxx - 2 * dotCS + nC * cc
           }
           // Keep empty clusters' previous centroid.
           for (c <- 0 until k if counts(c) == 0) next(c) = centroids(c)
-          val wcss = withCluster.select(
-            dsumWide(
-              cf("graft_dot", col("embedding"), col("embedding")) +
-                cLits.zipWithIndex.map { case (cl, i) =>
-                  when(col("cluster") === i,
-                    cf("graft_dot", cl, cl) -
-                      lit(2.0) * cf("graft_dot", col("embedding"), cl))
-                    .otherwise(lit(0.0))
-                }.reduce(_ + _)).as("wcss"))
-            .head().getDouble(0)
-          withCluster.unpersist()
           centroids = next
           (it, math.round(wcss * 10000) / 10000.0, counts.count(_ > 0))
         }
