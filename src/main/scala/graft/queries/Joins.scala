@@ -141,6 +141,42 @@ object Joins extends QueryPack {
           .orderBy("event_id")
       }),
 
+    // Bucketed co-located join: both sides pre-bucketed on the join key into
+    // external tables, so the SortMergeJoin needs NO exchange (the plan-shape
+    // test asserts it). This is the 100 TB big-big join strategy: pay the
+    // shuffle once at layout time, every subsequent join is shuffle-free.
+    // hint("merge") keeps the small sf sides from being broadcast so the
+    // bucketed path is actually exercised.
+    Q(
+      "join_bucketed_colocated",
+      Some("""SELECT o_orderpriority,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS rev
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val tmp = System.getProperty("java.io.tmpdir")
+        def bucketed(src: String, cols: Seq[String], key: String, table: String): Unit =
+          if (!s.catalog.tableExists(table) ||
+              s.table(table).schema.fieldNames.isEmpty) {
+            s.sql(s"DROP TABLE IF EXISTS $table")
+            Tables(s, dir, src).select(cols.map(col): _*)
+              .write.mode("overwrite")
+              .bucketBy(8, key).sortBy(key)
+              .option("path", s"$tmp/graft_bucket_$table")
+              .format("parquet")
+              .saveAsTable(table)
+          }
+        bucketed("lineitem",
+          Seq("l_orderkey", "l_extendedprice", "l_discount"), "l_orderkey", "graft_li_b")
+        bucketed("orders", Seq("o_orderkey", "o_orderpriority"), "o_orderkey", "graft_o_b")
+        s.table("graft_li_b").hint("merge")
+          .join(s.table("graft_o_b"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(cnt.as("n"), revenue.as("rev"))
+          .orderBy("o_orderpriority")
+      }),
+
     // Interval-overlap join: lineitems shipped within 90 days of their
     // order's date (equi key + range predicate: no cross product at scale).
     Q(

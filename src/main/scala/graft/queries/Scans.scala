@@ -94,6 +94,30 @@ object Scans extends QueryPack {
           .orderBy("lang")
       }),
 
+    // Partitioned layout + partition pruning: write orders laid out by
+    // year (the 100 TB practice — time-partitioned facts), read back with a
+    // partition filter. The plan shows PartitionFilters pruning the scan to
+    // one directory; at scale this is the difference between scanning one
+    // year and scanning the decade.
+    Q(
+      "sink_partitioned_pruning",
+      Some("""SELECT CAST(month(o_orderdate) AS INT) AS m,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s
+             |FROM orders WHERE year(o_orderdate) = 1995
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders"
+        Tables(s, dir, "orders")
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("o_year") === 1995)
+          .groupBy(month(col("o_orderdate")).cast("int").as("m"))
+          .agg(cnt.as("n"), dsum(col("o_totalprice")).as("s"))
+          .orderBy("m")
+      }),
+
     // Append-style metrics sink shape: (name, bucket, value) rows, the batch
     // twin of the TensorBoard scalar stream.
     Q(

@@ -43,6 +43,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("bucketed co-located join has no exchange above the sort-merge join") {
+    val df = Registry.byId("join_bucketed_colocated").run(spark, sf)
+    df.collect()
+    // Keep only AQE's final plan (toString appends the initial plan too).
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==").head
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("Bucketed: true"), p)
+    // The join inputs are bucketed on the key: no shuffle below the join.
+    val below = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!below.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("partitioned sink read prunes partitions") {
+    val df = Registry.byId("sink_partitioned_pruning").run(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("o_year"), p)
+  }
+
   test("flagship whole-stage codegen covers the aggregation") {
     // AQE only shows the final (codegen'd) plan after execution.
     val df = Registry.byId("join_star_multiway").run(spark, sf)
