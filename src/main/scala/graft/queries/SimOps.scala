@@ -225,6 +225,77 @@ object SimOps extends QueryPack {
           .orderBy("doc_id")
       }),
 
+    // ANN via IVF (inverted-file index): coarse quantizer = 8 fixed
+    // centroids (vectors 0..7 — deterministic, so oracle-checkable); every
+    // vector is assigned to its nearest centroid (the inverted list), each
+    // query probes its 2 nearest lists and exact-scores only those
+    // candidates. At 100 TB the list id is the partition key — the classic
+    // cluster-prune alternative to LSH bucketing.
+    Q(
+      "sim_ann_ivf_topk", {
+        val dotQC =
+          """list_sum(list_transform(list_zip(e.embedding, c.embedding),
+            |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))""".stripMargin
+        Some(s"""WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
+                |dists AS (
+                |  SELECT e.vec_id, c.cid,
+                |    list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+                |      - 2 * $dotQC AS dist
+                |  FROM embeddings e, cents c),
+                |assigned AS (
+                |  SELECT vec_id, cid FROM (
+                |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                |    FROM dists) WHERE rn = 1),
+                |probes AS (
+                |  SELECT vec_id, cid FROM (
+                |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                |    FROM dists WHERE vec_id < 20) WHERE rn <= 2),
+                |cand AS (
+                |  SELECT DISTINCT p.vec_id AS qa, a.vec_id AS qb
+                |  FROM probes p JOIN assigned a ON p.cid = a.cid AND p.vec_id <> a.vec_id),
+                |sc AS (
+                |  SELECT cand.qa, cand.qb,
+                |    ROUND(list_sum(list_transform(list_zip(x.embedding, y.embedding),
+                |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                |      / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                |       * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS cos
+                |  FROM cand JOIN embeddings x ON cand.qa = x.vec_id
+                |            JOIN embeddings y ON cand.qb = y.vec_id),
+                |r AS (SELECT *, row_number() OVER (PARTITION BY qa ORDER BY cos DESC, qb) AS rn FROM sc)
+                |SELECT qa, qb, cos, CAST(rn AS INT) AS rn
+                |FROM r WHERE rn <= 3 ORDER BY qa, rn""".stripMargin)
+      },
+      (s, dir) => {
+        native(s)
+        val e = Tables(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        // |x - c|^2 - |x|^2 = |c|^2 - 2 x.c  (the |x|^2 term is rank-free)
+        val dists = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            (ndot(col("ce"), col("ce")) - lit(2.0) * ndot(col("embedding"), col("ce")))
+              .as("dist"))
+        val wd = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+        val ranked = dists.withColumn("rn", row_number().over(wd))
+        val assigned = ranked.filter(col("rn") === 1)
+          .select(col("vec_id").as("qb"), col("cid"))
+        val probes = ranked.filter(col("vec_id") < 20 && col("rn") <= 2)
+          .select(col("vec_id").as("qa"), col("cid"))
+        val cand = probes.join(assigned, "cid")
+          .filter(col("qa") =!= col("qb"))
+          .select("qa", "qb").distinct()
+        val ws = Window.partitionBy("qa").orderBy(col("cos").desc, col("qb"))
+        cand
+          .join(e.select(col("vec_id").as("qa"), col("embedding").as("ea")), "qa")
+          .join(e.select(col("vec_id").as("qb"), col("embedding").as("eb2")), "qb")
+          .select(col("qa"), col("qb"),
+            round(ndot(col("ea"), col("eb2")) / (nnorm(col("ea")) * nnorm(col("eb2"))), 6)
+              .as("cos"))
+          .withColumn("rn", row_number().over(ws).cast("int"))
+          .filter(col("rn") <= 3)
+          .orderBy("qa", "rn")
+      }),
+
     // The same stub decode through the typed per-partition batch path
     // (Dataset.mapPartitions — the JVM analog of mapInPandas): one decoder
     // instance per partition processes an iterator of blob records, exactly

@@ -113,6 +113,31 @@ object TextAnalysis extends QueryPack {
           .orderBy("lang")
       }),
 
+    // Polynomial rolling hash over the character stream (Rabin-Karp shape:
+    // acc = acc*31 + c mod 2^31-1, left-to-right fold) — the
+    // order-sensitive fingerprint complementing the order-free token-set
+    // fingerprint below. Same fold both engines (Spark `aggregate`, DuckDB
+    // `list_reduce` with a prepended init).
+    Q(
+      "text_rolling_hash",
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(7::BIGINT,
+             |      list_transform(split(lower(text), ''), c -> ascii(c)::BIGINT)),
+             |    (acc, x) -> (acc * 31 + x) % 2147483647) AS rhash
+             |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val chars = split(lower(col("text")), "")
+        val rhash = aggregate(
+          transform(chars, c => ascii(c).cast("long")),
+          lit(7L),
+          (acc, x) => (acc * 31 + x) % 2147483647L)
+        Tables(s, dir, "documents")
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"), rhash.as("rhash"))
+          .orderBy("doc_id")
+      }),
+
     // Document fingerprint (OpenRefine-style key collision): md5 of the
     // sorted distinct token set — clusters docs that are permutations /
     // repetitions of the same vocabulary. Only the 16-byte key shuffles.
