@@ -4,6 +4,7 @@ import graft.{Q, QueryPack, Tables}
 import graft.Fns._
 import graft.functions.{MinHash, MinHashParams}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.K — near-duplicate detection for LLM-corpus curation:
@@ -178,6 +179,56 @@ object DedupOps extends QueryPack {
           .select(col("da"), col("db"), round(jac, 6).as("jaccard"))
           .orderBy(round(jac, 6).desc, col("da"), col("db"))
           .limit(20)
+      }),
+
+    // End-to-end curation: cluster by content fingerprint, KEEP the
+    // highest-quality doc per cluster (quality = the text_quality_score
+    // formula), drop the rest — the actual corpus-dedup step a training
+    // pipeline runs, composing fingerprinting + quality scoring + windowed
+    // argmax. Only the 16-byte fingerprint and the scalar score shuffle.
+    Q(
+      "dedup_pipeline_keep_best",
+      Some("""WITH scored AS (
+             |  SELECT doc_id, lang,
+             |    md5(array_to_string(list_sort(list_distinct(
+             |      string_split(lower(text), ' '))), ' ')) AS fp,
+             |    0.3 * least(1.0, len(string_split(text, ' ')) / 100.0)
+             |      + 0.4 * (len(list_filter(string_split(text, ' '),
+             |                 t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')))
+             |               / len(string_split(text, ' ')))
+             |      + 0.3 * (1 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+             |               / length(text)) AS quality
+             |  FROM documents),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY fp
+             |                               ORDER BY quality DESC, doc_id) AS rn
+             |  FROM scored)
+             |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+             |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val nTok = size(toks).cast("long")
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+        val quality =
+          lit(0.3) * least(lit(1.0), nTok / 100.0) +
+            lit(0.4) * (size(filter(toks, t => t.isInCollection(stops))).cast("long") / nTok) +
+            lit(0.3) * (lit(1) -
+              length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")) /
+                length(col("text")))
+        val fp = md5(array_join(array_sort(array_distinct(
+          split(lower(col("text")), " "))), " "))
+        val w = Window.partitionBy("fp").orderBy(col("quality").desc, col("doc_id"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), fp.as("fp"), quality.as("quality"))
+          .withColumn("rn", row_number().over(w))
+          .groupBy("lang")
+          .agg(
+            cnt.as("n_docs"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("long").as("n_kept"),
+            sum(when(col("rn") > 1, 1L).otherwise(0L)).cast("long").as("n_removed"))
+          .orderBy("lang")
       }),
 
     // Typed-Aggregator variant (SURVEY.md §4.3 custom piece): same signature
