@@ -103,6 +103,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifierHelper("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectOptimizerRule(_ => graft.plans.RewritePowAsMultiply)
   }
 }
 
