@@ -34,6 +34,31 @@ object Scalars extends QueryPack {
           .orderBy("o_orderkey")
       }),
 
+    // Bitwise function family (hash/sketch building blocks; DuckDB: xor()
+    // function, Spark: ^ operator — same 2's-complement semantics).
+    Q(
+      "scalar_bitwise_funcs",
+      Some("""SELECT event_id,
+             |  event_id & 255 AS b_and,
+             |  event_id | 4096 AS b_or,
+             |  xor(event_id, 21845) AS b_xor,
+             |  event_id << 3 AS b_shl,
+             |  event_id >> 2 AS b_shr,
+             |  CAST(bit_count(event_id) AS INT) AS b_pop
+             |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .filter(col("event_id") < 500)
+          .select(
+            col("event_id"),
+            col("event_id").bitwiseAND(lit(255L)).as("b_and"),
+            col("event_id").bitwiseOR(lit(4096L)).as("b_or"),
+            col("event_id").bitwiseXOR(lit(21845L)).as("b_xor"),
+            expr("event_id << 3").as("b_shl"),
+            expr("event_id >> 2").as("b_shr"),
+            bit_count(col("event_id")).cast("int").as("b_pop"))
+          .orderBy("event_id")),
+
     Q(
       "scalar_string_funcs",
       Some("""SELECT doc_id, substr(text, 1, 20) AS prefix,

@@ -160,6 +160,26 @@ object Windows extends QueryPack {
           .orderBy("bucket")
       }),
 
+    // Relative-position windows: percent_rank (SQL-standard (rank-1)/(n-1))
+    // and cume_dist, both partition-local (shuffle once on the nation key).
+    Q(
+      "window_percent_cume",
+      Some("""SELECT s_nationkey, s_suppkey,
+             |  ROUND(percent_rank() OVER (PARTITION BY s_nationkey
+             |                             ORDER BY s_acctbal, s_suppkey), 6) AS pr,
+             |  ROUND(cume_dist() OVER (PARTITION BY s_nationkey
+             |                          ORDER BY s_acctbal, s_suppkey), 6) AS cd
+             |FROM supplier ORDER BY s_nationkey, s_suppkey""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+        Tables(s, dir, "supplier")
+          .select(
+            col("s_nationkey"), col("s_suppkey"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("s_nationkey", "s_suppkey")
+      }),
+
     Q(
       "window_rank_dense_rank",
       Some("""SELECT n_name, s_suppkey, s_acctbal,
