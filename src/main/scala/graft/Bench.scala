@@ -15,7 +15,10 @@ object Bench {
     Tables.names.foreach(t => Tables(spark, sfDir, t).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      // noop sink, not count(): count() lets Catalyst prune every computed
+      // column, so map-only queries would be timed as bare scans. The noop
+      // sink fully evaluates each output row and discards it.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
       }

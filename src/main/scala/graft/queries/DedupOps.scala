@@ -105,6 +105,13 @@ object DedupOps extends QueryPack {
     // 32-bit SimHash: per-doc signed bit-vote over token hashes; near-dups =
     // pairs within Hamming distance (bit_count of xor). One word per doc
     // crosses the shuffle — the cheapest near-dup sketch at corpus scale.
+    // Pairing is pigeonhole-banded, NOT all-pairs: the 32-bit signature
+    // splits into 4 disjoint 8-bit bands; any pair within Hamming <= 3 has
+    // at most 3 corrupted bands, so it MUST agree exactly on >= 1 band.
+    // Candidates come from an equi-join on (band_idx, band_value) — the band
+    // value is the shuffle/partition key at 100 TB and no doc x doc product
+    // ever forms (no-BNLJ plan-asserted in PlanShapeSpec). Result = top-50
+    // nearest candidate pairs by exact Hamming recheck.
     Q(
       "dedup_simhash", {
         val bits = (0 until 32)
@@ -116,11 +123,18 @@ object DedupOps extends QueryPack {
                 |t AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS tok FROM d),
                 |h AS (SELECT doc_id, $duckTokHash AS hm FROM t),
                 |b AS (SELECT doc_id, $bits FROM h GROUP BY doc_id),
-                |s AS (SELECT doc_id, CAST($sh AS BIGINT) AS simhash FROM b)
-                |SELECT x.doc_id AS da, y.doc_id AS db,
-                |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
-                |FROM s x JOIN s y ON x.doc_id < y.doc_id
-                |ORDER BY hamming, da, db LIMIT 50""".stripMargin)
+                |s AS (SELECT doc_id, CAST($sh AS BIGINT) AS simhash FROM b),
+                |bands AS (SELECT doc_id, simhash, CAST(i AS INT) AS band,
+                |            (simhash >> CAST(8*i AS INT)) & 255 AS bv
+                |          FROM s, unnest(range(0, 4)) AS r(i)),
+                |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+                |           x.simhash AS ha, y.simhash AS hb
+                |         FROM bands x JOIN bands y
+                |           ON x.band = y.band AND x.bv = y.bv
+                |          AND x.doc_id < y.doc_id)
+                |SELECT da, db,
+                |  CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+                |FROM cand ORDER BY hamming, da, db LIMIT 50""".stripMargin)
       },
       (s, dir) => {
         val h = tokens(s, dir, 200)
@@ -132,9 +146,20 @@ object DedupOps extends QueryPack {
           .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _)
         val sdf = b.select(col("doc_id"), simhash.cast("long").as("simhash"))
-        sdf.select(col("doc_id").as("da"), col("simhash").as("ha"))
-          .join(sdf.select(col("doc_id").as("db"), col("simhash").as("hb")),
-            col("da") < col("db"))
+        val bandArr = array((0 until 4).map(i =>
+          struct(lit(i).as("band"),
+            shiftright(col("simhash"), 8 * i).bitwiseAND(lit(255L)).as("bv"))): _*)
+        val bands = sdf
+          .select(col("doc_id"), col("simhash"), explode(bandArr).as("bb"))
+          .select(col("doc_id"), col("simhash"),
+            col("bb.band").as("band"), col("bb.bv").as("bv"))
+        bands.as("x")
+          .join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+            col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+          .distinct()
           .select(col("da"), col("db"),
             bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
           .orderBy(col("hamming"), col("da"), col("db"))

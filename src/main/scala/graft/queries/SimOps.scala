@@ -343,12 +343,14 @@ object SimOps extends QueryPack {
              |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2
              |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
              |ORDER BY d.doc_id""".stripMargin),
-      (s, dir) =>
+      (s, dir) => {
+        native(s) // register graft_dot — must not rely on session ordering
         Tables(s, dir, "documents")
           .join(Tables(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
           .select(
             col("doc_id"), col("n_chars"),
             size(split(col("text"), " ")).cast("int").as("n_tokens"),
             round(nnorm(col("embedding")), 4).as("l2"))
-          .orderBy("doc_id")))
+          .orderBy("doc_id")
+      }))
 }

@@ -43,6 +43,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("simhash pairing is band-bucketed equi join, not an all-pairs product") {
+    val p = plan("dedup_simhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bucketed co-located join has no exchange above the sort-merge join") {
     val df = Registry.byId("join_bucketed_colocated").run(spark, sf)
     df.collect()
