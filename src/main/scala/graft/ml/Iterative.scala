@@ -1,0 +1,194 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Fns._
+
+/** Resumable iterative training loops (SURVEY.md §2.J).
+  *
+  * Reference analog: the training loop of `trainer/flax_model.py:229-260`
+  * with its per-epoch checkpoint/restore (`:377-382`,
+  * `flax_inference.ipynb` cell 3). Both loops here are factored as pure
+  * `state -> state` step functions over driver-held model state, so a run
+  * is `init |> step |> step |> ...` and resuming from a [[ModelCheckpoint]]
+  * is the same fold started from a restored state — bit-for-bit equal to
+  * the uninterrupted run (CheckpointSpec).
+  *
+  * Scale design: model state is O(1) / O(k·dim); the data never leaves the
+  * cluster. GD touches the data ONCE (sufficient statistics), k-means once
+  * per iteration (one scan + one (cluster,dim) aggregate). All distributed
+  * sums go through exact DECIMAL so shuffle merge order cannot perturb the
+  * state — that is what makes "bit-for-bit resume" a meaningful contract on
+  * a 1000-executor cluster, not just on local[4].
+  */
+object GradientDescent {
+
+  /** Exact sufficient statistics of (x, y) for quadratic loss — gradient
+    * and SSE are closed-form in these, so every GD iteration after the one
+    * gathering pass is pure driver arithmetic.
+    */
+  final case class Moments(
+      n: Double, sx: Double, sy: Double,
+      sxx: Double, sxy: Double, syy: Double)
+
+  final case class State(step: Int, w: Double, b: Double)
+
+  /** ONE distributed pass over a DataFrame with columns (x, y). */
+  def moments(xy: DataFrame): Moments = {
+    val m = xy.agg(
+      cnt.as("n"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsumWide(col("x") * col("x")).as("sxx"),
+      dsumWide(col("x") * col("y")).as("sxy"),
+      dsumWide(col("y") * col("y")).as("syy"))
+      .head()
+    Moments(m.getLong(0).toDouble, m.getDouble(1), m.getDouble(2),
+      m.getDouble(3), m.getDouble(4), m.getDouble(5))
+  }
+
+  /** One GD step: returns the next state and the MSE of the *incoming*
+    * state (the loss the step observed, as the reference logs it).
+    */
+  def step(m: Moments, st: State, lr: Double): (State, Double) = {
+    import m._
+    // gw = sum((w x + b - y) x); gb = sum(w x + b - y); sse likewise.
+    val gw = st.w * sxx + st.b * sx - sxy
+    val gb = st.w * sx + n * st.b - sy
+    val sse = st.w * st.w * sxx + 2 * st.w * st.b * sx - 2 * st.w * sxy +
+      n * st.b * st.b - 2 * st.b * sy + syy
+    val mse = sse / n
+    (State(st.step + 1, st.w - lr * 2.0 * gw / n, st.b - lr * 2.0 * gb / n), mse)
+  }
+
+  /** Fold [[step]] `nSteps` times from `init`, optionally checkpointing
+    * each step's state. History rows: (step, w, b, mse-before-update).
+    */
+  def run(m: Moments, init: State, nSteps: Int, lr: Double,
+      ckpt: Option[ModelCheckpoint] = None)
+      : (State, Seq[(Int, Double, Double, Double)]) = {
+    var st = init
+    val hist = (1 to nSteps).map { _ =>
+      val (next, mse) = step(m, st, lr)
+      st = next
+      ckpt.foreach(c => c.save(st.step, toDf(c.spark, st)))
+      (st.step, st.w, st.b, mse)
+    }
+    (st, hist)
+  }
+
+  def toDf(spark: SparkSession, st: State): DataFrame =
+    spark.createDataFrame(Seq((st.step, st.w, st.b))).toDF("step", "w", "b")
+
+  def fromDf(df: DataFrame): State = {
+    val r = df.head()
+    State(r.getInt(0), r.getDouble(1), r.getDouble(2))
+  }
+}
+
+/** Lloyd's k-means with driver-held centroids entering each iteration as
+  * broadcast literals; one scan + one (cluster, dim) exact-decimal
+  * aggregate per iteration. Assignment distance uses the native
+  * `graft_dot` codegen expression.
+  */
+object KMeansLloyd {
+
+  type Centroids = Array[Array[Float]]
+
+  val K = 8
+  val Dim = 64
+
+  /** Deterministic init: vectors 0..k-1. */
+  def init(e: DataFrame, k: Int = K): Centroids = {
+    graft.functions.Native.register(e.sparkSession)
+    e.filter(col("vec_id") < k).orderBy("vec_id")
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+  }
+
+  /** One Lloyd iteration: returns (new centroids, WCSS of the incoming
+    * centroids, number of non-empty clusters). All distributed sums are
+    * exact DECIMAL → merge-order-independent state.
+    */
+  def step(e: DataFrame, centroids: Centroids): (Centroids, Double, Int) = {
+    graft.functions.Native.register(e.sparkSession)
+    import org.apache.spark.sql.functions.{call_function => cf}
+    val k = centroids.length
+    val dim = centroids.head.length
+    val cLits = centroids.map(c => array(c.map(lit): _*))
+    // |x - c|^2 = x.x - 2 x.c + c.c ; x.x constant per row, omit.
+    val dists = cLits.zipWithIndex.map { case (c, i) =>
+      (cf("graft_dot", c, c) - lit(2.0) * cf("graft_dot", col("embedding"), c))
+        .as(s"d$i")
+    }
+    val assigned = e.select((col("vec_id") +: col("embedding") +: dists): _*)
+    val clusterCol = (1 until k).foldLeft(
+      struct(col("d0").as("d"), lit(0).as("c"))) { (best, i) =>
+      when(col(s"d$i") < best("d"),
+        struct(col(s"d$i").as("d"), lit(i).as("c"))).otherwise(best)
+    }
+    val withCluster = assigned
+      .select(col("vec_id"), col("embedding"), clusterCol.as("best"))
+      .select(col("vec_id"), col("embedding"), col("best.c").as("cluster"))
+    // ONE job per iteration: per-cluster count, per-dim sums (new centroid
+    // numerators) and sum|x|^2 — WCSS for the old centroids follows in
+    // closed form: sum|x|^2 - 2 c.Sx + n|c|^2 per cluster.
+    val aggCols =
+      count(lit(1)).as("cnt") +:
+        sum(cf("graft_dot", col("embedding"), col("embedding"))
+          .cast(DecimalType(30, 10))).cast("double").as("sxx") +:
+        (0 until dim).map(j =>
+          sum(element_at(col("embedding"), j + 1)
+            .cast(DecimalType(30, 10))).cast("double").as(s"s$j"))
+    val rows = withCluster.groupBy("cluster")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+      .sortBy(_.getInt(0)) // fixed fold order => deterministic WCSS sum
+    val next = Array.fill(k, dim)(0.0f)
+    val counts = Array.fill(k)(0L)
+    var wcss = 0.0
+    rows.foreach { r =>
+      val c = r.getInt(0)
+      val nC = r.getLong(1)
+      counts(c) = nC
+      val sxx = r.getDouble(2)
+      var dotCS = 0.0
+      var cc = 0.0
+      for (j <- 0 until dim) {
+        val sj = r.getDouble(3 + j)
+        next(c)(j) = (sj / nC).toFloat
+        dotCS += centroids(c)(j).toDouble * sj
+        cc += centroids(c)(j).toDouble * centroids(c)(j).toDouble
+      }
+      wcss += sxx - 2 * dotCS + nC * cc
+    }
+    // Keep empty clusters' previous centroid.
+    for (c <- 0 until k if counts(c) == 0) next(c) = centroids(c)
+    (next, wcss, counts.count(_ > 0))
+  }
+
+  /** Fold [[step]] with optional per-iteration checkpointing. History
+    * rows: (step, wcss-of-incoming-centroids, nonempty clusters).
+    */
+  def run(e: DataFrame, init: Centroids, fromStep: Int, nSteps: Int,
+      ckpt: Option[ModelCheckpoint] = None)
+      : (Centroids, Seq[(Int, Double, Int)]) = {
+    var cs = init
+    val hist = (fromStep + 1 to fromStep + nSteps).map { it =>
+      val (next, wcss, nonempty) = step(e, cs)
+      cs = next
+      ckpt.foreach(c => c.save(it, toDf(c.spark, it, cs)))
+      (it, wcss, nonempty)
+    }
+    (cs, hist)
+  }
+
+  def toDf(spark: SparkSession, step: Int, cs: Centroids): DataFrame =
+    spark.createDataFrame(
+      cs.zipWithIndex.toSeq.map { case (c, i) => (i, step, c.toSeq) })
+      .toDF("cluster", "step", "centroid")
+
+  def fromDf(df: DataFrame): Centroids =
+    df.orderBy("cluster").collect().map(_.getSeq[Float](2).toArray)
+}

@@ -81,6 +81,59 @@ object Cleaning extends QueryPack {
           .orderBy("event_id")
       }),
 
+    // The reference's actual cleaning pipeline composed end-to-end
+    // (trainer/flax_model.py:79-95): values outside the valid range are
+    // replaced by their smoothed 3x3-neighborhood mean (the relational
+    // gaussian_filter analog — smoothing reads ALL cells, invalid included,
+    // exactly like the reference), then the whole surface is clipped to the
+    // range. Grid = (user, day) over events, valid range = [10, 180]
+    // (analog of the [200, 330] K LST band). The offset table broadcasts;
+    // the grid shuffles once on its key; neighbor sums are exact DECIMAL so
+    // merge order cannot perturb the imputed values at any scale.
+    Q(
+      "clean_impute_neighborhood_clip",
+      Some("""WITH grid AS (
+             |  SELECT user_id AS u,
+             |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS d,
+             |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS v
+             |  FROM events GROUP BY 1, 2),
+             |offs AS (SELECT a.dy, b.dx
+             |         FROM (VALUES (-1), (0), (1)) a(dy), (VALUES (-1), (0), (1)) b(dx)),
+             |sm AS (
+             |  SELECT g.u, g.d, g.v,
+             |    CAST(SUM(CAST(n.v AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS smoothed
+             |  FROM grid g JOIN offs o ON TRUE
+             |  JOIN grid n ON n.u = g.u + o.dy AND n.d = g.d + o.dx
+             |  GROUP BY 1, 2, 3)
+             |SELECT u, d,
+             |  ROUND(greatest(10.0, least(180.0,
+             |    CASE WHEN v < 10 OR v > 180 THEN smoothed ELSE v END)), 6) AS cleaned
+             |FROM sm ORDER BY u, d""".stripMargin),
+      (s, dir) => {
+        val grid = Tables(s, dir, "events")
+          .groupBy(
+            col("user_id").as("u"),
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+              .cast("int").as("d"))
+          .agg((dsum(col("value")) / cnt).as("v"))
+        val offs = s.createDataFrame(
+          for { dy <- Seq(-1, 0, 1); dx <- Seq(-1, 0, 1) } yield (dy, dx))
+          .toDF("dy", "dx")
+        val n = grid.select(
+          col("u").as("nu"), col("d").as("nd"), col("v").as("nv"))
+        val sm = grid.crossJoin(broadcast(offs))
+          .join(n, col("nu") === col("u") + col("dy") && col("nd") === col("d") + col("dx"))
+          .groupBy("u", "d", "v")
+          .agg((sum(col("nv").cast(DecimalType(30, 10))).cast("double") / cnt)
+            .as("smoothed"))
+        sm.select(
+          col("u"), col("d"),
+          round(greatest(lit(10.0), least(lit(180.0),
+            when(col("v") < 10 || col("v") > 180, col("smoothed"))
+              .otherwise(col("v")))), 6).as("cleaned"))
+          .orderBy("u", "d")
+      }),
+
     Q(
       "dropna_invalid_rows",
       Some("""SELECT doc_id, lang FROM documents

@@ -16,6 +16,15 @@ import org.apache.spark.sql.types.DecimalType
   */
 object MLOps extends QueryPack {
 
+  /** The reference's 9-class land-cover hex palette
+    * (`trainer/flax_inference.ipynb` cell 1, CLASSIFICATIONS values) —
+    * public Dynamic World taxonomy colors; the oracle VALUES list is
+    * generated from this same constant.
+    */
+  private[graft] val Palette: Seq[String] = Seq(
+    "419BDF", "397D49", "88B053", "7A87C6", "E49635",
+    "DFC35A", "C4281B", "A59B8F", "B39FE1")
+
   def queries: Seq[Q] = Seq(
     // 2-D convolution as a relation: sparse grid (user x day) self-joined
     // against a 9-row kernel-offset table, then group-sum. Scales to any
@@ -135,119 +144,163 @@ object MLOps extends QueryPack {
       }),
 
     // The training loop: 3 fixed gradient-descent steps for
-    // l_extendedprice ~ l_quantity. Each step is one distributed aggregate
-    // (exact decimal sums); the driver only carries the 2 scalars (w, b) —
-    // no collect of data rows. Iterative => no single-SQL oracle.
+    // l_extendedprice ~ l_quantity. Sufficient statistics: for a quadratic
+    // loss the gradient and SSE are closed-form in (n, Sx, Sy, Sxx, Sxy,
+    // Syy) — ONE distributed pass gathers exact decimal moments
+    // (graft.ml.GradientDescent), then every GD iteration is pure driver
+    // arithmetic. At 100 TB this is the difference between one scan and one
+    // scan per epoch. Iterative => no single-SQL oracle.
     Q(
       "ml_train_gd_iterations",
       None,
       (s, dir) => {
-        // Sufficient statistics: for a quadratic loss the gradient and SSE
-        // are closed-form in (n, Sx, Sy, Sxx, Sxy, Syy) — ONE distributed
-        // pass gathers exact decimal moments, then every GD iteration is
-        // pure driver arithmetic. At 100 TB this is the difference between
-        // one scan and one scan per epoch.
-        val m = Tables(s, dir, "lineitem")
-          .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
-          .agg(
-            cnt.as("n"),
-            dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
-            dsumWide(col("x") * col("x")).as("sxx"),
-            dsumWide(col("x") * col("y")).as("sxy"),
-            dsumWide(col("y") * col("y")).as("syy"))
-          .head()
-        val n = m.getLong(0).toDouble
-        val (sx, sy, sxx, sxy, syy) =
-          (m.getDouble(1), m.getDouble(2), m.getDouble(3), m.getDouble(4), m.getDouble(5))
-        var w = 0.0
-        var b = 0.0
-        val lr = 0.001
-        val hist = (1 to 3).map { it =>
-          // gw = sum((w x + b - y) x); gb = sum(w x + b - y); sse likewise.
-          val gw = w * sxx + b * sx - sxy
-          val gb = w * sx + n * b - sy
-          val sse = w * w * sxx + 2 * w * b * sx - 2 * w * sxy +
-            n * b * b - 2 * b * sy + syy
-          val mse = sse / n
-          w -= lr * 2.0 * gw / n
-          b -= lr * 2.0 * gb / n
-          (it, w, b, mse)
-        }
+        import graft.ml.GradientDescent
+        val m = GradientDescent.moments(
+          Tables(s, dir, "lineitem")
+            .select(col("l_quantity").as("x"), col("l_extendedprice").as("y")))
+        val (_, hist) =
+          GradientDescent.run(m, GradientDescent.State(0, 0.0, 0.0), 3, 0.001)
         s.createDataFrame(hist).toDF("iter", "w", "b", "mse")
       }),
 
+    // Checkpoint/restore of driver-held model state (reference analog:
+    // flax_model.py:377 per-epoch checkpoints + flax_inference
+    // restore_checkpoint). Runs the GD loop twice: (a) 3 uninterrupted
+    // steps; (b) 2 steps checkpointed to parquet, state RESTORED from the
+    // newest checkpoint — simulating a driver restart — then 1 continued
+    // step. Output compares the histories bit-for-bit per step; `bit_equal`
+    // must be true on every row (also spec-asserted in CheckpointSpec).
+    // Iterative + filesystem state => no SQL oracle.
+    Q(
+      "ml_train_checkpoint_resume",
+      None,
+      (s, dir) => {
+        import graft.ml.{GradientDescent => GD, ModelCheckpoint}
+        val m = GD.moments(
+          Tables(s, dir, "lineitem")
+            .select(col("l_quantity").as("x"), col("l_extendedprice").as("y")))
+        val (_, full) = GD.run(m, GD.State(0, 0.0, 0.0), 3, 0.001)
+        val ckptDir =
+          s"${System.getProperty("java.io.tmpdir")}/graft_ckpt/gd_resume"
+        val ckpt = ModelCheckpoint(s, ckptDir)
+        val (_, firstLeg) =
+          GD.run(m, GD.State(0, 0.0, 0.0), 2, 0.001, Some(ckpt))
+        // "Restart": recover state purely from the checkpoint store.
+        val restored = GD.fromDf(ckpt.restoreLatest().get._2)
+        val (_, secondLeg) = GD.run(m, restored, 1, 0.001)
+        val resumed = firstLeg ++ secondLeg
+        val rows = full.zip(resumed).map { case ((it, w, b, e), (it2, w2, b2, e2)) =>
+          val eq = it == it2 &&
+            java.lang.Double.doubleToRawLongBits(w) == java.lang.Double.doubleToRawLongBits(w2) &&
+            java.lang.Double.doubleToRawLongBits(b) == java.lang.Double.doubleToRawLongBits(b2) &&
+            java.lang.Double.doubleToRawLongBits(e) == java.lang.Double.doubleToRawLongBits(e2)
+          (it, w, b, e, w2, b2, e2, eq)
+        }
+        s.createDataFrame(rows).toDF(
+          "iter", "w", "b", "mse", "w_resumed", "b_resumed", "mse_resumed",
+          "bit_equal")
+      }),
+
     // Lloyd's k-means over the embeddings (k=8, 3 iterations, deterministic
-    // init = vectors 0..7). Model state (8 x 64 centroids) lives on the
-    // driver and enters each iteration as broadcast literals — the data
-    // never leaves the cluster, each iteration is one scan + one shuffle of
-    // (cluster, dim) partial sums; assignment distance uses the native
-    // graft_dot codegen expression. Iterative => no single-SQL oracle;
-    // KMeansSpec asserts WCSS monotonicity and assignment optimality.
+    // init = vectors 0..7), via graft.ml.KMeansLloyd. Model state (8 x 64
+    // centroids) lives on the driver and enters each iteration as broadcast
+    // literals — the data never leaves the cluster, each iteration is one
+    // scan + one shuffle of (cluster, dim) exact-decimal partial sums;
+    // assignment distance uses the native graft_dot codegen expression.
+    // Iterative => no single-SQL oracle; KMeansSpec asserts WCSS
+    // monotonicity and assignment optimality.
     Q(
       "ml_kmeans_iterations",
       None,
       (s, dir) => {
-        graft.functions.Native.register(s)
-        import org.apache.spark.sql.functions.{call_function => cf}
+        import graft.ml.KMeansLloyd
         val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
-        val dim = 64
-        val k = 8
-        var centroids: Array[Array[Float]] = e
-          .filter(col("vec_id") < k).orderBy("vec_id")
-          .collect()
-          .map(_.getSeq[Float](1).toArray)
-        val hist = (1 to 3).map { it =>
-          val cLits = centroids.map(c => array(c.map(lit): _*))
-          // |x - c|^2 = x.x - 2 x.c + c.c ; x.x constant per row, omit.
-          val dists = cLits.zipWithIndex.map { case (c, i) =>
-            (cf("graft_dot", c, c) - lit(2.0) * cf("graft_dot", col("embedding"), c))
-              .as(s"d$i")
-          }
-          val assigned = e.select(
-            (col("vec_id") +: col("embedding") +: dists): _*)
-          val clusterCol = (1 until k).foldLeft(
-            struct(col("d0").as("d"), lit(0).as("c"))) { (best, i) =>
-            when(col(s"d$i") < best("d"),
-              struct(col(s"d$i").as("d"), lit(i).as("c"))).otherwise(best)
-          }
-          val withCluster = assigned
-            .select(col("vec_id"), col("embedding"), clusterCol.as("best"))
-            .select(col("vec_id"), col("embedding"), col("best.c").as("cluster"))
-          // ONE job per iteration: per-cluster count, per-dim sums (new
-          // centroid numerators) and sum|x|^2 — WCSS for the old centroids
-          // follows in closed form: sum|x|^2 - 2 c.Sx + n|c|^2 per cluster.
-          val aggCols =
-            count(lit(1)).as("cnt") +:
-              sum(cf("graft_dot", col("embedding"), col("embedding"))).as("sxx") +:
-              (0 until dim).map(j =>
-                sum(element_at(col("embedding"), j + 1).cast("double")).as(s"s$j"))
-          val rows = withCluster.groupBy("cluster")
-            .agg(aggCols.head, aggCols.tail: _*)
-            .collect()
-          val next = Array.fill(k, dim)(0.0f)
-          val counts = Array.fill(k)(0L)
-          var wcss = 0.0
-          rows.foreach { r =>
-            val c = r.getInt(0)
-            val nC = r.getLong(1)
-            counts(c) = nC
-            val sxx = r.getDouble(2)
-            var dotCS = 0.0
-            var cc = 0.0
-            for (j <- 0 until dim) {
-              val sj = r.getDouble(3 + j)
-              next(c)(j) = (sj / nC).toFloat
-              dotCS += centroids(c)(j).toDouble * sj
-              cc += centroids(c)(j).toDouble * centroids(c)(j).toDouble
-            }
-            wcss += sxx - 2 * dotCS + nC * cc
-          }
-          // Keep empty clusters' previous centroid.
-          for (c <- 0 until k if counts(c) == 0) next(c) = centroids(c)
-          centroids = next
-          (it, math.round(wcss * 10000) / 10000.0, counts.count(_ > 0))
+        val (_, hist) = KMeansLloyd.run(e, KMeansLloyd.init(e), 0, 3)
+        val rounded = hist.map { case (it, wcss, ne) =>
+          (it, math.round(wcss * 10000) / 10000.0, ne)
         }
-        s.createDataFrame(hist).toDF("iter", "wcss", "nonempty_clusters")
+        s.createDataFrame(rounded).toDF("iter", "wcss", "nonempty_clusters")
+      }),
+
+    // Seeded 90/10 train/test split (reference: seeded permutation + prefix,
+    // trainer/flax_model.py:125-131, ratio :399). Assignment is a pure
+    // per-row function of (key, seed) — no global permutation/shuffle, same
+    // row-level result on any cluster size or engine (md5-bucket, DuckDB
+    // oracle checks every row's assignment). SeededSplitSpec asserts
+    // disjointness/coverage/ratio/seed-sensitivity/partition-invariance.
+    Q(
+      "ml_train_test_split",
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN CAST(('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)||':42'),1,15)) AS BIGINT)
+             |         % 100 < 90
+             |       THEN 'train' ELSE 'test' END AS split
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            graft.ml.SeededSplit.assign(col("o_orderkey"), 42L).as("split"))
+          .orderBy("o_orderkey")),
+
+    // The reference's inference render path composed end-to-end
+    // (trainer/flax_inference.ipynb cell 8, render_classifications): a
+    // 9-color hex palette (cell 1 CLASSIFICATIONS) broadcast-joined against
+    // per-pixel class ids, hex channels parsed, and np.interp's piecewise
+    // linear color ramp computed exactly — color index = trunc(v/9*255),
+    // ramp position x = 9*ci/255 over knots 0..8, channel = floor(lerp).
+    // "Pixels" = events rows, class id = floor(value) % 9. The palette is a
+    // 9-row broadcast dim; pixels never shuffle — per-pixel map only.
+    Q(
+      "ml_palette_render", {
+        val palVals = Palette.zipWithIndex
+          .map { case (h, i) => s"($i, '$h')" }.mkString(", ")
+        Some(s"""WITH pal AS (
+                |  SELECT CAST(idx AS INT) AS idx,
+                |    CAST(('0x'||substr(hex,1,2)) AS INT) AS r,
+                |    CAST(('0x'||substr(hex,3,2)) AS INT) AS g,
+                |    CAST(('0x'||substr(hex,5,2)) AS INT) AS b
+                |  FROM (VALUES $palVals) p(idx, hex)),
+                |px AS (SELECT event_id, CAST(floor(value) AS INT) % 9 AS v FROM events),
+                |m AS (SELECT event_id, v,
+                |        floor(CAST(v AS DOUBLE) / 9.0 * 255.0) * 9.0 / 255.0 AS x
+                |      FROM px),
+                |kk AS (SELECT event_id, v, CAST(floor(x) AS INT) AS k,
+                |         x - floor(x) AS frac FROM m)
+                |SELECT event_id, v,
+                |  CAST(floor(lo.r + frac * (hi.r - lo.r)) AS INT) AS red,
+                |  CAST(floor(lo.g + frac * (hi.g - lo.g)) AS INT) AS green,
+                |  CAST(floor(lo.b + frac * (hi.b - lo.b)) AS INT) AS blue
+                |FROM kk JOIN pal lo ON kk.k = lo.idx
+                |        JOIN pal hi ON kk.k + 1 = hi.idx
+                |ORDER BY event_id""".stripMargin)
+      },
+      (s, dir) => {
+        val pal = s.createDataFrame(Palette.zipWithIndex.map { case (h, i) => (i, h) })
+          .toDF("idx", "hex")
+          .select(
+            col("idx").cast("int").as("idx"),
+            conv(substring(col("hex"), 1, 2), 16, 10).cast("int").as("r"),
+            conv(substring(col("hex"), 3, 2), 16, 10).cast("int").as("g"),
+            conv(substring(col("hex"), 5, 2), 16, 10).cast("int").as("b"))
+        val px = Tables(s, dir, "events")
+          .select(col("event_id"), (floor(col("value")).cast("int") % 9).as("v"))
+        val x = floor(col("v").cast("double") / 9.0 * 255.0) * 9.0 / 255.0
+        val kk = px
+          .withColumn("x", x)
+          .withColumn("k", floor(col("x")).cast("int"))
+          .withColumn("frac", col("x") - floor(col("x")))
+        val lo = pal.select(
+          col("idx").as("lidx"), col("r").as("lr"), col("g").as("lg"), col("b").as("lb"))
+        val hi = pal.select(
+          col("idx").as("hidx"), col("r").as("hr"), col("g").as("hg"), col("b").as("hb"))
+        kk.join(broadcast(lo), col("k") === col("lidx"))
+          .join(broadcast(hi), col("k") + 1 === col("hidx"))
+          .select(
+            col("event_id"), col("v"),
+            floor(col("lr") + col("frac") * (col("hr") - col("lr"))).cast("int").as("red"),
+            floor(col("lg") + col("frac") * (col("hg") - col("lg"))).cast("int").as("green"),
+            floor(col("lb") + col("frac") * (col("hb") - col("lb"))).cast("int").as("blue"))
+          .orderBy("event_id")
       }),
 
     // MLlib interop — MinHashLSH over hashed token sets: the platform's own
@@ -286,13 +339,11 @@ object MLOps extends QueryPack {
       "ml_kmeans_mllib",
       None,
       (s, dir) => {
-        import org.apache.spark.ml.feature.VectorAssembler
         import org.apache.spark.ml.clustering.KMeans
-        import org.apache.spark.ml.linalg.Vectors
-        val toVec = udf((a: Seq[Float]) =>
-          Vectors.dense(a.map(_.toDouble).toArray))
+        import org.apache.spark.ml.functions.array_to_vector
         val data = Tables(s, dir, "embeddings")
-          .select(col("vec_id"), toVec(col("embedding")).as("features"))
+          .select(col("vec_id"),
+            array_to_vector(col("embedding")).as("features"))
         val model = new KMeans().setK(8).setMaxIter(3).setSeed(42L)
           .setFeaturesCol("features")
           .fit(data)

@@ -82,13 +82,22 @@ object TextOps extends QueryPack {
 
     // Exact near-dup pairs: token-key self-join computes |A n B| without a
     // doc x doc cross product — the same inverted-index shape LSH banding
-    // produces, here with exact Jaccard.
+    // produces, here with exact Jaccard. Hot-token bound: the self-join's
+    // cost is sum(df^2) over posting lists, so one stopword appearing in
+    // every document would alone re-create the all-pairs product. Tokens
+    // with df > 50 (half this corpus window) are dropped from the index
+    // FIRST and Jaccard is computed over the remaining discriminative
+    // vocabulary — at 100 TB this caps any posting list, and stopwords
+    // carry no near-dup signal anyway.
     Q(
       "dedup_jaccard_pairs",
       Some("""WITH d AS (SELECT doc_id, text FROM documents
              |           WHERE lang = 'en' AND doc_id < 100),
-             |t AS (SELECT DISTINCT doc_id, tok FROM
+             |t0 AS (SELECT DISTINCT doc_id, tok FROM
              |        (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d) x),
+             |t AS (SELECT doc_id, tok FROM
+             |        (SELECT doc_id, tok, COUNT(*) OVER (PARTITION BY tok) AS df FROM t0) y
+             |      WHERE df <= 50),
              |sz AS (SELECT doc_id, COUNT(*) AS sz FROM t GROUP BY 1),
              |inter AS (
              |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
@@ -103,8 +112,12 @@ object TextOps extends QueryPack {
       (s, dir) => {
         val d = Tables(s, dir, "documents")
           .filter(col("lang") === "en" && col("doc_id") < 100)
-        val t = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val t0 = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .distinct()
+        val t = t0
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+          .filter(col("df") <= 50)
+          .select("doc_id", "tok")
         val sz = t.groupBy("doc_id").agg(cnt.as("sz"))
         val inter = t.as("a")
           .join(t.as("b"),

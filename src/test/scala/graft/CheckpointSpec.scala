@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ml.{GradientDescent => GD, KMeansLloyd, ModelCheckpoint}
+import org.apache.spark.sql.functions.col
+
+/** Checkpoint/restore of driver-held iterative model state (reference:
+  * per-epoch `keep=3` checkpoints, `trainer/flax_model.py:377-382`; restore
+  * in `flax_inference.ipynb` cell 3): resume(checkpoint(n)) must equal
+  * run(n+m) bit-for-bit, and the store must prune to the newest `keep`.
+  */
+class CheckpointSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_ckpt_spec").toString
+
+  private def bitsEq(a: Double, b: Double): Boolean =
+    java.lang.Double.doubleToRawLongBits(a) ==
+      java.lang.Double.doubleToRawLongBits(b)
+
+  private lazy val moments = GD.moments(
+    Tables(spark, sf, "lineitem")
+      .select(col("l_quantity").as("x"), col("l_extendedprice").as("y")))
+
+  test("GD: resume(checkpoint(2)) + 3 more == run(5), bit-for-bit") {
+    val (endFull, histFull) = GD.run(moments, GD.State(0, 0.0, 0.0), 5, 0.001)
+    val ckpt = ModelCheckpoint(spark, tmp())
+    GD.run(moments, GD.State(0, 0.0, 0.0), 2, 0.001, Some(ckpt))
+    val (step, stateDf) = ckpt.restoreLatest().get
+    assert(step == 2)
+    val restored = GD.fromDf(stateDf)
+    val (endRes, histRes) = GD.run(moments, restored, 3, 0.001)
+    assert(endRes.step == endFull.step)
+    assert(bitsEq(endRes.w, endFull.w) && bitsEq(endRes.b, endFull.b))
+    histFull.drop(2).zip(histRes).foreach { case ((i1, w1, b1, e1), (i2, w2, b2, e2)) =>
+      assert(i1 == i2 && bitsEq(w1, w2) && bitsEq(b1, b2) && bitsEq(e1, e2))
+    }
+  }
+
+  test("k-means: resume(checkpoint(1)) + 2 more == run(3), centroid bits equal") {
+    val e = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+    val init = KMeansLloyd.init(e)
+    val (csFull, histFull) = KMeansLloyd.run(e, init, 0, 3)
+    val ckpt = ModelCheckpoint(spark, tmp())
+    KMeansLloyd.run(e, init, 0, 1, Some(ckpt))
+    val (step, stateDf) = ckpt.restoreLatest().get
+    assert(step == 1)
+    val restored = KMeansLloyd.fromDf(stateDf)
+    val (csRes, histRes) = KMeansLloyd.run(e, restored, 1, 2)
+    csFull.zip(csRes).foreach { case (a, b) =>
+      assert(a.toSeq == b.toSeq) // exact float equality, element-wise
+    }
+    histFull.drop(1).zip(histRes).foreach { case ((i1, w1, n1), (i2, w2, n2)) =>
+      assert(i1 == i2 && bitsEq(w1, w2) && n1 == n2)
+    }
+  }
+
+  test("store prunes to the newest keep=3 steps and restores the max step") {
+    val ckpt = ModelCheckpoint(spark, tmp())
+    (1 to 5).foreach(n => ckpt.save(n, GD.toDf(spark, GD.State(n, n * 1.0, 0.0))))
+    assert(ckpt.steps.sorted == Seq(3, 4, 5))
+    val (step, df) = ckpt.restoreLatest().get
+    assert(step == 5 && GD.fromDf(df).w == 5.0)
+  }
+
+  test("restoreLatest on an empty/missing dir is None") {
+    assert(ModelCheckpoint(spark, tmp() + "/nope").restoreLatest().isEmpty)
+  }
+
+  test("ml_train_checkpoint_resume registry rows all bit_equal") {
+    val rows = Registry.byId("ml_train_checkpoint_resume").run(spark, sf).collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getAs[Boolean]("bit_equal")))
+  }
+}
