@@ -118,6 +118,49 @@ object Scans extends QueryPack {
           .orderBy("m")
       }),
 
+    // Metrics SERVING read path (reference: TensorBoard reading the scalar
+    // append log, trainer/tensorboard.ipynb:36-55): three "epoch"
+    // generations append-write (name, bucket, value, epoch) rows — epoch e
+    // sees only events up to day 10*e, re-emitting keys with refreshed
+    // values — then the reader compacts the log last-write-wins (max epoch
+    // per key) and serves the latest value plus the version count. The
+    // compaction window partitions on the metric key, so state per key is
+    // the handful of generations, never the fact rows; at scale the same
+    // read runs over an append-only metrics bucket without rewriting it.
+    Q(
+      "sink_metrics_compact_serve",
+      Some("""SELECT event_type AS name,
+             |  CAST(date_trunc('month', ts) AS DATE) AS bucket,
+             |  CAST(COUNT(*) AS DOUBLE) AS value,
+             |  CAST(1 + (CASE WHEN MIN(day(ts)) <= 10 THEN 1 ELSE 0 END)
+             |         + (CASE WHEN MIN(day(ts)) <= 20 THEN 1 ELSE 0 END) AS INT)
+             |    AS n_versions
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_metrics_log"
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        for ((maxDay, e) <- Seq(10, 20, 31).zipWithIndex) {
+          Tables(s, dir, "events")
+            .filter(dayofmonth(col("ts")) <= maxDay)
+            .groupBy(
+              col("event_type").as("name"),
+              date_trunc("month", col("ts")).cast("date").as("bucket"))
+            .agg(cnt.cast("double").as("value"))
+            .withColumn("epoch", lit(e + 1))
+            .write.mode("append").parquet(tmp)
+        }
+        val w = Window.partitionBy("name", "bucket")
+        s.read.parquet(tmp)
+          .withColumn("latest", max("epoch").over(w))
+          .withColumn("n_versions", count(lit(1)).over(w).cast("int"))
+          .filter(col("epoch") === col("latest"))
+          .select("name", "bucket", "value", "n_versions")
+          .orderBy("name", "bucket")
+      }),
+
     // Append-style metrics sink shape: (name, bucket, value) rows, the batch
     // twin of the TensorBoard scalar stream.
     Q(

@@ -97,6 +97,9 @@ object Windows extends QueryPack {
           .groupBy(date_trunc("day", col("l_shipdate")).cast("date").as("day"))
           .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
             .cast(DecimalType(18, 6))).cast("double").as("rev"))
+        // Unpartitioned window is SAFE here: it runs over the daily
+        // aggregate, whose cardinality is bounded by distinct ship days
+        // (~2.5k rows at any fact-table scale), not over lineitem.
         val w = Window.orderBy("day")
         val lg = lag(col("rev"), 1).over(w)
         val ld = lead(col("rev"), 1).over(w)
@@ -135,6 +138,8 @@ object Windows extends QueryPack {
           .withColumn("pid", spark_partition_id())
           .withColumn("lrn",
             row_number().over(Window.partitionBy("pid").orderBy("o_orderkey")))
+        // Unpartitioned prefix-sum window is SAFE here: its input is one
+        // row per partition (numPartitions rows total), never data rows.
         val offsets = local.groupBy("pid").agg(count(lit(1)).as("psz"))
           .withColumn("offset",
             coalesce(

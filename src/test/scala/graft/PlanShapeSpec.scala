@@ -48,6 +48,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("palette render joins the 9-row palette dim by broadcast") {
+    val p = plan("ml_palette_render")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("cleaning pipeline broadcasts the kernel-offset table") {
+    val p = plan("clean_impute_neighborhood_clip")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("bucketed co-located join has no exchange above the sort-merge join") {
     val df = Registry.byId("join_bucketed_colocated").run(spark, sf)
     df.collect()
