@@ -256,6 +256,73 @@ object DedupOps extends QueryPack {
           .orderBy("lang")
       }),
 
+    // The WHOLE curation pipeline a training-data build runs, composed in
+    // one declarative query: language filter -> minimum-length dropna ->
+    // quality scoring -> quality threshold -> content-fingerprint dedup
+    // keeping the best-scoring duplicate -> seeded 90/10 train/test split
+    // -> per-split corpus stats. Every stage is per-row or keyed on a
+    // 16-byte fingerprint / scalar split key: raw text never shuffles, so
+    // the same plan holds at corpus scale. Each stage reuses the exact
+    // formula of its standalone query (quality = text_quality_score, split
+    // = ml_train_test_split, keep-best = dedup_pipeline_keep_best).
+    Q(
+      "corpus_curation_end2end",
+      Some("""WITH scored AS (
+             |  SELECT doc_id,
+             |    len(string_split(text, ' ')) AS n_tok,
+             |    md5(array_to_string(list_sort(list_distinct(
+             |      string_split(lower(text), ' '))), ' ')) AS fp,
+             |    0.3 * least(1.0, len(string_split(text, ' ')) / 100.0)
+             |      + 0.4 * (len(list_filter(string_split(text, ' '),
+             |                 t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')))
+             |               / len(string_split(text, ' ')))
+             |      + 0.3 * (1 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+             |               / length(text)) AS quality
+             |  FROM documents WHERE lang = 'en' AND n_chars > 50),
+             |q AS (SELECT * FROM scored WHERE quality >= 0.5),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY fp
+             |                               ORDER BY quality DESC, doc_id) AS rn
+             |  FROM q),
+             |kept AS (SELECT * FROM ranked WHERE rn = 1),
+             |sp AS (SELECT *,
+             |  CASE WHEN CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':42'),1,15)) AS BIGINT)
+             |         % 100 < 90
+             |       THEN 'train' ELSE 'test' END AS split
+             |  FROM kept)
+             |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             |    AS avg_quality,
+             |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+             |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val nTok = size(toks).cast("long")
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+        val quality =
+          lit(0.3) * least(lit(1.0), nTok / 100.0) +
+            lit(0.4) * (size(filter(toks, t => t.isInCollection(stops))).cast("long") / nTok) +
+            lit(0.3) * (lit(1) -
+              length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")) /
+                length(col("text")))
+        val fp = md5(array_join(array_sort(array_distinct(
+          split(lower(col("text")), " "))), " "))
+        val w = Window.partitionBy("fp").orderBy(col("quality").desc, col("doc_id"))
+        Tables(s, dir, "documents")
+          .filter(col("lang") === "en" && col("n_chars") > 50)
+          .select(col("doc_id"), nTok.as("n_tok"), fp.as("fp"), quality.as("quality"))
+          .filter(col("quality") >= 0.5)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .withColumn("split", graft.ml.SeededSplit.assign(col("doc_id"), 42L))
+          .groupBy("split")
+          .agg(
+            cnt.as("n_docs"),
+            round(dsum(col("quality")) / cnt, 6).as("avg_quality"),
+            sum("n_tok").cast("long").as("total_tokens"))
+          .orderBy("split")
+      }),
+
     // Typed-Aggregator variant (SURVEY.md §4.3 custom piece): same signature
     // as dedup_minhash_lsh's declarative form, computed by the MinHashAgg
     // UDAF (partial-aggregating, k longs per doc over the shuffle). No SQL

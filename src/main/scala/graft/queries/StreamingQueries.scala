@@ -32,6 +32,10 @@ object StreamingQueries extends QueryPack {
   private val spools =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
+  /** Per-(session, dir) metrics append-log spool for the live reader. */
+  private val metricsSpools =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
   private[graft] def eventsStream(
       s: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
@@ -260,6 +264,66 @@ object StreamingQueries extends QueryPack {
           .start()
         q.awaitTermination()
         s.read.parquet(out).orderBy("ws")
+      }),
+
+    // The TensorBoard LIVE reader (trainer/tensorboard.ipynb:36-55) as a
+    // real stream: three epoch generations of (name, bucket, value, epoch)
+    // metric rows land in an append log; a file stream tails it one file
+    // per micro-batch (each generation = one file) and maintains the
+    // serving view — latest value per metric key via max_by(value, epoch)
+    // plus the version count — in a complete-mode aggregation. State is one
+    // row per metric key, watermark-free because the key space (metrics x
+    // buckets), not the event volume, bounds it. Shares the compact-serve
+    // oracle: the final view must equal the batch compaction.
+    Q(
+      "stream_metrics_live_read",
+      Some("""SELECT event_type AS name,
+             |  CAST(date_trunc('month', ts) AS DATE) AS bucket,
+             |  CAST(COUNT(*) AS DOUBLE) AS value,
+             |  CAST(1 + (CASE WHEN MIN(day(ts)) <= 10 THEN 1 ELSE 0 END)
+             |         + (CASE WHEN MIN(day(ts)) <= 20 THEN 1 ELSE 0 END) AS INT)
+             |    AS n_versions
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        // One file per generation so the stream genuinely tails the log
+        // incrementally (3 micro-batches), not as one bulk load.
+        val logDir = metricsSpools.getOrElseUpdate(
+          (System.identityHashCode(s), dir), {
+            val p = java.nio.file.Files
+              .createTempDirectory("graft_metrics_spool").toString
+            for ((maxDay, e) <- Seq(10, 20, 31).zipWithIndex) {
+              Tables(s, dir, "events")
+                .filter(dayofmonth(col("ts")) <= maxDay)
+                .groupBy(
+                  col("event_type").as("name"),
+                  date_trunc("month", col("ts")).cast("date").as("bucket"))
+                .agg(cnt.cast("double").as("value"))
+                .withColumn("epoch", lit(e + 1))
+                .coalesce(1)
+                .write.mode("append").parquet(p)
+            }
+            p
+          })
+        val sink = s"mem_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_metrics_ckpt").toString
+        val q = s.readStream
+          .schema("name STRING, bucket DATE, value DOUBLE, epoch INT")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(logDir)
+          .groupBy("name", "bucket")
+          .agg(
+            max_by(col("value"), col("epoch")).as("value"),
+            cnt.cast("int").as("n_versions"))
+          .writeStream
+          .queryName(sink)
+          .outputMode("complete")
+          .format("memory")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink).orderBy("name", "bucket")
       }),
 
     // True Structured Streaming run: AvailableNow over the events parquet,
