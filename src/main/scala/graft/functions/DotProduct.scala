@@ -82,6 +82,10 @@ object Native {
     "graft_dot" -> { args =>
       require(args.length == 2, "graft_dot expects 2 arguments")
       DotProduct(args(0), args(1))
+    },
+    "graft_cosine" -> { args =>
+      require(args.length == 2, "graft_cosine expects 2 arguments")
+      CosineSim(args(0), args(1))
     })
 
   /** Idempotent per-session registration (temp functions live in the
@@ -103,6 +107,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifierHelper("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifierHelper("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
     ext.injectOptimizerRule(_ => graft.plans.RewritePowAsMultiply)
   }
 }

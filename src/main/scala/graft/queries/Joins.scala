@@ -64,6 +64,36 @@ object Joins extends QueryPack {
           .agg(revenue.as("revenue"), cnt.as("n"))
           .orderBy("r_name", "o_year")),
 
+    // The SQL-API surface of the engine: the flagship expressed as literal
+    // spark.sql(...) text over per-session temp views. Same Catalyst plan
+    // (AQE broadcasts every dim hop) and the identical oracle as
+    // join_star_multiway — a user can drive every relational operator here
+    // through plain SQL instead of the DataFrame DSL.
+    Q(
+      "sql_flagship_twin",
+      Some("""SELECT r_name, CAST(year(o_orderdate) AS INT) AS o_year,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        for (t <- Seq("lineitem", "orders", "customer", "nation", "region"))
+          Tables(s, dir, t).createOrReplaceTempView(s"graft_$t")
+        s.sql("""SELECT r_name, CAST(year(o_orderdate) AS INT) AS o_year,
+                |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                |  CAST(COUNT(*) AS BIGINT) AS n
+                |FROM graft_lineitem
+                |JOIN graft_orders   ON l_orderkey = o_orderkey
+                |JOIN graft_customer ON o_custkey = c_custkey
+                |JOIN graft_nation   ON c_nationkey = n_nationkey
+                |JOIN graft_region   ON n_regionkey = r_regionkey
+                |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+      }),
+
     Q(
       "join_left_outer",
       Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,

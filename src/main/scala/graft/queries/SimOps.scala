@@ -45,6 +45,13 @@ object SimOps extends QueryPack {
 
   private[graft] def nnorm(a: Column): Column = sqrt(ndot(a, a))
 
+  /** Fused native cosine (graft.functions.CosineSim): one loop instead of
+    * the three traversals of `ndot(a,b)/(nnorm(a)*nnorm(b))`; bit-equal to
+    * that composed form (NativeDotSpec), so oracle results are unchanged.
+    */
+  private[graft] def ncos(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+
   private def native(s: org.apache.spark.sql.SparkSession): Unit =
     graft.functions.Native.register(s)
 
@@ -97,7 +104,7 @@ object SimOps extends QueryPack {
           .filter(col("qa") =!= col("qb"))
           .select(
             col("qa"), col("qb"),
-            round(ndot(col("ea"), col("eb")) / (nnorm(col("ea")) * nnorm(col("eb"))), 6)
+            round(ncos(col("ea"), col("eb")), 6)
               .as("cos"))
           .withColumn("rn", row_number().over(w).cast("int"))
           .filter(col("rn") <= 5)
@@ -125,7 +132,7 @@ object SimOps extends QueryPack {
         val y = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
         x.join(y, col("va") < col("vb"))
           .select(col("va"), col("vb"),
-            round(ndot(col("ea"), col("eb")) / (nnorm(col("ea")) * nnorm(col("eb"))), 6)
+            round(ncos(col("ea"), col("eb")), 6)
               .as("cos"))
           .orderBy(col("cos").desc, col("va"), col("vb"))
           .limit(20)
@@ -190,7 +197,7 @@ object SimOps extends QueryPack {
           .join(e.select(col("vec_id").as("qa"), col("embedding").as("ea")), "qa")
           .join(e.select(col("vec_id").as("qb"), col("embedding").as("eb2")), "qb")
           .select(col("qa"), col("qb"),
-            round(ndot(col("ea"), col("eb2")) / (nnorm(col("ea")) * nnorm(col("eb2"))), 6)
+            round(ncos(col("ea"), col("eb2")), 6)
               .as("cos"))
           .withColumn("rn", row_number().over(w).cast("int"))
           .filter(col("rn") <= 3)
@@ -289,7 +296,7 @@ object SimOps extends QueryPack {
           .join(e.select(col("vec_id").as("qa"), col("embedding").as("ea")), "qa")
           .join(e.select(col("vec_id").as("qb"), col("embedding").as("eb2")), "qb")
           .select(col("qa"), col("qb"),
-            round(ndot(col("ea"), col("eb2")) / (nnorm(col("ea")) * nnorm(col("eb2"))), 6)
+            round(ncos(col("ea"), col("eb2")), 6)
               .as("cos"))
           .withColumn("rn", row_number().over(ws).cast("int"))
           .filter(col("rn") <= 3)

@@ -13,8 +13,10 @@ class ExtensionsSpec extends SparkSpec {
     val reg = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
     val before = reg.listFunction().size
     org.apache.spark.sql.GraftTestHooks.registerFunctions(ext, reg)
-    assert(reg.listFunction().size == before + 1)
+    assert(reg.listFunction().size == before + 2)
     assert(reg.functionExists(
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
+    assert(reg.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine")))
   }
 }

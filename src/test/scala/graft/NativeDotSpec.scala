@@ -43,6 +43,34 @@ class NativeDotSpec extends SparkSpec {
     assert(e.getMessage.contains("ARRAY<FLOAT>"), e.getMessage)
   }
 
+  test("fused cosine is bit-equal to ndot/(nnorm*nnorm) on shifted pairs") {
+    Native.register(spark)
+    import graft.queries.SimOps.{ncos, ndot, nnorm}
+    val e = Tables(spark, sf, "embeddings")
+    // Pair each vector with its successor's embedding (non-trivial pairs).
+    val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    val pairs = e.select(col("vec_id"), col("embedding").as("ea"))
+      .withColumn("eb", lead(col("ea"), 1).over(w))
+      .filter(col("eb").isNotNull)
+    val bad = pairs.select(
+      ncos(col("ea"), col("eb")).as("fused"),
+      (ndot(col("ea"), col("eb")) / (nnorm(col("ea")) * nnorm(col("eb"))))
+        .as("composed"))
+      .filter(col("fused") =!= col("composed")) // exact, not approx
+    assert(bad.count() == 0)
+  }
+
+  test("cosine of a vector with itself is exactly 1 for nonzero vectors") {
+    Native.register(spark)
+    import graft.queries.SimOps.ncos
+    // ab == aa == bb in the fused loop, so ab/(sqrt(aa)*sqrt(bb)) == 1.0
+    // whenever sqrt is exact-inverse — holds for aa*1.0; assert within ulp.
+    val bad = Tables(spark, sf, "embeddings")
+      .select(ncos(col("embedding"), col("embedding")).as("c"))
+      .filter(abs(col("c") - 1.0) > 1e-12)
+    assert(bad.count() == 0)
+  }
+
   test("dot stays inside whole-stage codegen (no CodegenFallback)") {
     Native.register(spark)
     import graft.queries.SimOps.ndot
