@@ -82,32 +82,37 @@ object Cleaning extends QueryPack {
       }),
 
     // The reference's actual cleaning pipeline composed end-to-end
-    // (trainer/flax_model.py:79-95): values outside the valid range are
-    // replaced by their smoothed 3x3-neighborhood mean (the relational
+    // (trainer/flax_model.py:79-95): cell values outside the valid range
+    // are replaced by the smoothed 3x3-neighborhood value (the relational
     // gaussian_filter analog — smoothing reads ALL cells, invalid included,
     // exactly like the reference), then the whole surface is clipped to the
     // range. Grid = (user, day) over events, valid range = [10, 180]
     // (analog of the [200, 330] K LST band). The offset table broadcasts;
-    // the grid shuffles once on its key; neighbor sums are exact DECIMAL so
-    // merge order cannot perturb the imputed values at any scale.
+    // the grid shuffles once on its key. Numerics: per-cell and neighbor
+    // sums stay exact DECIMAL until ONE final double division, so every
+    // emitted double is bit-identical across engines and shuffle orders —
+    // no ROUND knife-edges (an intermediate double->DECIMAL(30,10) re-cast
+    // here once manufactured an exact round-half tie at sf0.01).
     Q(
       "clean_impute_neighborhood_clip",
       Some("""WITH grid AS (
              |  SELECT user_id AS u,
              |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS d,
-             |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS v
+             |         SUM(CAST(value AS DECIMAL(18,6))) AS sv,
+             |         COUNT(*) AS n
              |  FROM events GROUP BY 1, 2),
              |offs AS (SELECT a.dy, b.dx
              |         FROM (VALUES (-1), (0), (1)) a(dy), (VALUES (-1), (0), (1)) b(dx)),
              |sm AS (
-             |  SELECT g.u, g.d, g.v,
-             |    CAST(SUM(CAST(n.v AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS smoothed
+             |  SELECT g.u, g.d,
+             |    CAST(g.sv AS DOUBLE) / g.n AS v,
+             |    CAST(SUM(ng.sv) AS DOUBLE) / SUM(ng.n) AS smoothed
              |  FROM grid g JOIN offs o ON TRUE
-             |  JOIN grid n ON n.u = g.u + o.dy AND n.d = g.d + o.dx
-             |  GROUP BY 1, 2, 3)
+             |  JOIN grid ng ON ng.u = g.u + o.dy AND ng.d = g.d + o.dx
+             |  GROUP BY g.u, g.d, g.sv, g.n)
              |SELECT u, d,
-             |  ROUND(greatest(10.0, least(180.0,
-             |    CASE WHEN v < 10 OR v > 180 THEN smoothed ELSE v END)), 6) AS cleaned
+             |  greatest(10.0, least(180.0,
+             |    CASE WHEN v < 10 OR v > 180 THEN smoothed ELSE v END)) AS cleaned
              |FROM sm ORDER BY u, d""".stripMargin),
       (s, dir) => {
         val grid = Tables(s, dir, "events")
@@ -115,22 +120,26 @@ object Cleaning extends QueryPack {
             col("user_id").as("u"),
             datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
               .cast("int").as("d"))
-          .agg((dsum(col("value")) / cnt).as("v"))
+          .agg(
+            sum(col("value").cast(DecimalType(18, 6))).as("sv"),
+            cnt.as("n"))
         val offs = s.createDataFrame(
           for { dy <- Seq(-1, 0, 1); dx <- Seq(-1, 0, 1) } yield (dy, dx))
           .toDF("dy", "dx")
-        val n = grid.select(
-          col("u").as("nu"), col("d").as("nd"), col("v").as("nv"))
+        val ng = grid.select(
+          col("u").as("nu"), col("d").as("nd"),
+          col("sv").as("nsv"), col("n").as("nn"))
         val sm = grid.crossJoin(broadcast(offs))
-          .join(n, col("nu") === col("u") + col("dy") && col("nd") === col("d") + col("dx"))
-          .groupBy("u", "d", "v")
-          .agg((sum(col("nv").cast(DecimalType(30, 10))).cast("double") / cnt)
-            .as("smoothed"))
+          .join(ng, col("nu") === col("u") + col("dy") && col("nd") === col("d") + col("dx"))
+          .groupBy("u", "d", "sv", "n")
+          .agg(
+            (sum(col("nsv")).cast("double") / sum(col("nn"))).as("smoothed"))
+          .withColumn("v", col("sv").cast("double") / col("n"))
         sm.select(
           col("u"), col("d"),
-          round(greatest(lit(10.0), least(lit(180.0),
+          greatest(lit(10.0), least(lit(180.0),
             when(col("v") < 10 || col("v") > 180, col("smoothed"))
-              .otherwise(col("v")))), 6).as("cleaned"))
+              .otherwise(col("v")))).as("cleaned"))
           .orderBy("u", "d")
       }),
 

@@ -36,6 +36,41 @@ class EdgeCaseSpec extends SparkSpec {
     assert(const.agg(Fns.dstddev(col("v"))).collect().head.getDouble(0) == 0.0)
   }
 
+  test("palette interp covers every class id 0..8 with in-range uint8 RGB") {
+    // np.interp twin: class 8 maps to ramp position x = 226*9/255 < 8, so
+    // the hi-knot join (k+1 <= 8) never falls off the palette.
+    val px = (0 to 8).map(v => (v.toLong, v)).toDF("event_id", "v")
+    val pal = graft.queries.MLOps.Palette
+    assert(pal.length == 9 && pal.forall(_.matches("[0-9A-F]{6}")))
+    val ci = floor(col("v").cast("double") / 9.0 * 255.0)
+    val k = floor(ci * 9.0 / 255.0).cast("int")
+    val ks = px.select(col("v"), k.as("k")).as[(Int, Int)].collect()
+    assert(ks.forall { case (_, kk) => kk >= 0 && kk <= 7 })
+  }
+
+  test("simhash banding guarantees recall at Hamming <= 3") {
+    // Pigeonhole: 3 differing bits corrupt at most 3 of the 4 disjoint
+    // 8-bit bands. Exhaustively flip any 3 of 32 bits and assert at least
+    // one band survives intact.
+    val sig = 0x5A3C96E1L
+    val flips = for {
+      a <- 0 until 32; b <- a until 32; c <- b until 32
+    } yield sig ^ (1L << a) ^ (1L << b) ^ (1L << c)
+    flips.foreach { other =>
+      val shared = (0 until 4).exists(band =>
+        ((sig >> (8 * band)) & 0xFF) == ((other >> (8 * band)) & 0xFF))
+      assert(shared, f"no shared band for flip pattern ${sig ^ other}%08x")
+    }
+  }
+
+  test("seeded split bucket is stable for a known key") {
+    val df = Seq(1L).toDF("k")
+      .select(graft.ml.SeededSplit.bucket(col("k"), 42L).as("b"))
+    val b1 = df.collect().head.getLong(0)
+    assert(b1 >= 0 && b1 < 100)
+    assert(df.collect().head.getLong(0) == b1) // re-evaluation stable
+  }
+
   test("row_number tie-break is total: equal sort keys resolved by id") {
     val df = Seq((1, 10.0, "a"), (2, 10.0, "b"), (3, 10.0, "c"))
       .toDF("id", "v", "tag")
