@@ -25,6 +25,13 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Joins extends QueryPack {
 
+  /** Final executed plan of the last `join_skew_aqe` materialization —
+    * captured inside the query because the skew-enabled execution happens
+    * eagerly under the temporarily-lowered AQE thresholds (PlanShapeSpec
+    * asserts the skew split on this string).
+    */
+  @volatile private[graft] var lastSkewPlan: String = ""
+
   private val revenue =
     sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
       .cast(DecimalType(18, 6))).cast("double")
@@ -233,6 +240,77 @@ object Joins extends QueryPack {
           .groupBy("o_orderpriority")
           .agg(cnt.as("n"), revenue.as("rev"))
           .orderBy("o_orderpriority")
+      }),
+
+    // AQE skew-join: the join-side twin of agg_salted_skew. 75% of lineitem
+    // rows are funneled onto one hot key, the dim side is kept un-broadcast
+    // (hint merge), and AQE's runtime skew handling splits the hot shuffle
+    // partition into advisory-sized chunks (plan-asserted in PlanShapeSpec)
+    // — no manual salting of the JOIN needed. The skew thresholds are
+    // lowered only while THIS query materializes (eager cache + restore),
+    // because test/bench partitions are far below the production 256 MB
+    // default; at real scale the defaults fire the same path.
+    Q(
+      "join_skew_aqe",
+      Some("""WITH f AS (SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0 ELSE l_orderkey END AS hk,
+             |                 l_extendedprice FROM lineitem),
+             |d AS (SELECT CASE WHEN o_orderkey % 4 <> 0 THEN 0 ELSE o_orderkey END AS hk,
+             |             COUNT(*) AS n_orders FROM orders GROUP BY 1)
+             |SELECT CASE WHEN f.hk = 0 THEN 1 ELSE 0 END AS is_hot,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             |  CAST(MAX(d.n_orders) AS BIGINT) AS max_orders
+             |FROM f JOIN d ON f.hk = d.hk
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val skewConfs = Seq(
+          "spark.sql.adaptive.skewJoin.enabled" -> "true",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB")
+        val saved = skewConfs.map { case (k, _) => k -> s.conf.getOption(k) }
+        skewConfs.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val hotL = when(col("l_orderkey") % 4 =!= 0, lit(0L))
+            .otherwise(col("l_orderkey"))
+          val hotO = when(col("o_orderkey") % 4 =!= 0, lit(0L))
+            .otherwise(col("o_orderkey"))
+          // Skew splitting carves a hot reduce partition along MAP-task
+          // boundaries — with the whole fact in one cached partition (one
+          // mapper) there is nothing to carve, so spread the map side the
+          // way a real multi-file fact table already is.
+          val f = Tables(s, dir, "lineitem")
+            .select(hotL.as("hk"), col("l_extendedprice"))
+            .repartition(8)
+          // Materialize the dim first: OptimizeSkewedJoin only matches
+          // SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) — an aggregation
+          // between its own shuffle and the join blocks the rewrite, and a
+          // cached relation that PRESERVES hash partitioning on the join
+          // key skips the join-side exchange entirely. Round-robin
+          // repartition before caching discards that partitioning, so the
+          // join inserts fresh ENSURE_REQUIREMENTS shuffles on both sides —
+          // the exact shape the skew rule can split.
+          val d = Tables(s, dir, "orders")
+            .select(hotO.as("hk"))
+            .groupBy("hk").agg(cnt.as("n_orders"))
+            .repartition(4)
+            .cache()
+          d.count()
+          val out = f.join(d.hint("merge"), "hk")
+            .groupBy(when(col("hk") === 0, 1).otherwise(0).as("is_hot"))
+            .agg(
+              cnt.as("n"),
+              dsum(col("l_extendedprice")).as("s"),
+              max("n_orders").cast("long").as("max_orders"))
+            .orderBy("is_hot")
+          out.collect() // execute while the skew confs are in force
+          lastSkewPlan = out.queryExecution.executedPlan.toString
+            .split("== Initial Plan ==").head
+          out
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
       }),
 
     // Interval-overlap join: lineitems shipped within 90 days of their

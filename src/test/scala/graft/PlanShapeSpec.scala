@@ -59,6 +59,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("AQE splits the hot partition in the skew join") {
+    Registry.byId("join_skew_aqe").run(spark, sf)
+    // run() executed eagerly under the lowered skew thresholds and stashed
+    // AQE's final plan; the skew split marks the join and/or shuffle read.
+    val p = graft.queries.Joins.lastSkewPlan
+    assert(p.contains("skew=true") || p.contains("isSkewJoin=true") ||
+      p.contains("skewed"), p)
+  }
+
   test("bucketed co-located join has no exchange above the sort-merge join") {
     val df = Registry.byId("join_bucketed_colocated").run(spark, sf)
     df.collect()
