@@ -80,6 +80,26 @@ object Aggregations extends QueryPack {
         Tables(s, dir, "events")
           .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
 
+    // MERGEABLE distinct-count sketches (Apache DataSketches HLL): build one
+    // sketch per event_type, then union the serialized sketches into the
+    // global estimate. This two-level shape is THE 100 TB distinct-count
+    // pattern — per-partition/per-day sketches persist as tiny binaries and
+    // any rollup (day->month, type->global) is a cheap union, never a
+    // re-scan of raw data. Sketch bytes are engine-specific => smoke/spec
+    // contract (HllSketchSpec asserts the union equals the direct sketch
+    // estimate and is within 5% of exact).
+    Q(
+      "agg_hll_sketch_union",
+      None,
+      (s, dir) => {
+        val perType = Tables(s, dir, "events")
+          .groupBy("event_type")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        perType
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_users"))
+          .select(col("merged_users").cast("long").as("merged_users"))
+      }),
+
     Q(
       "agg_rollup_grouping_sets",
       Some("""SELECT r_name, n_name,

@@ -75,6 +75,30 @@ object Windows extends QueryPack {
           .orderBy("user_id", "event_id")
       }),
 
+    // Time-interval RANGE frame: per event, how many events the same user
+    // produced in the preceding hour (inclusive). The frame is defined on
+    // epoch seconds in BOTH engines (floor-truncated identically), so peers
+    // at the same second are all included and the count is tie-order-free.
+    // Partition-local over user_id — one shuffle, bounded per-key state.
+    Q(
+      "window_range_interval",
+      Some("""SELECT event_id,
+             |  CAST(COUNT(*) OVER (PARTITION BY user_id
+             |                      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             |                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS n_last_hour
+             |FROM events ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").cast("long"))
+          .rangeBetween(-3600, Window.currentRow)
+        Tables(s, dir, "events")
+          .select(
+            col("event_id"),
+            count(lit(1)).over(w).cast("long").as("n_last_hour"))
+          .orderBy("event_id")
+      }),
+
     // Centered 3-row moving average of exact daily revenue (the 1-D
     // separable analog of the reference's Gaussian smoothing). Written as an
     // explicit lag/cur/lead chain so the summation order is pinned.
