@@ -323,6 +323,93 @@ object DedupOps extends QueryPack {
           .orderBy("split")
       }),
 
+    // The transitive-closure step a real corpus dedup ends with: near-dup
+    // PAIRS (top-30 5-gram Jaccard edges) are only locally pairwise — if
+    // A~B and B~C, all three are one duplicate cluster even when A~C was
+    // never scored. Connected components via iterative min-label
+    // propagation: each round every node takes the min label among itself
+    // and its neighbors (two equi-joins + a min-aggregate — all keyed on
+    // doc_id, no driver-side graph), until a fixpoint; converges in
+    // O(component diameter) rounds. The DuckDB oracle computes the same
+    // components exactly with a recursive-CTE reachability closure, so the
+    // fixpoint itself is oracle-checked. At 100 TB the edge list is the
+    // (bounded) output of the LSH/banding stages and each round is one
+    // shuffle on doc_id.
+    Q(
+      "dedup_cc_clusters",
+      Some("""WITH RECURSIVE
+             |d AS (SELECT doc_id, lower(text) AS tx FROM documents WHERE doc_id < 100),
+             |g AS (SELECT DISTINCT doc_id, substr(tx, CAST(i AS INT), 5) AS gram
+             |      FROM d, unnest(range(1, len(tx)-3)) AS r(i)),
+             |sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
+             |inter AS (SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS i
+             |          FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+             |          GROUP BY 1, 2),
+             |e AS (SELECT da, db FROM inter
+             |      JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+             |      ORDER BY CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) DESC, da, db
+             |      LIMIT 30),
+             |nodes AS (SELECT da AS doc FROM e UNION SELECT db FROM e),
+             |reach(src, dst) AS (
+             |  SELECT doc, doc FROM nodes
+             |  UNION
+             |  SELECT r.src, CASE WHEN e.da = r.dst THEN e.db ELSE e.da END
+             |  FROM reach r JOIN e ON r.dst = e.da OR r.dst = e.db),
+             |comp AS (SELECT src AS doc, MIN(dst) AS comp FROM reach GROUP BY 1)
+             |SELECT comp AS rep_doc, CAST(COUNT(*) AS BIGINT) AS csize
+             |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), lower(col("text")).as("tx"))
+        val g = d
+          .select(col("doc_id"), col("tx"),
+            explode(sequence(lit(1), length(col("tx")) - 4)).as("i"))
+          .select(col("doc_id"), expr("substring(tx, i, 5)").as("gram"))
+          .distinct()
+        val sz = g.groupBy("doc_id").agg(cnt.as("sz"))
+        val jac = col("i").cast("double") / (col("sa") + col("sb") - col("i"))
+        val e = g.as("x")
+          .join(g.as("y"),
+            col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .agg(cnt.as("i"))
+          .join(sz.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
+          .join(sz.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
+          .orderBy(jac.desc, col("da"), col("db"))
+          .limit(30)
+          .select(col("da"), col("db"))
+          .cache()
+        e.count()
+        // localCheckpoint (not cache) each round: caching keeps the full
+        // logical lineage, which triples per round here (labels referenced
+        // three times) and blows up the analyzer; checkpointing truncates
+        // the plan so every round optimizes a constant-size tree.
+        var labels = e.select(col("da").as("doc"))
+          .union(e.select(col("db").as("doc")))
+          .distinct()
+          .withColumn("lbl", col("doc"))
+          .localCheckpoint()
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 50) {
+          val msgs = e.join(labels, col("da") === col("doc"))
+            .select(col("db").as("m_doc"), col("lbl").as("m_lbl"))
+            .union(e.join(labels, col("db") === col("doc"))
+              .select(col("da").as("m_doc"), col("lbl").as("m_lbl")))
+            .union(labels.select(col("doc").as("m_doc"), col("lbl").as("m_lbl")))
+          val next = msgs.groupBy(col("m_doc").as("doc"))
+            .agg(min("m_lbl").as("lbl"))
+            .localCheckpoint()
+          changed = next.as("n").join(labels.as("o"), "doc")
+            .filter(col("n.lbl") =!= col("o.lbl")).count()
+          labels = next
+          rounds += 1
+        }
+        labels.groupBy(col("lbl").as("rep_doc")).agg(cnt.as("csize"))
+          .orderBy("rep_doc")
+      }),
+
     // Typed-Aggregator variant (SURVEY.md §4.3 custom piece): same signature
     // as dedup_minhash_lsh's declarative form, computed by the MinHashAgg
     // UDAF (partial-aggregating, k longs per doc over the shuffle). No SQL
