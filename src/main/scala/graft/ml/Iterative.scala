@@ -116,13 +116,13 @@ object KMeansLloyd {
     import org.apache.spark.sql.functions.{call_function => cf}
     val k = centroids.length
     val dim = centroids.head.length
-    val cLits = centroids.map(c => array(c.map(lit): _*))
+    val cLits = centroids.map(c => array(c.toIndexedSeq.map(lit): _*))
     // |x - c|^2 = x.x - 2 x.c + c.c ; x.x constant per row, omit.
     val dists = cLits.zipWithIndex.map { case (c, i) =>
       (cf("graft_dot", c, c) - lit(2.0) * cf("graft_dot", col("embedding"), c))
         .as(s"d$i")
     }
-    val assigned = e.select((col("vec_id") +: col("embedding") +: dists): _*)
+    val assigned = e.select((col("vec_id") +: col("embedding") +: dists.toIndexedSeq): _*)
     val clusterCol = (1 until k).foldLeft(
       struct(col("d0").as("d"), lit(0).as("c"))) { (best, i) =>
       when(col(s"d$i") < best("d"),

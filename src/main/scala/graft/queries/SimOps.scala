@@ -65,7 +65,7 @@ object SimOps extends QueryPack {
     Array.tabulate(16, 64)((i, j) => ((19 * i + 7 * j) % 13) - 6)
 
   private def planeLit(i: Int): Column =
-    array(Planes(i).map(w => lit(w.toFloat)): _*)
+    array(Planes(i).toIndexedSeq.map(w => lit(w.toFloat)): _*)
 
   private def planeSql(i: Int): String =
     Planes(i).mkString("[", ", ", "]::DOUBLE[]")
