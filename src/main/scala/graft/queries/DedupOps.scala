@@ -385,10 +385,16 @@ object DedupOps extends QueryPack {
         // logical lineage, which triples per round here (labels referenced
         // three times) and blows up the analyzer; checkpointing truncates
         // the plan so every round optimizes a constant-size tree.
+        // coalesce(1): the label relation is at most 2x|edges| rows (60
+        // here); without it every tiny round schedules 32-partition jobs
+        // and the fixpoint loop is pure task-launch overhead. At real
+        // scale the edge list is still the (bounded) near-dup candidate
+        // output, orders of magnitude smaller than the corpus.
         var labels = e.select(col("da").as("doc"))
           .union(e.select(col("db").as("doc")))
           .distinct()
           .withColumn("lbl", col("doc"))
+          .coalesce(1)
           .localCheckpoint()
         var changed = 1L
         var rounds = 0
@@ -400,6 +406,7 @@ object DedupOps extends QueryPack {
             .union(labels.select(col("doc").as("m_doc"), col("lbl").as("m_lbl")))
           val next = msgs.groupBy(col("m_doc").as("doc"))
             .agg(min("m_lbl").as("lbl"))
+            .coalesce(1)
             .localCheckpoint()
           changed = next.as("n").join(labels.as("o"), "doc")
             .filter(col("n.lbl") =!= col("o.lbl")).count()

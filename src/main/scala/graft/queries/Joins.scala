@@ -303,10 +303,14 @@ object Joins extends QueryPack {
               dsum(col("l_extendedprice")).as("s"),
               max("n_orders").cast("long").as("max_orders"))
             .orderBy("is_hot")
-          out.collect() // execute while the skew confs are in force
+          val rows = out.collect() // execute while the skew confs are in force
           lastSkewPlan = out.queryExecution.executedPlan.toString
             .split("== Initial Plan ==").head
-          out
+          // Return the computed rows as a local relation: the skew-enabled
+          // execution above IS the query; re-running it lazily under the
+          // restored confs would just repeat the join without the demo.
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
         } finally saved.foreach {
           case (k, Some(v)) => s.conf.set(k, v)
           case (k, None) => s.conf.unset(k)

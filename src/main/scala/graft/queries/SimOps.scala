@@ -67,6 +67,23 @@ object SimOps extends QueryPack {
   private def planeLit(i: Int): Column =
     array(Planes(i).toIndexedSeq.map(w => lit(w.toFloat)): _*)
 
+  /** Product-quantization parameters: 4 subspaces x 16 dims, 4 codewords
+    * per subspace, deterministic small-integer codebook (public-knowledge
+    * PQ/ADC design, Jegou et al.; fixed integers keep both engines exact).
+    */
+  private[graft] val PqSubs = 4
+  private[graft] val PqSubDim = 16
+  private[graft] val PqCodes = 4
+  private[graft] val PqCodebook: Array[Array[Array[Int]]] =
+    Array.tabulate(PqSubs, PqCodes, PqSubDim)(
+      (si, c, j) => ((3 * si + 5 * c + j) % 7) - 3)
+
+  /** |codeword|^2, exact in Int arithmetic, inlined as a literal in both
+    * engines.
+    */
+  private def pqCc(si: Int, c: Int): Double =
+    PqCodebook(si)(c).map(w => w * w).sum.toDouble
+
   private def planeSql(i: Int): String =
     Planes(i).mkString("[", ", ", "]::DOUBLE[]")
 
@@ -300,6 +317,88 @@ object SimOps extends QueryPack {
               .as("cos"))
           .withColumn("rn", row_number().over(ws).cast("int"))
           .filter(col("rn") <= 3)
+          .orderBy("qa", "rn")
+      }),
+
+    // ANN via PRODUCT QUANTIZATION (asymmetric distance computation): the
+    // 64-dim vector splits into 4 subspaces of 16 dims; each subspace
+    // quantizes to the nearest of 4 fixed codewords, so every vector
+    // compresses to 4 small codes (1 byte total vs 256 bytes of floats) —
+    // at 100 TB the scan runs over the code table, never the raw vectors.
+    // A query precomputes its 4x4 lookup table of exact sub-distances once;
+    // per candidate the approximate distance is 4 table lookups. Fixed
+    // integer codebook => both engines compute identical doubles and the
+    // whole path is oracle-checkable.
+    Q(
+      "sim_ann_pq_topk", {
+        def cbSql(si: Int, c: Int): String =
+          PqCodebook(si)(c).mkString("[", ", ", "]::DOUBLE[]")
+        def subSql(si: Int): String =
+          s"embedding[${si * PqSubDim + 1}:${(si + 1) * PqSubDim}]"
+        def dotSql(si: Int, c: Int): String =
+          s"list_sum(list_transform(list_zip(${subSql(si)}, ${cbSql(si, c)}), " +
+            "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
+        def qqSql(si: Int): String =
+          s"list_sum(list_transform(${subSql(si)}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        // code_s = index of first-minimal (cc - 2 v.c) over the 4 codewords.
+        def codeSql(si: Int): String = {
+          val ds = (0 until PqCodes).map(c => s"(${pqCc(si, c)} - 2 * ${dotSql(si, c)})")
+          s"""CASE WHEN ${ds(0)} <= ${ds(1)} AND ${ds(0)} <= ${ds(2)} AND ${ds(0)} <= ${ds(3)} THEN 0
+             |     WHEN ${ds(1)} <= ${ds(2)} AND ${ds(1)} <= ${ds(3)} THEN 1
+             |     WHEN ${ds(2)} <= ${ds(3)} THEN 2 ELSE 3 END AS code$si""".stripMargin
+        }
+        val codeCols = (0 until PqSubs).map(codeSql).mkString(",\n")
+        val lutCols = (for (si <- 0 until PqSubs; c <- 0 until PqCodes) yield
+          s"${qqSql(si)} - 2 * ${dotSql(si, c)} + ${pqCc(si, c)} AS ql_${si}_$c")
+          .mkString(",\n")
+        val adistSql = (0 until PqSubs).map { si =>
+          s"(CASE code$si ${(0 until PqCodes)
+            .map(c => s"WHEN $c THEN ql_${si}_$c").mkString(" ")} END)"
+        }.mkString(" + ")
+        Some(s"""WITH codes AS (SELECT vec_id AS qb, $codeCols FROM embeddings),
+                |q AS (SELECT vec_id AS qa, $lutCols FROM embeddings WHERE vec_id < 20),
+                |p AS (SELECT qa, qb, $adistSql AS adist
+                |      FROM q, codes WHERE qa <> qb),
+                |r AS (SELECT qa, qb, adist,
+                |        row_number() OVER (PARTITION BY qa ORDER BY adist, qb) AS rn
+                |      FROM p)
+                |SELECT qa, qb, ROUND(adist, 6) AS adist, CAST(rn AS INT) AS rn
+                |FROM r WHERE rn <= 3 ORDER BY qa, rn""".stripMargin)
+      },
+      (s, dir) => {
+        native(s)
+        val e = Tables(s, dir, "embeddings")
+        def subv(si: Int): Column =
+          slice(col("embedding"), si * PqSubDim + 1, PqSubDim)
+        def cbLit(si: Int, c: Int): Column =
+          array(PqCodebook(si)(c).toIndexedSeq.map(w => lit(w.toFloat)): _*)
+        val codeCols = (0 until PqSubs).map { si =>
+          val ds = (0 until PqCodes).map(c =>
+            lit(pqCc(si, c)) - lit(2.0) * ndot(subv(si), cbLit(si, c)))
+          when(ds(0) <= ds(1) && ds(0) <= ds(2) && ds(0) <= ds(3), 0)
+            .when(ds(1) <= ds(2) && ds(1) <= ds(3), 1)
+            .when(ds(2) <= ds(3), 2)
+            .otherwise(3)
+            .as(s"code$si")
+        }
+        val codes = e.select((col("vec_id").as("qb") +: codeCols): _*)
+        val lutCols = for (si <- 0 until PqSubs; c <- 0 until PqCodes) yield
+          (ndot(subv(si), subv(si)) - lit(2.0) * ndot(subv(si), cbLit(si, c)) +
+            lit(pqCc(si, c))).as(s"ql_${si}_$c")
+        val q = e.filter(col("vec_id") < 20)
+          .select((col("vec_id").as("qa") +: lutCols.toIndexedSeq): _*)
+        val adist = (0 until PqSubs).map { si =>
+          element_at(
+            array((0 until PqCodes).map(c => col(s"ql_${si}_$c")): _*),
+            col(s"code$si") + 1)
+        }.reduce(_ + _)
+        val w = Window.partitionBy("qa").orderBy(col("adist"), col("qb"))
+        broadcast(q).crossJoin(codes)
+          .filter(col("qa") =!= col("qb"))
+          .withColumn("adist", adist)
+          .withColumn("rn", row_number().over(w).cast("int"))
+          .filter(col("rn") <= 3)
+          .select(col("qa"), col("qb"), round(col("adist"), 6).as("adist"), col("rn"))
           .orderBy("qa", "rn")
       }),
 
