@@ -10,25 +10,45 @@ import org.apache.spark.sql.functions._
   */
 class AnnRecallSpec extends SparkSpec {
 
-  test("LSH ANN recall@3 >= 0.4 vs exact top-3") {
+  private lazy val exactTop3 = {
     import graft.queries.SimOps.{dot, norm}
     val e = Tables(spark, sf, "embeddings")
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qa"), col("embedding").as("ea"))
     val all = e.select(col("vec_id").as("qb"), col("embedding").as("eb"))
     val w = Window.partitionBy("qa").orderBy(col("cos").desc, col("qb"))
-    val exact = broadcast(q).crossJoin(all)
+    broadcast(q).crossJoin(all)
       .filter(col("qa") =!= col("qb"))
       .select(col("qa"), col("qb"),
         (dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb")))).as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("qa", "qb")
-    val ann = Registry.byId("sim_ann_lsh_topk").run(spark, sf).select("qa", "qb")
-    val nExact = exact.count()
-    val overlap = exact.intersect(ann).count()
+      .cache()
+  }
+
+  private def recallOf(id: String): Double = {
+    val ann = Registry.byId(id).run(spark, sf).select("qa", "qb")
+    val nExact = exactTop3.count()
+    val overlap = exactTop3.intersect(ann).count()
     val recall = overlap.toDouble / nExact
-    info(f"recall@3 = $recall%.3f ($overlap of $nExact)")
-    assert(recall >= 0.4, f"recall $recall%.3f below 0.4")
+    info(f"$id recall@3 = $recall%.3f ($overlap of $nExact)")
+    recall
+  }
+
+  test("LSH ANN recall@3 >= 0.4 vs exact top-3") {
+    assert(recallOf("sim_ann_lsh_topk") >= 0.4)
+  }
+
+  test("IVF ANN recall@3 >= 0.4 vs exact top-3") {
+    assert(recallOf("sim_ann_ivf_topk") >= 0.4)
+  }
+
+  test("PQ ANN beats random-candidate recall") {
+    // 4 codewords over 4 subspaces is a deliberately coarse 1-byte code;
+    // the contract is that ADC ranking carries real signal, i.e. clearly
+    // above the ~3/N random-top-3 floor (N≈1000 ⇒ ~0.003). Measured 0.050
+    // on sf0.001; asserted with slack.
+    assert(recallOf("sim_ann_pq_topk") >= 0.02)
   }
 }
