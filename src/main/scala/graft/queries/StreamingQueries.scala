@@ -36,6 +36,22 @@ object StreamingQueries extends QueryPack {
   private val metricsSpools =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
+  /** Run a true-streaming body with a state-store-sized shuffle-partition
+    * count. Stateful micro-batch queries pay per-partition state-store
+    * overhead (one store + checkpoint delta per partition per batch); the
+    * demo streams hold only a few thousand keys, so 32 partitions are pure
+    * overhead, while at production volume this knob is exactly the one a
+    * real deployment sizes to its key cardinality. The stream executes
+    * eagerly inside `body` (awaitTermination), so restoring the conf after
+    * cannot affect results.
+    */
+  private def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.getOption(key)
+    s.conf.set(key, n.toString)
+    try body finally old.fold(s.conf.unset(key))(s.conf.set(key, _))
+  }
+
   private[graft] def eventsStream(
       s: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
@@ -208,7 +224,7 @@ object StreamingQueries extends QueryPack {
     Q(
       "stream_custom_state_sessions",
       None,
-      (s, dir) => {
+      (s, dir) => withStreamPartitions(s, 8) {
         import s.implicits._
         import graft.streaming.Sessionize
         val sink = s"sess_${java.util.UUID.randomUUID.toString.replace("-", "")}"
@@ -244,7 +260,7 @@ object StreamingQueries extends QueryPack {
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
              |  CAST(COUNT(*) AS BIGINT) AS n
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
-      (s, dir) => {
+      (s, dir) => withStreamPartitions(s, 8) {
         val out = s"${System.getProperty("java.io.tmpdir")}/graft_feb_sink"
         val ckpt = java.nio.file.Files
           .createTempDirectory("graft_feb_ckpt").toString
@@ -284,7 +300,7 @@ object StreamingQueries extends QueryPack {
              |         + (CASE WHEN MIN(day(ts)) <= 20 THEN 1 ELSE 0 END) AS INT)
              |    AS n_versions
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-      (s, dir) => {
+      (s, dir) => withStreamPartitions(s, 8) {
         // One file per generation so the stream genuinely tails the log
         // incrementally (3 micro-batches), not as one bulk load.
         val logDir = metricsSpools.getOrElseUpdate(
@@ -333,7 +349,7 @@ object StreamingQueries extends QueryPack {
     Q(
       "stream_late_data_policy",
       None,
-      (s, dir) => {
+      (s, dir) => withStreamPartitions(s, 8) {
         val sink = s"mem_${java.util.UUID.randomUUID.toString.replace("-", "")}"
         val ckpt = java.nio.file.Files
           .createTempDirectory("graft_stream_ckpt").toString
