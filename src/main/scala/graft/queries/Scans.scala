@@ -94,6 +94,31 @@ object Scans extends QueryPack {
           .orderBy("lang")
       }),
 
+    // Raw text-lines round-trip (the corpus interchange format LLM
+    // pipelines actually exchange — one document per line): write the
+    // document bodies as a text sink, stream them back through the line
+    // source, aggregate. Line-level stats must equal the same aggregate
+    // straight off parquet (the driver data is newline-free, verified).
+    Q(
+      "scan_text_lines",
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+             |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+             |  CAST(MIN(length(text)) AS INT) AS min_len,
+             |  CAST(MAX(length(text)) AS INT) AS max_len
+             |FROM documents""".stripMargin),
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_text_docs"
+        Tables(s, dir, "documents")
+          .select("text")
+          .write.mode("overwrite").text(tmp)
+        s.read.text(tmp)
+          .agg(
+            cnt.as("n_lines"),
+            sum(length(col("value"))).cast("long").as("n_chars"),
+            min(length(col("value"))).cast("int").as("min_len"),
+            max(length(col("value"))).cast("int").as("max_len"))
+      }),
+
     // Partitioned layout + partition pruning: write orders laid out by
     // year (the 100 TB practice — time-partitioned facts), read back with a
     // partition filter. The plan shows PartitionFilters pruning the scan to
