@@ -19,7 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * the result is BIT-EQUAL to the composed form (asserted in NativeDotSpec)
   * and DuckDB-oracle-safe.
   *
-  * Semantics: null if either array is null; common prefix on ragged arrays
+  * Semantics: null if either array is null OR any scanned element slot is
+  * null (parquet lists declare nullable elements; a null slot read as
+  * getFloat would be garbage, so element nulls propagate to a null result —
+  * identical to the composed zip_with form); common prefix on ragged arrays
   * (our embeddings are fixed 64-dim); zero vectors yield NaN (0/0) exactly
   * like the composed form.
   */
@@ -49,15 +52,19 @@ case class CosineSim(left: Expression, right: Expression)
     var aa = 0.0
     var bb = 0.0
     var i = 0
-    while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
-      ab += xi * yi
-      aa += xi * xi
-      bb += yi * yi
-      i += 1
+    var anyNull = false
+    while (i < n && !anyNull) {
+      if (x.isNullAt(i) || y.isNullAt(i)) anyNull = true
+      else {
+        val xi = x.getFloat(i).toDouble
+        val yi = y.getFloat(i).toDouble
+        ab += xi * yi
+        aa += xi * xi
+        bb += yi * yi
+        i += 1
+      }
     }
-    ab / (math.sqrt(aa) * math.sqrt(bb))
+    if (anyNull) null else ab / (math.sqrt(aa) * math.sqrt(bb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -69,15 +76,19 @@ case class CosineSim(left: Expression, right: Expression)
       val bb = ctx.freshName("bb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
+         |boolean $anyNull = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
          |  double $xi = (double) $a.getFloat($i);
          |  double $yi = (double) $b.getFloat($i);
          |  $ab += $xi * $yi; $aa += $xi * $xi; $bb += $yi * $yi;
          |}
-         |${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+         |if ($anyNull) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb)); }
        """.stripMargin
     })
 

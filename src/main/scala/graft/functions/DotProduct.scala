@@ -21,10 +21,14 @@ import org.apache.spark.sql.SparkSessionExtensions
   * codegen stage. Accumulation order is identical to the declarative form
   * (left-to-right), so results are bit-equal and DuckDB-oracle-safe.
   *
-  * Semantics: null if either array is null; elements are read as floats and
-  * widened to double; arrays of unequal length use the common prefix (our
-  * embeddings are fixed 64-dim; zip_with would null-propagate instead — do
-  * not feed ragged arrays).
+  * Semantics: null if either array is null OR any scanned element slot is
+  * null (the parquet list type declares nullable elements even though our
+  * embeddings never contain one, and reading a null slot as getFloat would
+  * yield garbage — so element nulls propagate to a null result, exactly
+  * like the composed `aggregate(zip_with(...))` form); elements are read as
+  * floats and widened to double; arrays of unequal length use the common
+  * prefix (our embeddings are fixed 64-dim; zip_with would null-propagate
+  * instead — do not feed ragged arrays).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -50,11 +54,15 @@ case class DotProduct(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
+    var anyNull = false
+    while (i < n && !anyNull) {
+      if (x.isNullAt(i) || y.isNullAt(i)) anyNull = true
+      else {
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
     }
-    acc
+    if (anyNull) null else acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -62,13 +70,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
+         |boolean $anyNull = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
          |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
-         |${ev.value} = $acc;
+         |if ($anyNull) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
        """.stripMargin
     })
 

@@ -32,13 +32,19 @@ final case class ModelCheckpoint(spark: SparkSession, dir: String, keep: Int = 3
       .foreach(old => fs.delete(new Path(s"$dir/step=$old"), true))
   }
 
-  /** Steps currently on disk (unordered). */
+  /** COMMITTED steps currently on disk (unordered). A step counts only if
+    * its directory carries the committer's `_SUCCESS` marker: a driver
+    * crash mid-save — the exact failure checkpointing exists to survive —
+    * leaves a partial `step=n` dir with no marker, and restoreLatest must
+    * fall back to the last complete step instead of restoring torn state.
+    */
   def steps: Seq[Int] = {
     val p = new Path(dir)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .map(_.getPath.getName)
       .filter(_.startsWith("step="))
+      .filter(n => fs.exists(new Path(s"$dir/$n/_SUCCESS")))
       .map(_.stripPrefix("step=").toInt)
   }
 

@@ -186,7 +186,13 @@ object DedupOps extends QueryPack {
         val d = Tables(s, dir, "documents")
           .filter(col("doc_id") < 100)
           .select(col("doc_id"), lower(col("text")).as("tx"))
+        // length >= 5 guard: for shorter text Spark's sequence(1, len-4)
+        // auto-selects step -1 and emits a DESCENDING sequence (1, 0, ...),
+        // manufacturing bogus grams from zero/negative substring positions,
+        // while DuckDB's range(1, len-3) is simply empty. Filtering first
+        // makes both engines agree: sub-5-char docs contribute no grams.
         val g = d
+          .filter(length(col("tx")) >= 5)
           .select(col("doc_id"), col("tx"),
             explode(sequence(lit(1), length(col("tx")) - 4)).as("i"))
           .select(col("doc_id"), expr("substring(tx, i, 5)").as("gram"))
@@ -362,7 +368,10 @@ object DedupOps extends QueryPack {
         val d = Tables(s, dir, "documents")
           .filter(col("doc_id") < 100)
           .select(col("doc_id"), lower(col("text")).as("tx"))
+        // Same length >= 5 guard as dedup_ngram_jaccard (Spark sequence
+        // descends for len < 5; DuckDB range is empty — filter to agree).
         val g = d
+          .filter(length(col("tx")) >= 5)
           .select(col("doc_id"), col("tx"),
             explode(sequence(lit(1), length(col("tx")) - 4)).as("i"))
           .select(col("doc_id"), expr("substring(tx, i, 5)").as("gram"))
@@ -380,21 +389,24 @@ object DedupOps extends QueryPack {
           .limit(30)
           .select(col("da"), col("db"))
           .cache()
-        e.count()
         // localCheckpoint (not cache) each round: caching keeps the full
         // logical lineage, which triples per round here (labels referenced
         // three times) and blows up the analyzer; checkpointing truncates
         // the plan so every round optimizes a constant-size tree.
-        // coalesce(1): the label relation is at most 2x|edges| rows (60
-        // here); without it every tiny round schedules 32-partition jobs
-        // and the fixpoint loop is pure task-launch overhead. At real
-        // scale the edge list is still the (bounded) near-dup candidate
-        // output, orders of magnitude smaller than the corpus.
+        // Partitioning is a FUNCTION OF |edges|, not a constant: the label
+        // relation is at most 2x|edges| rows, so size it at ~100k label
+        // rows per partition (capped at the session shuffle parallelism).
+        // 30 demo edges -> 1 partition (no 32-task scheduling overhead);
+        // a 100M-edge real near-dup list -> full parallelism.
+        val edgeCount = e.count() // also materializes the cached edge list
+        val labelParts = math.max(1L, math.min(
+          s.sessionState.conf.numShufflePartitions.toLong,
+          2L * edgeCount / 100000L + 1L)).toInt
         var labels = e.select(col("da").as("doc"))
           .union(e.select(col("db").as("doc")))
           .distinct()
           .withColumn("lbl", col("doc"))
-          .coalesce(1)
+          .repartition(labelParts, col("doc"))
           .localCheckpoint()
         var changed = 1L
         var rounds = 0
@@ -404,13 +416,23 @@ object DedupOps extends QueryPack {
             .union(e.join(labels, col("db") === col("doc"))
               .select(col("da").as("m_doc"), col("lbl").as("m_lbl")))
             .union(labels.select(col("doc").as("m_doc"), col("lbl").as("m_lbl")))
+          // Convergence check FOLDED into the update job: the old label is
+          // re-joined here so the change flag is computed and materialized
+          // by the same localCheckpoint that produces the new labels; the
+          // sum-of-flags below scans only the checkpointed in-memory
+          // blocks — no per-round recompute of the join (the round-2 design
+          // ran a second join+count job per round).
           val next = msgs.groupBy(col("m_doc").as("doc"))
             .agg(min("m_lbl").as("lbl"))
-            .coalesce(1)
+            .join(labels.select(col("doc"), col("lbl").as("prev")), "doc")
+            .select(col("doc"), col("lbl"),
+              (col("lbl") =!= col("prev")).as("chg"))
+            .repartition(labelParts, col("doc"))
             .localCheckpoint()
-          changed = next.as("n").join(labels.as("o"), "doc")
-            .filter(col("n.lbl") =!= col("o.lbl")).count()
-          labels = next
+          changed = next
+            .agg(sum(when(col("chg"), 1L).otherwise(0L)).as("n"))
+            .first().getLong(0)
+          labels = next.select("doc", "lbl")
           rounds += 1
         }
         labels.groupBy(col("lbl").as("rep_doc")).agg(cnt.as("csize"))

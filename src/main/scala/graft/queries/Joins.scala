@@ -303,14 +303,18 @@ object Joins extends QueryPack {
               dsum(col("l_extendedprice")).as("s"),
               max("n_orders").cast("long").as("max_orders"))
             .orderBy("is_hot")
-          val rows = out.collect() // execute while the skew confs are in force
+          // Pin the skew-enabled execution in the cache: count() runs the
+          // join eagerly while the lowered thresholds are in force, and the
+          // returned (lazy) DataFrame re-reads the cached 2-row aggregate
+          // instead of repeating the join under restored confs. No rows
+          // cross the driver — the result stays distributed.
+          out.cache()
+          out.count()
+          // The materialized InMemoryRelation prints its cached plan — the
+          // resolved adaptive plan with the skew split — as an inner child.
           lastSkewPlan = out.queryExecution.executedPlan.toString
             .split("== Initial Plan ==").head
-          // Return the computed rows as a local relation: the skew-enabled
-          // execution above IS the query; re-running it lazily under the
-          // restored confs would just repeat the join without the demo.
-          s.createDataFrame(
-            s.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+          out
         } finally saved.foreach {
           case (k, Some(v)) => s.conf.set(k, v)
           case (k, None) => s.conf.unset(k)

@@ -182,6 +182,12 @@ object MLOps extends QueryPack {
         val (_, full) = GD.run(m, GD.State(0, 0.0, 0.0), 3, 0.001)
         val ckptDir =
           s"${System.getProperty("java.io.tmpdir")}/graft_ckpt/gd_resume"
+        // Clean slate: restoreLatest takes the global max step, so a stale
+        // step left by an older run would restore foreign state and silently
+        // flip bit_equal — delete the shared dir before this run's legs.
+        val ckptPath = new org.apache.hadoop.fs.Path(ckptDir)
+        ckptPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(ckptPath, true)
         val ckpt = ModelCheckpoint(s, ckptDir)
         val (_, firstLeg) =
           GD.run(m, GD.State(0, 0.0, 0.0), 2, 0.001, Some(ckpt))

@@ -32,18 +32,44 @@ object Scans extends QueryPack {
           .select("l_orderkey", "l_quantity")
           .orderBy("l_orderkey")),
 
-    // Opaque-payload decode path (reference: bytes -> arrays in
-    // read_example). Here: reconstruct n_chars from the text payload.
+    // Opaque-payload decode path over the REAL binary source (reference:
+    // file bytes -> arrays in read_example, trainer/flax_model.py:53-66).
+    // Spill every document's raw bytes as one file-per-blob — the layout an
+    // image/audio corpus actually lands in — then scan the directory with
+    // the `binaryFile` DataSource (path, length, content), recover the key
+    // from the file name and decode the payload in-plan. The spill is a
+    // distributed foreachPartition through the Hadoop FS API (no driver
+    // loop; works unchanged against an object store), and the read side
+    // bin-packs small blobs into splits via the normal file-scan sizing.
     Q(
       "scan_binary_blobs",
       Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n
              |FROM documents ORDER BY doc_id""".stripMargin),
-      (s, dir) =>
+      (s, dir) => {
+        import org.apache.hadoop.fs.Path
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_binary_docs"
+        val root = new Path(tmp)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(root, true)
+        fs.mkdirs(root)
         Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+            val pfs = new Path(tmp)
+              .getFileSystem(new org.apache.hadoop.conf.Configuration())
+            rows.foreach { r =>
+              val out = pfs.create(new Path(tmp, s"doc_${r.get(0)}.bin"), true)
+              try out.write(r.getString(1).getBytes("UTF-8"))
+              finally out.close()
+            }
+          }
+        s.read.format("binaryFile").load(tmp)
           .select(
-            col("doc_id"),
-            length(col("text")).cast("long").as("n"))
-          .orderBy("doc_id")),
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+              .cast("long").as("doc_id"),
+            length(decode(col("content"), "UTF-8")).cast("long").as("n"))
+          .orderBy("doc_id")
+      }),
 
     // Overwrite-mode parquet sink exercised for real: write to a scratch dir,
     // read back (reference: np.save prediction dumps, overwritten per epoch).
@@ -91,6 +117,32 @@ object Scans extends QueryPack {
         s.read.json(tmp)
           .groupBy("lang")
           .agg(cnt.as("n"), sum("n_chars").cast("long").as("chars"))
+          .orderBy("lang")
+      }),
+
+    // Compressed corpus interchange: jsonl.gz round-trip (the format text
+    // corpora are actually shipped in — gzip'd JSON-lines). Write the
+    // documents table gzip-compressed, read it back through the same JSON
+    // source (codec auto-detected from the .gz extension), aggregate.
+    // gzip splits per FILE, not per block — parallelism comes from the
+    // many-files layout the distributed writer already produces, which is
+    // exactly how a 100 TB jsonl.gz corpus stays parallel too.
+    Q(
+      "scan_jsonl_gzip",
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+             |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_gz"
+        Tables(s, dir, "documents")
+          .write.mode("overwrite").option("compression", "gzip").json(tmp)
+        s.read.json(tmp)
+          .groupBy("lang")
+          .agg(
+            cnt.as("n"),
+            sum("n_chars").cast("long").as("chars"),
+            max("n_chars").cast("long").as("max_chars"))
           .orderBy("lang")
       }),
 

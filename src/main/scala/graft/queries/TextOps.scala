@@ -52,13 +52,18 @@ object TextOps extends QueryPack {
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         val tf = toks.groupBy("doc_id", "term").agg(cnt.as("tf"))
         val dfreq = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
-        val n = Tables(s, dir, "documents").count()
+        // Corpus N stays IN-PLAN: a 1-row aggregate broadcast-cross-joined
+        // onto the scored rows (same pattern as scalar_minmax_normalize)
+        // instead of a separate driver-side count() job.
+        val n1 = Tables(s, dir, "documents")
+          .agg(cnt.cast("double").as("corpus_n"))
         val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
         tf.filter(col("doc_id") < 50)
           .join(dfreq, "term")
+          .crossJoin(broadcast(n1))
           .select(
             col("doc_id"), col("term"),
-            round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+            round(col("tf") * log(col("corpus_n") / col("df")), 6).as("tfidf"))
           .withColumn("rn", row_number().over(w).cast("int"))
           .filter(col("rn") <= 3)
           .select("doc_id", "term", "tfidf", "rn")
