@@ -6,11 +6,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (when SQL-expressible) the ANSI-SQL oracle the driver runs in DuckDB on the
   * same parquet tables. Column names/aliases MUST match between the two — the
   * driver sorts columns by name before hashing values.
+  *
+  * `oracleGen` is the data-dependent variant: queries whose parameters are
+  * LEARNED from the tables (the trained ANN quantizers) cannot inline them
+  * in a static string, so they generate the oracle SQL against the concrete
+  * data dir — with the trained values embedded as literals — when Verify
+  * dumps `oracle_sql.json`. Exactly one of `oracle`/`oracleGen` is set for
+  * an oracle-checked query.
   */
 final case class Q(
     id: String,
     oracle: Option[String],
-    run: (SparkSession, String) => DataFrame)
+    run: (SparkSession, String) => DataFrame,
+    oracleGen: Option[(SparkSession, String) => String] = None) {
+  def oracleFor(s: SparkSession, dir: String): Option[String] =
+    oracleGen.map(_(s, dir)).orElse(oracle)
+}
 
 trait QueryPack {
   def queries: Seq[Q]

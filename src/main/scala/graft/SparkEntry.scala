@@ -25,4 +25,11 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Registry.all.flatMap(q => q.oracle.map(sql => q.id -> sql)).toMap
+
+  /** Full oracle map against a concrete data dir: the static SQL plus the
+    * data-dependent oracles (learned-quantizer ANN) generated with their
+    * trained parameters inlined as literals. Verify dumps THIS map.
+    */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+    Registry.all.flatMap(q => q.oracleFor(spark, sfDir).map(q.id -> _)).toMap
 }

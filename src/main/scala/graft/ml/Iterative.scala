@@ -123,14 +123,14 @@ object KMeansLloyd {
         .as(s"d$i")
     }
     val assigned = e.select((col("vec_id") +: col("embedding") +: dists.toIndexedSeq): _*)
-    val clusterCol = (1 until k).foldLeft(
-      struct(col("d0").as("d"), lit(0).as("c"))) { (best, i) =>
-      when(col(s"d$i") < best("d"),
-        struct(col(s"d$i").as("d"), lit(i).as("c"))).otherwise(best)
-    }
+    // First-minimal argmin over the k distances, LINEAR in k: a when/struct
+    // fold duplicates its accumulator twice per level (O(2^k) expression
+    // nodes — fine at k=8, a planner stall at k=16); array_position of the
+    // array_min picks the same first-minimal index with O(k) nodes.
+    val dsArr = array((0 until k).map(i => col(s"d$i")): _*)
     val withCluster = assigned
-      .select(col("vec_id"), col("embedding"), clusterCol.as("best"))
-      .select(col("vec_id"), col("embedding"), col("best.c").as("cluster"))
+      .select(col("vec_id"), col("embedding"),
+        (array_position(dsArr, array_min(dsArr)) - 1).cast("int").as("cluster"))
     // ONE job per iteration: per-cluster count, per-dim sums (new centroid
     // numerators) and sum|x|^2 — WCSS for the old centroids follows in
     // closed form: sum|x|^2 - 2 c.Sx + n|c|^2 per cluster.

@@ -1,0 +1,69 @@
+package graft.ml
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** LEARNED quantizers for the ANN indexes (SURVEY.md §2.K), trained on the
+  * actual embedding table instead of the round-2 fixed toy values — the way
+  * a real IVF/PQ index trains its coarse quantizer and codebooks on a data
+  * sample (reference analog: the CNN's features are likewise learned from
+  * the data, `trainer/flax_model.py:153-176`).
+  *
+  * Training is [[KMeansLloyd]] with its deterministic contract: init =
+  * vectors 0..k-1, a fixed iteration count, and exact-DECIMAL distributed
+  * sums, so the trained centroids are bit-identical on any partitioning /
+  * cluster size. That determinism is what lets the trained values be
+  * embedded as LITERALS in both the Spark plan and the generated DuckDB
+  * oracle SQL ([[sqlFloat]] prints a float's exact double value, which
+  * DuckDB's correctly-rounded parser reads back to the same double).
+  *
+  * Results are memoized per data dir: the IVF query, the PQ query, their
+  * oracle generation, and the recall gate all share one training pass.
+  * Model state is O(k·dim) floats on the driver; the data never leaves the
+  * cluster (one scan + one (cluster, dim) aggregate per Lloyd iteration).
+  */
+object Quantizers {
+
+  val IvfK = 8
+  val IvfIters = 3
+
+  val PqSubs = 4
+  val PqSubDim = 16
+  val PqCodes = 16
+  val PqIters = 3
+
+  private val ivfCache = TrieMap.empty[String, Array[Array[Float]]]
+  private val pqCache = TrieMap.empty[String, Array[Array[Array[Float]]]]
+
+  /** 8 coarse IVF centroids (64-dim), k-means-trained on `embeddings`. */
+  def ivf(s: SparkSession, dir: String): Array[Array[Float]] =
+    ivfCache.getOrElseUpdate(dir, {
+      val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+      KMeansLloyd.run(e, KMeansLloyd.init(e, IvfK), 0, IvfIters)._1
+    })
+
+  /** PQ codebook: per 16-dim subspace, [[PqCodes]] k-means-trained
+    * codewords (a 2-byte code per vector at 16 codes x 4 subspaces).
+    */
+  def pq(s: SparkSession, dir: String): Array[Array[Array[Float]]] =
+    pqCache.getOrElseUpdate(dir, {
+      Array.tabulate(PqSubs) { si =>
+        val sub = Tables(s, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            slice(col("embedding"), si * PqSubDim + 1, PqSubDim)
+              .as("embedding"))
+        KMeansLloyd.run(sub, KMeansLloyd.init(sub, PqCodes), 0, PqIters)._1
+      }
+    })
+
+  /** SQL literal of a float's exact double value: `Double.toString` emits
+    * the shortest decimal that round-trips, and float->double widening is
+    * exact, so both engines see the identical IEEE value.
+    */
+  def sqlFloat(f: Float): String = java.lang.Double.toString(f.toDouble)
+}

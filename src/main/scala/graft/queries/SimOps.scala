@@ -67,25 +67,131 @@ object SimOps extends QueryPack {
   private def planeLit(i: Int): Column =
     array(Planes(i).toIndexedSeq.map(w => lit(w.toFloat)): _*)
 
-  /** Product-quantization parameters: 4 subspaces x 16 dims, 4 codewords
-    * per subspace, deterministic small-integer codebook (public-knowledge
-    * PQ/ADC design, Jegou et al.; fixed integers keep both engines exact).
+  /** Product-quantization geometry: 4 subspaces x 16 dims, 16 codewords
+    * per subspace (public-knowledge PQ/ADC design, Jegou et al.). The
+    * codebook itself is LEARNED per data dir by k-means over the sliced
+    * subvectors (graft.ml.Quantizers.pq) — deterministic training lets the
+    * trained codewords inline as literals in both engines' plans.
     */
-  private[graft] val PqSubs = 4
-  private[graft] val PqSubDim = 16
-  private[graft] val PqCodes = 4
-  private[graft] val PqCodebook: Array[Array[Array[Int]]] =
-    Array.tabulate(PqSubs, PqCodes, PqSubDim)(
-      (si, c, j) => ((3 * si + 5 * c + j) % 7) - 3)
+  private[graft] val PqSubs = graft.ml.Quantizers.PqSubs
+  private[graft] val PqSubDim = graft.ml.Quantizers.PqSubDim
+  private[graft] val PqCodes = graft.ml.Quantizers.PqCodes
 
-  /** |codeword|^2, exact in Int arithmetic, inlined as a literal in both
-    * engines.
+  /** ADC shortlist size: the code-table scan ranks by approximate distance,
+    * then only this many candidates per query are re-ranked with the raw
+    * vectors (the standard production PQ search shape — at 100 TB the raw
+    * vectors are fetched by key for the shortlist only).
     */
-  private def pqCc(si: Int, c: Int): Double =
-    PqCodebook(si)(c).map(w => w * w).sum.toDouble
+  private[graft] val PqShortlist = 64
+
+  /** |codeword|^2 in double, left-to-right — the same fold order in the
+    * Scala literal computation, the Spark plan, and the generated SQL.
+    */
+  private def pqCc(cb: Array[Array[Array[Float]]])(si: Int, c: Int): Double =
+    cb(si)(c).foldLeft(0.0)((acc, w) => acc + w.toDouble * w.toDouble)
 
   private def planeSql(i: Int): String =
     Planes(i).mkString("[", ", ", "]::DOUBLE[]")
+
+  /** DuckDB oracle for sim_ann_ivf_topk, generated against the TRAINED
+    * centroids (exact float->double literals, graft.ml.Quantizers.sqlFloat)
+    * so both engines quantize with bit-identical values.
+    */
+  private def ivfOracle(cents: Array[Array[Float]]): String = {
+    import graft.ml.Quantizers.sqlFloat
+    val centVals = cents.zipWithIndex
+      .map { case (c, i) =>
+        s"($i, ${c.map(sqlFloat).mkString("[", ", ", "]")}::DOUBLE[])" }
+      .mkString(",\n  ")
+    val dotQC =
+      """list_sum(list_transform(list_zip(e.embedding, c.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))""".stripMargin
+    s"""WITH cents AS (SELECT * FROM (VALUES
+       |  $centVals) t(cid, embedding)),
+       |dists AS (
+       |  SELECT e.vec_id, c.cid,
+       |    list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+       |      - 2 * $dotQC AS dist
+       |  FROM embeddings e, cents c),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM dists WHERE vec_id < 20) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS qa, a.vec_id AS qb
+       |  FROM probes p JOIN assigned a ON p.cid = a.cid AND p.vec_id <> a.vec_id),
+       |sc AS (
+       |  SELECT cand.qa, cand.qb,
+       |    ROUND(list_sum(list_transform(list_zip(x.embedding, y.embedding),
+       |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS cos
+       |  FROM cand JOIN embeddings x ON cand.qa = x.vec_id
+       |            JOIN embeddings y ON cand.qb = y.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qa ORDER BY cos DESC, qb) AS rn FROM sc)
+       |SELECT qa, qb, cos, CAST(rn AS INT) AS rn
+       |FROM r WHERE rn <= 3 ORDER BY qa, rn""".stripMargin
+  }
+
+  /** DuckDB oracle for sim_ann_pq_topk, generated against the TRAINED
+    * codebook.
+    */
+  private def pqOracle(cb: Array[Array[Array[Float]]]): String = {
+    import graft.ml.Quantizers.sqlFloat
+    val cc = pqCc(cb) _
+    def cbSql(si: Int, c: Int): String =
+      cb(si)(c).map(sqlFloat).mkString("[", ", ", "]::DOUBLE[]")
+    def subSql(si: Int): String =
+      s"embedding[${si * PqSubDim + 1}:${(si + 1) * PqSubDim}]"
+    def dotSql(si: Int, c: Int): String =
+      s"list_sum(list_transform(list_zip(${subSql(si)}, ${cbSql(si, c)}), " +
+        "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
+    def qqSql(si: Int): String =
+      s"list_sum(list_transform(${subSql(si)}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    // code_s = index of first-minimal (cc - 2 v.c) over the codewords:
+    // list_position(ds, list_min(ds)) returns the FIRST index holding the
+    // minimum — identical tie-breaking to Spark's array_position, and the
+    // expression stays LINEAR in the codeword count (a pairwise CASE chain
+    // is O(k^2) and blows up both planners at k=16).
+    def codeSql(si: Int): String = {
+      val ds = (0 until PqCodes)
+        .map(c => s"(${cc(si, c)} - 2 * ${dotSql(si, c)})")
+        .mkString("[", ",\n      ", "]")
+      s"list_position($ds, list_min($ds)) - 1 AS code$si"
+    }
+    val codeCols = (0 until PqSubs).map(codeSql).mkString(",\n")
+    val lutCols = (for (si <- 0 until PqSubs; c <- 0 until PqCodes) yield
+      s"${qqSql(si)} - 2 * ${dotSql(si, c)} + ${cc(si, c)} AS ql_${si}_$c")
+      .mkString(",\n")
+    val adistSql = (0 until PqSubs).map { si =>
+      s"(CASE code$si ${(0 until PqCodes)
+        .map(c => s"WHEN $c THEN ql_${si}_$c").mkString(" ")} END)"
+    }.mkString(" + ")
+    s"""WITH codes AS (SELECT vec_id AS qb, $codeCols FROM embeddings),
+       |q AS (SELECT vec_id AS qa, $lutCols FROM embeddings WHERE vec_id < 20),
+       |p AS (SELECT qa, qb, $adistSql AS adist
+       |      FROM q, codes WHERE qa <> qb),
+       |short AS (SELECT qa, qb FROM (
+       |    SELECT qa, qb, row_number() OVER (PARTITION BY qa ORDER BY adist, qb) AS rs
+       |    FROM p) WHERE rs <= $PqShortlist),
+       |sc AS (
+       |  SELECT short.qa, short.qb,
+       |    ROUND(list_sum(list_transform(list_zip(x.embedding, y.embedding),
+       |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS cos
+       |  FROM short JOIN embeddings x ON short.qa = x.vec_id
+       |             JOIN embeddings y ON short.qb = y.vec_id),
+       |r AS (SELECT qa, qb, cos,
+       |        row_number() OVER (PARTITION BY qa ORDER BY cos DESC, qb) AS rn
+       |      FROM sc)
+       |SELECT qa, qb, cos, CAST(rn AS INT) AS rn
+       |FROM r WHERE rn <= 3 ORDER BY qa, rn""".stripMargin
+  }
 
   /** DuckDB twin of [[dot]] against plane i. */
   private def duckPlaneDot(i: Int): String =
@@ -249,51 +355,26 @@ object SimOps extends QueryPack {
           .orderBy("doc_id")
       }),
 
-    // ANN via IVF (inverted-file index): coarse quantizer = 8 fixed
-    // centroids (vectors 0..7 — deterministic, so oracle-checkable); every
-    // vector is assigned to its nearest centroid (the inverted list), each
-    // query probes its 2 nearest lists and exact-scores only those
-    // candidates. At 100 TB the list id is the partition key — the classic
-    // cluster-prune alternative to LSH bucketing.
+    // ANN via IVF (inverted-file index): coarse quantizer = 8 centroids
+    // LEARNED by k-means on the embedding table (graft.ml.Quantizers.ivf —
+    // deterministic training, so the trained centroids inline as literals
+    // and stay oracle-checkable); every vector is assigned to its nearest
+    // centroid (the inverted list), each query probes its 2 nearest lists
+    // and exact-scores only those candidates. At 100 TB the list id is the
+    // partition key — the classic cluster-prune alternative to LSH
+    // bucketing — and training cost is one k-means on a sample, O(k*dim)
+    // driver state.
     Q(
-      "sim_ann_ivf_topk", {
-        val dotQC =
-          """list_sum(list_transform(list_zip(e.embedding, c.embedding),
-            |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))""".stripMargin
-        Some(s"""WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
-                |dists AS (
-                |  SELECT e.vec_id, c.cid,
-                |    list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
-                |      - 2 * $dotQC AS dist
-                |  FROM embeddings e, cents c),
-                |assigned AS (
-                |  SELECT vec_id, cid FROM (
-                |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-                |    FROM dists) WHERE rn = 1),
-                |probes AS (
-                |  SELECT vec_id, cid FROM (
-                |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-                |    FROM dists WHERE vec_id < 20) WHERE rn <= 2),
-                |cand AS (
-                |  SELECT DISTINCT p.vec_id AS qa, a.vec_id AS qb
-                |  FROM probes p JOIN assigned a ON p.cid = a.cid AND p.vec_id <> a.vec_id),
-                |sc AS (
-                |  SELECT cand.qa, cand.qb,
-                |    ROUND(list_sum(list_transform(list_zip(x.embedding, y.embedding),
-                |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-                |      / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-                |       * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS cos
-                |  FROM cand JOIN embeddings x ON cand.qa = x.vec_id
-                |            JOIN embeddings y ON cand.qb = y.vec_id),
-                |r AS (SELECT *, row_number() OVER (PARTITION BY qa ORDER BY cos DESC, qb) AS rn FROM sc)
-                |SELECT qa, qb, cos, CAST(rn AS INT) AS rn
-                |FROM r WHERE rn <= 3 ORDER BY qa, rn""".stripMargin)
-      },
+      "sim_ann_ivf_topk",
+      None,
       (s, dir) => {
         native(s)
         val e = Tables(s, dir, "embeddings")
-        val cents = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val learned = graft.ml.Quantizers.ivf(s, dir)
+        val cents = s.createDataFrame(
+          learned.toIndexedSeq.zipWithIndex
+            .map { case (c, i) => (i, c.toIndexedSeq) })
+          .toDF("cid", "ce")
         // |x - c|^2 - |x|^2 = |c|^2 - 2 x.c  (the |x|^2 term is rank-free)
         val dists = e.crossJoin(broadcast(cents))
           .select(col("vec_id"), col("embedding"), col("cid"),
@@ -318,73 +399,54 @@ object SimOps extends QueryPack {
           .withColumn("rn", row_number().over(ws).cast("int"))
           .filter(col("rn") <= 3)
           .orderBy("qa", "rn")
-      }),
+      },
+      oracleGen = Some((s, dir) => ivfOracle(graft.ml.Quantizers.ivf(s, dir)))),
 
     // ANN via PRODUCT QUANTIZATION (asymmetric distance computation): the
     // 64-dim vector splits into 4 subspaces of 16 dims; each subspace
-    // quantizes to the nearest of 4 fixed codewords, so every vector
-    // compresses to 4 small codes (1 byte total vs 256 bytes of floats) —
-    // at 100 TB the scan runs over the code table, never the raw vectors.
-    // A query precomputes its 4x4 lookup table of exact sub-distances once;
-    // per candidate the approximate distance is 4 table lookups. Fixed
-    // integer codebook => both engines compute identical doubles and the
-    // whole path is oracle-checkable.
+    // quantizes to the nearest of 16 codewords LEARNED by per-subspace
+    // k-means (graft.ml.Quantizers.pq), so every vector compresses to 4
+    // nibble codes (2 bytes total vs 256 bytes of floats) — at 100 TB the
+    // scan runs over the code table, never the raw vectors. A query
+    // precomputes its 4x16 lookup table of exact sub-distances once; per
+    // candidate the approximate distance is 4 table lookups. The ADC
+    // ranking then shortlists 16 candidates per query and only those are
+    // exact-re-ranked against the raw vectors (fetched by key) — the
+    // standard production PQ search. Deterministic training => both
+    // engines compute identical doubles and the whole path stays
+    // oracle-checkable (generated SQL inlines the trained codewords).
     Q(
-      "sim_ann_pq_topk", {
-        def cbSql(si: Int, c: Int): String =
-          PqCodebook(si)(c).mkString("[", ", ", "]::DOUBLE[]")
-        def subSql(si: Int): String =
-          s"embedding[${si * PqSubDim + 1}:${(si + 1) * PqSubDim}]"
-        def dotSql(si: Int, c: Int): String =
-          s"list_sum(list_transform(list_zip(${subSql(si)}, ${cbSql(si, c)}), " +
-            "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
-        def qqSql(si: Int): String =
-          s"list_sum(list_transform(${subSql(si)}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-        // code_s = index of first-minimal (cc - 2 v.c) over the 4 codewords.
-        def codeSql(si: Int): String = {
-          val ds = (0 until PqCodes).map(c => s"(${pqCc(si, c)} - 2 * ${dotSql(si, c)})")
-          s"""CASE WHEN ${ds(0)} <= ${ds(1)} AND ${ds(0)} <= ${ds(2)} AND ${ds(0)} <= ${ds(3)} THEN 0
-             |     WHEN ${ds(1)} <= ${ds(2)} AND ${ds(1)} <= ${ds(3)} THEN 1
-             |     WHEN ${ds(2)} <= ${ds(3)} THEN 2 ELSE 3 END AS code$si""".stripMargin
-        }
-        val codeCols = (0 until PqSubs).map(codeSql).mkString(",\n")
-        val lutCols = (for (si <- 0 until PqSubs; c <- 0 until PqCodes) yield
-          s"${qqSql(si)} - 2 * ${dotSql(si, c)} + ${pqCc(si, c)} AS ql_${si}_$c")
-          .mkString(",\n")
-        val adistSql = (0 until PqSubs).map { si =>
-          s"(CASE code$si ${(0 until PqCodes)
-            .map(c => s"WHEN $c THEN ql_${si}_$c").mkString(" ")} END)"
-        }.mkString(" + ")
-        Some(s"""WITH codes AS (SELECT vec_id AS qb, $codeCols FROM embeddings),
-                |q AS (SELECT vec_id AS qa, $lutCols FROM embeddings WHERE vec_id < 20),
-                |p AS (SELECT qa, qb, $adistSql AS adist
-                |      FROM q, codes WHERE qa <> qb),
-                |r AS (SELECT qa, qb, adist,
-                |        row_number() OVER (PARTITION BY qa ORDER BY adist, qb) AS rn
-                |      FROM p)
-                |SELECT qa, qb, ROUND(adist, 6) AS adist, CAST(rn AS INT) AS rn
-                |FROM r WHERE rn <= 3 ORDER BY qa, rn""".stripMargin)
-      },
+      "sim_ann_pq_topk",
+      None,
       (s, dir) => {
         native(s)
         val e = Tables(s, dir, "embeddings")
+        val cb = graft.ml.Quantizers.pq(s, dir)
+        val cc = pqCc(cb) _
         def subv(si: Int): Column =
           slice(col("embedding"), si * PqSubDim + 1, PqSubDim)
         def cbLit(si: Int, c: Int): Column =
-          array(PqCodebook(si)(c).toIndexedSeq.map(w => lit(w.toFloat)): _*)
-        val codeCols = (0 until PqSubs).map { si =>
-          val ds = (0 until PqCodes).map(c =>
-            lit(pqCc(si, c)) - lit(2.0) * ndot(subv(si), cbLit(si, c)))
-          when(ds(0) <= ds(1) && ds(0) <= ds(2) && ds(0) <= ds(3), 0)
-            .when(ds(1) <= ds(2) && ds(1) <= ds(3), 1)
-            .when(ds(2) <= ds(3), 2)
-            .otherwise(3)
-            .as(s"code$si")
+          array(cb(si)(c).toIndexedSeq.map(lit): _*)
+        // First-minimal argmin, LINEAR in the codeword count: materialize
+        // the distance array once per subspace, then array_position of its
+        // array_min (first occurrence — same tie-breaking as the oracle's
+        // list_position). A pairwise when-chain is O(k^2) expression nodes
+        // and stalls Catalyst at k=16.
+        val dsCols = (0 until PqSubs).map { si =>
+          array((0 until PqCodes).map(c =>
+            lit(cc(si, c)) - lit(2.0) * ndot(subv(si), cbLit(si, c))): _*)
+            .as(s"ds$si")
         }
-        val codes = e.select((col("vec_id").as("qb") +: codeCols): _*)
+        val codes = e
+          .select((col("vec_id").as("qb") +: dsCols): _*)
+          .select(
+            col("qb") +:
+              (0 until PqSubs).map(si =>
+                (array_position(col(s"ds$si"), array_min(col(s"ds$si"))) - 1)
+                  .cast("int").as(s"code$si")): _*)
         val lutCols = for (si <- 0 until PqSubs; c <- 0 until PqCodes) yield
           (ndot(subv(si), subv(si)) - lit(2.0) * ndot(subv(si), cbLit(si, c)) +
-            lit(pqCc(si, c))).as(s"ql_${si}_$c")
+            lit(cc(si, c))).as(s"ql_${si}_$c")
         val q = e.filter(col("vec_id") < 20)
           .select((col("vec_id").as("qa") +: lutCols.toIndexedSeq): _*)
         val adist = (0 until PqSubs).map { si =>
@@ -392,15 +454,26 @@ object SimOps extends QueryPack {
             array((0 until PqCodes).map(c => col(s"ql_${si}_$c")): _*),
             col(s"code$si") + 1)
         }.reduce(_ + _)
-        val w = Window.partitionBy("qa").orderBy(col("adist"), col("qb"))
-        broadcast(q).crossJoin(codes)
+        // ADC shortlist over the code table, then exact re-rank of the
+        // shortlist only (raw vectors re-join by key — never scanned).
+        val wAd = Window.partitionBy("qa").orderBy(col("adist"), col("qb"))
+        val shortlist = broadcast(q).crossJoin(codes)
           .filter(col("qa") =!= col("qb"))
           .withColumn("adist", adist)
-          .withColumn("rn", row_number().over(w).cast("int"))
+          .withColumn("rs", row_number().over(wAd))
+          .filter(col("rs") <= PqShortlist)
+          .select("qa", "qb")
+        val wc = Window.partitionBy("qa").orderBy(col("cos").desc, col("qb"))
+        shortlist
+          .join(e.select(col("vec_id").as("qa"), col("embedding").as("ea")), "qa")
+          .join(e.select(col("vec_id").as("qb"), col("embedding").as("eb2")), "qb")
+          .select(col("qa"), col("qb"),
+            round(ncos(col("ea"), col("eb2")), 6).as("cos"))
+          .withColumn("rn", row_number().over(wc).cast("int"))
           .filter(col("rn") <= 3)
-          .select(col("qa"), col("qb"), round(col("adist"), 6).as("adist"), col("rn"))
           .orderBy("qa", "rn")
-      }),
+      },
+      oracleGen = Some((s, dir) => pqOracle(graft.ml.Quantizers.pq(s, dir)))),
 
     // The same stub decode through the typed per-partition batch path
     // (Dataset.mapPartitions — the JVM analog of mapInPandas): one decoder

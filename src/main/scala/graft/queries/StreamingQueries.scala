@@ -342,6 +342,78 @@ object StreamingQueries extends QueryPack {
         s.table(sink).orderBy("name", "bucket")
       }),
 
+    // Restart/recovery across process generations — THE operational
+    // property of Structured Streaming (reference analog: TensorBoard's
+    // reader surviving trainer restarts, trainer/tensorboard.ipynb:36-55 +
+    // flax_model.py:377 restore). Leg 1 tails three epoch generations of
+    // the metrics log (one file per micro-batch) into a complete-mode
+    // serving view, then STOPS. A 4th generation lands. Leg 2 restarts
+    // with the SAME checkpoint dir: the file-source log replays nothing —
+    // only the new file is processed — and the aggregation state restores,
+    // so the final view equals the batch compaction of all 4 generations.
+    // Exactly-once is oracle-CHECKED, not just asserted: `run2_input_rows`
+    // (the rows leg 2 actually ingested, from StreamingQueryProgress) must
+    // equal the distinct metric-key count — the size of the one new file —
+    // which the oracle computes independently from `events`. Reprocessing
+    // any old generation would inflate it; losing the new one would zero it.
+    Q(
+      "stream_restart_exactly_once",
+      Some("""SELECT event_type AS name,
+             |  CAST(date_trunc('month', ts) AS DATE) AS bucket,
+             |  CAST(COUNT(*) AS DOUBLE) AS value,
+             |  CAST(2 + (CASE WHEN MIN(day(ts)) <= 10 THEN 1 ELSE 0 END)
+             |         + (CASE WHEN MIN(day(ts)) <= 20 THEN 1 ELSE 0 END) AS INT)
+             |    AS n_versions,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+             |     (SELECT DISTINCT event_type, date_trunc('month', ts) FROM events))
+             |    AS run2_input_rows
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => withStreamPartitions(s, 8) {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_restart").toString
+        val logDir = s"$base/log"
+        val ckpt = s"$base/ckpt" // SHARED across both legs — the point
+        def emitGeneration(maxDay: Int, epoch: Int): Unit =
+          Tables(s, dir, "events")
+            .filter(dayofmonth(col("ts")) <= maxDay)
+            .groupBy(
+              col("event_type").as("name"),
+              date_trunc("month", col("ts")).cast("date").as("bucket"))
+            .agg(cnt.cast("double").as("value"))
+            .withColumn("epoch", lit(epoch))
+            .coalesce(1)
+            .write.mode("append").parquet(logDir)
+        def runLeg(sink: String) = {
+          val q = s.readStream
+            .schema("name STRING, bucket DATE, value DOUBLE, epoch INT")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(logDir)
+            .groupBy("name", "bucket")
+            .agg(
+              max_by(col("value"), col("epoch")).as("value"),
+              cnt.cast("int").as("n_versions"))
+            .writeStream
+            .queryName(sink)
+            .outputMode("complete")
+            .format("memory")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          q
+        }
+        Seq(10 -> 1, 20 -> 2, 31 -> 3)
+          .foreach { case (d, e) => emitGeneration(d, e) }
+        val uid = java.util.UUID.randomUUID.toString.replace("-", "")
+        runLeg(s"restart1_$uid")
+        emitGeneration(31, 4) // the "restarted trainer" emits a new epoch
+        val leg2 = runLeg(s"restart2_$uid")
+        val run2Rows = leg2.recentProgress.map(_.numInputRows).sum
+        s.table(s"restart2_$uid")
+          .withColumn("run2_input_rows", lit(run2Rows).cast("long"))
+          .orderBy("name", "bucket")
+      }),
+
     // True Structured Streaming run: AvailableNow over the events parquet,
     // 1-day watermark, append-mode windowed counts into a memory sink. Append
     // mode only emits windows the watermark has passed — the late-data policy

@@ -3,10 +3,13 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** ANN quality gate: the multi-table LSH search must recover a meaningful
-  * share of the exact top-3 neighbors while scanning well under the full
-  * pairwise space. Measured 52% recall at ~32% of data scanned on sf0.001
-  * (4 tables x 4 planes); asserted with slack below.
+/** ANN quality gate: each index must recover a meaningful share of the
+  * exact top-3 neighbors while scanning well under the full pairwise space.
+  * Measured on sf0.001: LSH 52% (~32% of data scanned, 4 tables x 4
+  * planes), IVF 77% (k-means-learned centroids, probe 2 of 8 lists), PQ
+  * 72% (learned 4x16 codebook, ADC shortlist 64 + exact re-rank). The
+  * round-2 fixed-quantizer IVF/PQ measured 40%/5% — the learned quantizers
+  * are what lift the floor to 0.6.
   */
 class AnnRecallSpec extends SparkSpec {
 
@@ -40,15 +43,11 @@ class AnnRecallSpec extends SparkSpec {
     assert(recallOf("sim_ann_lsh_topk") >= 0.4)
   }
 
-  test("IVF ANN recall@3 >= 0.4 vs exact top-3") {
-    assert(recallOf("sim_ann_ivf_topk") >= 0.4)
+  test("IVF ANN recall@3 >= 0.6 vs exact top-3") {
+    assert(recallOf("sim_ann_ivf_topk") >= 0.6)
   }
 
-  test("PQ ANN beats random-candidate recall") {
-    // 4 codewords over 4 subspaces is a deliberately coarse 1-byte code;
-    // the contract is that ADC ranking carries real signal, i.e. clearly
-    // above the ~3/N random-top-3 floor (N≈1000 ⇒ ~0.003). Measured 0.050
-    // on sf0.001; asserted with slack.
-    assert(recallOf("sim_ann_pq_topk") >= 0.02)
+  test("PQ ANN recall@3 >= 0.6 vs exact top-3") {
+    assert(recallOf("sim_ann_pq_topk") >= 0.6)
   }
 }
