@@ -35,7 +35,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Two lines, same shape: the full per-query map first, then a compact
+    // final line (top-15 slowest, 3 dp) that fits inside a bounded tail
+    // capture of stdout — the full 110-query map is ~4 KB, so a consumer
+    // keeping only the last ~2 KB would otherwise see a truncated JSON line.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val top = results.toSeq.sortBy(-_._2).take(15)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
