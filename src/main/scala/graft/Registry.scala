@@ -42,6 +42,7 @@ object Registry {
     queries.MLOps,
     queries.TextOps,
     queries.TextAnalysis,
+    queries.CurationOps,
     queries.DedupOps,
     queries.SimOps)
 

@@ -1,0 +1,264 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.Fns._
+import graft.ml.SeededSplit
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.L — training-data curation extensions: PII redaction,
+  * repetition-based quality filtering (Gopher-style), weighted mixture
+  * sampling, sequence packing, and vocabulary building with OOV accounting.
+  *
+  * Reference analog: the reference's data preparation is a monolithic
+  * load/mask/clip pass (`trainer/flax_model.py:70-95`); these operators are
+  * the text-pipeline generalizations an LLM corpus build needs between raw
+  * scan and training batches.
+  *
+  * Scale notes (each documented per query): redaction and repetition
+  * scoring are zero-shuffle map pipelines; mixture sampling shuffles only
+  * the `source` key; packing does a per-`lang` window cumsum (partitioned
+  * streams, never a global order); vocab build shuffles token keys once
+  * and broadcasts the resulting dictionary.
+  */
+object CurationOps extends QueryPack {
+
+  // PII surrogate patterns. Email/phone are the real-world shapes (RE2 and
+  // Java regex agree on this subset); the synthetic corpus contains neither,
+  // so `customer` stands in as the blocklisted entity term that actually
+  // fires — the redaction plumbing (match-count + nested global replace) is
+  // identical for all three.
+  private val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phonePat = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  private val termPat = "\\bcustomer\\b"
+
+  // Gopher-style repetition gates (calibrated on the synthetic corpus so
+  // both outcomes occur: 146/500 docs pass at sf0.01).
+  private val maxTop2Frac = 0.06
+  private val maxDupTokFrac = 0.5
+
+  /** Tokens-per-training-sequence budget for concat-and-chunk packing. */
+  private val packBudget = 128
+
+  /** Vocabulary size for the top-k dictionary build. */
+  private val vocabK = 10
+
+  def queries: Seq[Q] = Seq(
+    // PII redaction: count matches per pattern, then nested global
+    // replacement (email -> phone -> blocklist term). Pure per-row regex
+    // work — zero shuffle, the whole table streams through one codegen
+    // stage; at 100 TB this is the canonical embarrassingly-parallel scrub.
+    Q(
+      "text_pii_redact",
+      Some(s"""SELECT doc_id,
+              |  len(regexp_extract_all(text, '$emailPat')) AS n_email,
+              |  len(regexp_extract_all(text, '$phonePat')) AS n_phone,
+              |  len(regexp_extract_all(text, '$termPat')) AS n_terms,
+              |  regexp_replace(regexp_replace(regexp_replace(text,
+              |    '$emailPat', '[EMAIL]', 'g'),
+              |    '$phonePat', '[PHONE]', 'g'),
+              |    '$termPat', '[NAME]', 'g') AS redacted
+              |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("text"), lit(emailPat), lit(0)))
+              .cast("long").as("n_email"),
+            size(regexp_extract_all(col("text"), lit(phonePat), lit(0)))
+              .cast("long").as("n_phone"),
+            size(regexp_extract_all(col("text"), lit(termPat), lit(0)))
+              .cast("long").as("n_terms"),
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("text"), emailPat, "[EMAIL]"),
+                phonePat, "[PHONE]"),
+              termPat, "[NAME]").as("redacted"))
+          .orderBy("doc_id")),
+
+    // Repetition quality filter (Gopher rules): top-2-gram fraction and
+    // duplicate-token fraction, thresholded. The gram mode is computed the
+    // linear way — explode grams, count per (doc, gram), take the per-doc
+    // max — two partial-aggregated shuffles on (doc_id, gram) then doc_id,
+    // O(total grams) work. (A nested higher-order-function form would be
+    // shuffle-free but Catalyst re-evaluates the gram-array expression per
+    // lambda element — no CSE inside lambdas — and it degrades
+    // quadratically on long documents; the exploded plan is both the fast
+    // AND the 100 TB shape.) `keep` compares the UNROUNDED doubles
+    // (identical IEEE division in both engines); rounding is display-only.
+    Q(
+      "text_repetition_filter",
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split(text, ' ') AS l
+              |  FROM documents WHERE doc_id < 200),
+              |g AS (
+              |  SELECT doc_id, len(l) AS n_tok,
+              |    list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) AS grams,
+              |    1 - len(list_distinct(l)) / CAST(len(l) AS DOUBLE) AS dup_frac
+              |  FROM t WHERE len(l) >= 2),
+              |m AS (
+              |  SELECT doc_id, n_tok, dup_frac,
+              |    list_max(list_transform(list_distinct(grams),
+              |      x -> len(list_filter(grams, y -> y = x))))
+              |      / CAST(len(grams) AS DOUBLE) AS top2_frac
+              |  FROM g)
+              |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+              |  ROUND(top2_frac, 6) AS top2_frac,
+              |  ROUND(dup_frac, 6) AS dup_tok_frac,
+              |  (top2_frac <= $maxTop2Frac AND dup_frac <= $maxDupTokFrac) AS keep
+              |FROM m ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val nTok = size(toks)
+        // sequence(1, n-1) DESCENDS when n < 2 (Spark picks step -1); the
+        // n_tok >= 2 filter keeps both engines on the ascending/empty page.
+        val grams = transform(
+          sequence(lit(1), nTok - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+        Tables(s, dir, "documents")
+          .filter(col("doc_id") < 200 && nTok >= 2)
+          .select(
+            col("doc_id"), nTok.cast("long").as("n_tok"),
+            (lit(1) - size(array_distinct(toks)) / nTok.cast("double"))
+              .as("dup_raw"),
+            explode(grams).as("gram"))
+          .groupBy("doc_id", "gram")
+          .agg(
+            first("n_tok").as("n_tok"), first("dup_raw").as("dup_raw"),
+            cnt.as("gram_cnt"))
+          .groupBy("doc_id")
+          .agg(
+            first("n_tok").as("n_tok"), first("dup_raw").as("dup_raw"),
+            (max("gram_cnt") / sum("gram_cnt").cast("double")).as("top2_raw"))
+          .select(
+            col("doc_id"), col("n_tok"),
+            round(col("top2_raw"), 6).as("top2_frac"),
+            round(col("dup_raw"), 6).as("dup_tok_frac"),
+            (col("top2_raw") <= maxTop2Frac && col("dup_raw") <= maxDupTokFrac)
+              .as("keep"))
+          .orderBy("doc_id")
+      }),
+
+    // Weighted mixture sampling: per-source keep rates (upsampled "high
+    // quality" sources at 100%, mid at 50%, tail at 20%) decided by the
+    // same deterministic md5 bucket as the seeded split — membership is a
+    // pure per-row map independent of partitioning or engine, so two runs
+    // (or a 1000-executor run vs local[32]) select identical rows. Only
+    // the `source` key shuffles for the report aggregate.
+    Q(
+      "corpus_mixture_sample",
+      Some("""WITH d AS (
+             |  SELECT source,
+             |    CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':7'),1,15)) AS BIGINT)
+             |      % 100 AS bucket,
+             |    CASE WHEN source IN ('src0','src1','src2') THEN 100
+             |         WHEN source IN ('src3','src4') THEN 50
+             |         ELSE 20 END AS rate
+             |  FROM documents)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+             |  CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  ROUND(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END)
+             |        / CAST(COUNT(*) AS DOUBLE), 6) AS kept_rate
+             |FROM d GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val rate = when(col("source").isin("src0", "src1", "src2"), 100)
+          .when(col("source").isin("src3", "src4"), 50)
+          .otherwise(20)
+        val kept = when(SeededSplit.bucket(col("doc_id"), 7) < rate, 1)
+          .otherwise(0)
+        Tables(s, dir, "documents")
+          .select(col("source"), kept.as("kept"))
+          .groupBy("source")
+          .agg(
+            cnt.as("n_total"),
+            sum(col("kept")).cast("long").as("n_kept"),
+            round(sum(col("kept")) / cnt.cast("double"), 6).as("kept_rate"))
+          .orderBy("source")
+      }),
+
+    // Concat-and-chunk sequence packing (the GPT-style batch builder):
+    // within each lang stream, docs ordered by doc_id fill fixed
+    // 128-token training sequences back to back; a doc belongs to the pack
+    // its first token lands in, and `n_split` counts docs straddling a
+    // boundary. The cumsum window is PARTITIONED BY lang — per-shard
+    // streams, never a global total order, which is what keeps this the
+    // same plan at 100 TB (shard = lang here; a real build shards finer).
+    Q(
+      "seq_pack_chunks",
+      Some(s"""WITH t AS (
+              |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok
+              |  FROM documents),
+              |c AS (
+              |  SELECT lang, doc_id, n_tok,
+              |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |  FROM t)
+              |SELECT lang,
+              |  CAST(FLOOR((cum - n_tok) / $packBudget.0) AS BIGINT) AS pack_id,
+              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+              |  CAST(SUM(CASE WHEN FLOOR((cum - n_tok) / $packBudget.0)
+              |                  <> FLOOR((cum - 1) / $packBudget.0)
+              |           THEN 1 ELSE 0 END) AS BIGINT) AS n_split
+              |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val startPack = floor((col("cum") - col("n_tok")) / packBudget.toDouble)
+        val endPack = floor((col("cum") - 1) / packBudget.toDouble)
+        Tables(s, dir, "documents")
+          .select(
+            col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .withColumn("cum", sum("n_tok").over(w))
+          .groupBy(col("lang"), startPack.cast("long").as("pack_id"))
+          .agg(
+            cnt.as("n_docs"),
+            sum("n_tok").cast("long").as("n_tokens"),
+            sum(when(startPack =!= endPack, 1).otherwise(0)).cast("long")
+              .as("n_split"))
+          .orderBy("lang", "pack_id")
+      }),
+
+    // Vocabulary build + OOV accounting: global top-k tokens by
+    // (count DESC, token) become the dictionary; the corpus re-maps against
+    // it and reports per-lang OOV rates. Token keys shuffle once for the
+    // frequency count; the k-row dictionary is broadcast back — the
+    // standard two-pass dictionary build whose second pass is map-side at
+    // any scale.
+    Q(
+      "vocab_build_topk",
+      Some(s"""WITH tk AS (
+              |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+              |  FROM documents),
+              |v AS (
+              |  SELECT tok FROM (
+              |    SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok
+              |    ORDER BY c DESC, tok LIMIT $vocabK))
+              |SELECT lang, CAST(COUNT(*) AS BIGINT) AS total_tok,
+              |  CAST(SUM(CASE WHEN tok NOT IN (SELECT tok FROM v)
+              |           THEN 1 ELSE 0 END) AS BIGINT) AS oov_tok,
+              |  ROUND(SUM(CASE WHEN tok NOT IN (SELECT tok FROM v)
+              |            THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+              |    AS oov_rate
+              |FROM tk GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val tk = Tables(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        val vocab = tk.groupBy("tok").agg(cnt.as("c"))
+          .orderBy(col("c").desc, col("tok"))
+          .limit(vocabK)
+          .select(col("tok"), lit(true).as("in_vocab"))
+        tk.join(broadcast(vocab), Seq("tok"), "left_outer")
+          .groupBy("lang")
+          .agg(
+            cnt.as("total_tok"),
+            sum(when(col("in_vocab").isNull, 1).otherwise(0)).cast("long")
+              .as("oov_tok"),
+            round(
+              sum(when(col("in_vocab").isNull, 1).otherwise(0))
+                / cnt.cast("double"), 6).as("oov_rate"))
+          .orderBy("lang")
+      }))
+}

@@ -32,6 +32,8 @@ object Joins extends QueryPack {
     */
   @volatile private[graft] var lastSkewPlan: String = ""
 
+  @volatile private[graft] var lastBloomPlan: String = ""
+
   private val revenue =
     sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
       .cast(DecimalType(18, 6))).cast("double")
@@ -314,6 +316,55 @@ object Joins extends QueryPack {
           // resolved adaptive plan with the skew split — as an inner child.
           lastSkewPlan = out.queryExecution.executedPlan.toString
             .split("== Initial Plan ==").head
+          out
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      }),
+
+    // Runtime bloom-filter pruning (Spark's InjectRuntimeFilter): a
+    // selective dim filter (p_size = 1 keeps ~2% of parts) builds a bloom
+    // filter of surviving join keys at runtime, and the fact side applies
+    // `might_contain` BEFORE its shuffle — at 100 TB this is the difference
+    // between shuffling the whole fact table and shuffling the ~2% that can
+    // join. Thresholds are lowered only while THIS query materializes
+    // (same eager cache+count pinning as the skew demo): the application
+    // side's scan must look > 10 GB for the rule to consider it worthwhile,
+    // which is exactly true at production scale and false at sf0.1. Both
+    // sides scan fresh parquet (not the session cache) because the rule
+    // sizes real scans, not InMemoryRelations.
+    Q(
+      "join_bloom_runtime_filter",
+      Some("""SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_size = 1 GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val confs = Seq(
+          "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val fact = s.read.parquet(s"$dir/lineitem.parquet")
+            .select("l_partkey", "l_extendedprice")
+          val dim = s.read.parquet(s"$dir/part.parquet")
+            .filter(col("p_size") === 1)
+            .select("p_partkey", "p_brand")
+          val out = fact
+            .join(dim, col("l_partkey") === col("p_partkey"))
+            .groupBy("p_brand")
+            .agg(cnt.as("n"), dsum(col("l_extendedprice")).as("revenue"))
+            .orderBy("p_brand")
+          // Pin the bloom-enabled execution in the cache (count() runs the
+          // join eagerly under the lowered thresholds; the returned lazy
+          // DataFrame re-reads the tiny cached aggregate).
+          out.cache()
+          out.count()
+          lastBloomPlan = out.queryExecution.executedPlan.toString
           out
         } finally saved.foreach {
           case (k, Some(v)) => s.conf.set(k, v)

@@ -246,6 +246,101 @@ object Scans extends QueryPack {
           .orderBy("name", "bucket")
       }),
 
+    // CDC-style upsert (the MERGE INTO a lakehouse refresh runs, expressed
+    // on vanilla parquet): a change batch of updates (repriced orders,
+    // status 'U') and inserts (new keys) full-outer-joins the base table on
+    // the key; change rows win via column-wise coalesce, the merged table
+    // is rewritten, and the read-back is summarized. The key-hash shuffle
+    // of base vs. changes is the standard distributed MERGE plan; at scale
+    // a small change batch broadcasts instead and only touched partitions
+    // rewrite (partition-overwrite dynamic mode).
+    Q(
+      "sink_upsert_merge",
+      Some("""WITH upd AS (
+             |  SELECT o_orderkey, 'U' AS o_orderstatus,
+             |         o_totalprice * 1.1 AS o_totalprice
+             |  FROM orders WHERE o_orderkey % 10 = 0),
+             |ins AS (
+             |  SELECT o_orderkey + 100000000 AS o_orderkey,
+             |         'N' AS o_orderstatus, o_totalprice
+             |  FROM orders WHERE o_orderkey % 1000 = 7),
+             |cdc AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+             |merged AS (
+             |  SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+             |    coalesce(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+             |    coalesce(c.o_totalprice, b.o_totalprice) AS o_totalprice
+             |  FROM orders b FULL JOIN cdc c ON b.o_orderkey = c.o_orderkey)
+             |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS s
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val upd = base.filter(col("o_orderkey") % 10 === 0)
+          .select(
+            col("o_orderkey"), lit("U").as("o_orderstatus"),
+            (col("o_totalprice") * 1.1).as("o_totalprice"))
+        val ins = base.filter(col("o_orderkey") % 1000 === 7)
+          .select(
+            (col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice"))
+        val cdc = upd.unionAll(ins)
+        val merged = base.as("b")
+          .join(cdc.as("c"), col("b.o_orderkey") === col("c.o_orderkey"),
+            "full_outer")
+          .select(
+            coalesce(col("c.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
+            coalesce(col("c.o_orderstatus"), col("b.o_orderstatus"))
+              .as("o_orderstatus"),
+            coalesce(col("c.o_totalprice"), col("b.o_totalprice"))
+              .as("o_totalprice"))
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_merge_orders"
+        merged.write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp)
+          .groupBy("o_orderstatus")
+          .agg(cnt.as("n"), round(dsum(col("o_totalprice")), 4).as("s"))
+          .orderBy("o_orderstatus")
+      }),
+
+    // Schema evolution: two generations of the corpus land with different
+    // columns (gen 1: doc_id+lang; gen 2: doc_id+n_chars+source — the
+    // ingest-pipeline upgrade case). `mergeSchema` unifies the footers at
+    // read time, absent columns surface as NULLs. Footer merging is
+    // per-file metadata work — the data itself is never rewritten, which
+    // is why schema evolution is free at 100 TB while a rewrite is not.
+    Q(
+      "scan_merge_schema",
+      Some("""WITH m AS (
+             |  SELECT doc_id, lang, NULL::BIGINT AS n_chars,
+             |         NULL::VARCHAR AS source
+             |  FROM documents WHERE doc_id < 250
+             |  UNION ALL
+             |  SELECT doc_id, NULL::VARCHAR, n_chars, source
+             |  FROM documents WHERE doc_id >= 250)
+             |SELECT coalesce(lang, '?') AS lang, coalesce(source, '?') AS source,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(coalesce(n_chars, 0)) AS BIGINT) AS sum_chars
+             |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_schema_evo"
+        val d = Tables(s, dir, "documents")
+        d.filter(col("doc_id") < 250)
+          .select("doc_id", "lang")
+          .write.mode("overwrite").parquet(tmp)
+        d.filter(col("doc_id") >= 250)
+          .select("doc_id", "n_chars", "source")
+          .write.mode("append").parquet(tmp)
+        s.read.option("mergeSchema", "true").parquet(tmp)
+          .groupBy(
+            coalesce(col("lang"), lit("?")).as("lang"),
+            coalesce(col("source"), lit("?")).as("source"))
+          .agg(
+            cnt.as("n"),
+            sum(coalesce(col("n_chars"), lit(0L))).cast("long")
+              .as("sum_chars"))
+          .orderBy("lang", "source")
+      }),
+
     // Append-style metrics sink shape: (name, bucket, value) rows, the batch
     // twin of the TensorBoard scalar stream.
     Q(

@@ -414,6 +414,96 @@ object StreamingQueries extends QueryPack {
           .orderBy("name", "bucket")
       }),
 
+    // Stream-static enrichment: the live event stream joins the slowly
+    // changing customer dimension (re-read per micro-batch in a real
+    // deployment) via broadcast — the map-side dictionary join that never
+    // shuffles the stream. The rolled-up segment view is a complete-mode
+    // aggregate whose state is one row per segment, bounded by the key
+    // space.
+    Q(
+      "stream_static_enrich",
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+             |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => withStreamPartitions(s, 8) {
+        val dim = Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val sink = s"sse_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_sse_ckpt").toString
+        val q = eventsStream(s, dir)
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(cnt.as("n"), round(dsum(col("value")), 4).as("sum_v"))
+          .writeStream
+          .queryName(sink)
+          .outputMode("complete")
+          .format("memory")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink).orderBy("c_mktsegment")
+      }),
+
+    // Stream-stream inner join — the hardest stateful operator Structured
+    // Streaming offers: views and clicks are two independent streams of the
+    // same event log, joined per user with a time-range bound (click within
+    // 10 min after the view). Both sides carry watermarks, so at production
+    // volume the join state is evicted once the watermark passes
+    // view.ts + 10 min — bounded state, keyed by user_id (the shuffle key),
+    // exactly the plan a 1000-executor deployment runs. The batch twin is
+    // the oracle: an append-mode stream-stream inner join must emit exactly
+    // the batch join's row set.
+    Q(
+      "stream_stream_join",
+      Some("""SELECT v.event_id AS view_id, c.event_id AS click_id,
+             |  v.user_id,
+             |  epoch_us(c.ts) - epoch_us(v.ts) AS delta_us
+             |FROM events v JOIN events c
+             |  ON v.user_id = c.user_id
+             | AND v.event_type = 'view' AND c.event_type = 'click'
+             | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+             |ORDER BY view_id, click_id""".stripMargin),
+      (s, dir) => withStreamPartitions(s, 8) {
+        val views = eventsStream(s, dir)
+          .filter(col("event_type") === "view")
+          .select(
+            col("event_id").as("view_id"), col("user_id"),
+            col("ts").as("v_ts"))
+          .withWatermark("v_ts", "1 day")
+        val clicks = eventsStream(s, dir)
+          .filter(col("event_type") === "click")
+          .select(
+            col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+          .withWatermark("c_ts", "1 day")
+        val sink = s"ssj_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_ssj_ckpt").toString
+        val q = views
+          .join(
+            clicks,
+            col("user_id") === col("c_user") &&
+              col("c_ts") >= col("v_ts") &&
+              col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+          .writeStream
+          .queryName(sink)
+          .outputMode("append")
+          .format("memory")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+          .select(
+            col("view_id"), col("click_id"), col("user_id"),
+            (unix_micros(col("c_ts")) - unix_micros(col("v_ts")))
+              .as("delta_us"))
+          .orderBy("view_id", "click_id")
+      }),
+
     // True Structured Streaming run: AvailableNow over the events parquet,
     // 1-day watermark, append-mode windowed counts into a memory sink. Append
     // mode only emits windows the watermark has passed — the late-data policy

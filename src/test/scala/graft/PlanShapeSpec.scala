@@ -68,6 +68,15 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("skewed"), p)
   }
 
+  test("runtime bloom filter prunes the fact side of the selective join") {
+    Registry.byId("join_bloom_runtime_filter").run(spark, sf)
+    // run() executed eagerly under the lowered bloom thresholds and stashed
+    // the executed plan; the injected filter shows as might_contain /
+    // bloom_filter_agg on the fact (application) side.
+    val p = graft.queries.Joins.lastBloomPlan
+    assert(p.contains("might_contain") || p.contains("bloom_filter"), p)
+  }
+
   test("bucketed co-located join has no exchange above the sort-merge join") {
     val df = Registry.byId("join_bucketed_colocated").run(spark, sf)
     df.collect()
