@@ -221,6 +221,48 @@ object CurationOps extends QueryPack {
           .orderBy("lang", "pack_id")
       }),
 
+    // Greedy document-boundary-preserving packing — the OTHER packing
+    // discipline (T5-style: a doc that does not fit the open pack closes
+    // it; no straddling), via the custom whole-operator tier:
+    // graft.plans.GreedyPack is a LogicalPlan node + SparkStrategy +
+    // physical exec (one hash exchange + sort, then a single streaming
+    // pass with O(1) fold state per partition). The fill state is a
+    // sequential fold over each group's ordered stream — each row's pack
+    // depends on every predecessor's DECISION, not just their values, so
+    // no window function can express it; the oracle replays the fold as a
+    // DuckDB recursive CTE.
+    Q(
+      "seq_pack_greedy_native",
+      Some(s"""WITH RECURSIVE t AS (
+              |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok,
+              |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+              |  FROM documents),
+              |s AS (
+              |  SELECT lang, rn, n_tok, 0 AS pack_id, n_tok AS fill
+              |  FROM t WHERE rn = 1
+              |  UNION ALL
+              |  SELECT t.lang, t.rn, t.n_tok,
+              |    CASE WHEN s.fill + t.n_tok > $packBudget
+              |         THEN s.pack_id + 1 ELSE s.pack_id END,
+              |    CASE WHEN s.fill + t.n_tok > $packBudget
+              |         THEN t.n_tok ELSE s.fill + t.n_tok END
+              |  FROM s JOIN t ON t.lang = s.lang AND t.rn = s.rn + 1)
+              |SELECT lang, CAST(pack_id AS BIGINT) AS pack_id,
+              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+              |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val t = Tables(s, dir, "documents")
+          .select(
+            col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+        graft.plans.GreedyPack
+          .packed(t, packBudget, Seq("lang"), Seq("doc_id"), "n_tok")
+          .groupBy("lang", "pack_id")
+          .agg(cnt.as("n_docs"), sum("n_tok").cast("long").as("n_tokens"))
+          .orderBy("lang", "pack_id")
+      }),
+
     // Vocabulary build + OOV accounting: global top-k tokens by
     // (count DESC, token) become the dictionary; the corpus re-maps against
     // it and reports per-lang OOV rates. Token keys shuffle once for the

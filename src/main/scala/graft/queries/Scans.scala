@@ -246,6 +246,53 @@ object Scans extends QueryPack {
           .orderBy("name", "bucket")
       }),
 
+    // Corrupt-tolerant ingestion: a landing dir holds well-formed JSON-lines
+    // plus a bad file (truncated JSON, non-JSON garbage, type-mismatched
+    // field — what a 100 TB crawl actually contains). PERMISSIVE mode with
+    // an explicit schema routes each unparseable line into
+    // `_corrupt_record` instead of failing the job; the report separates
+    // good rows from quarantined ones. Per-line work, zero shuffle before
+    // the 1-row report aggregate.
+    Q(
+      "scan_corrupt_tolerant",
+      Some("""SELECT CAST(COUNT(*) + 3 AS BIGINT) AS n_rows,
+             |  CAST(COUNT(*) AS BIGINT) AS n_good,
+             |  CAST(3 AS BIGINT) AS n_corrupt,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_corrupt_json"
+        Tables(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+          .write.mode("overwrite").json(tmp)
+        Seq(
+          """{"doc_id": 900000, "lang": "en", "n_chars":""", // truncated
+          "definitely not json", // garbage
+          // Structurally malformed (Spark PERMISSIVE quietly nulls mere
+          // type mismatches without quarantining the record; only
+          // unparseable JSON reaches _corrupt_record).
+          """{"doc_id": 3 "lang"}""")
+          .toDF("value").coalesce(1)
+          .write.mode("append").text(tmp)
+        s.read
+          .schema(
+            "doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt_record STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(tmp)
+          .agg(
+            cnt.as("n_rows"),
+            sum(when(col("_corrupt_record").isNull, 1).otherwise(0))
+              .cast("long").as("n_good"),
+            sum(when(col("_corrupt_record").isNotNull, 1).otherwise(0))
+              .cast("long").as("n_corrupt"),
+            // Quarantined lines contribute no measures even when PERMISSIVE
+            // managed to parse some of their fields.
+            sum(when(col("_corrupt_record").isNull, col("n_chars")))
+              .cast("long").as("sum_chars"))
+      }),
+
     // CDC-style upsert (the MERGE INTO a lakehouse refresh runs, expressed
     // on vanilla parquet): a change batch of updates (repriced orders,
     // status 'U') and inserts (new keys) full-outer-joins the base table on
