@@ -43,6 +43,10 @@ object CurationOps extends QueryPack {
   /** Vocabulary size for the top-k dictionary build. */
   private val vocabK = 10
 
+  /** Count-min sketch geometry: d hash rows × w buckets. */
+  private val cmsD = 4
+  private val cmsW = 64
+
   def queries: Seq[Q] = Seq(
     // PII redaction: count matches per pattern, then nested global
     // replacement (email -> phone -> blocklist term). Pure per-row regex
@@ -261,6 +265,66 @@ object CurationOps extends QueryPack {
           .groupBy("lang", "pack_id")
           .agg(cnt.as("n_docs"), sum("n_tok").cast("long").as("n_tokens"))
           .orderBy("lang", "pack_id")
+      }),
+
+    // Count-min sketch frequency estimation: the token stream folds into a
+    // d×w = 4×64 cell grid (md5-derived row hashes, deterministic in both
+    // engines); a key's estimate is the MIN over its d cells —
+    // overestimates only, never under. THE bounded-state frequency design
+    // at 100 TB: sketch state is w·d cells regardless of vocabulary size,
+    // the cell shuffle is partial-aggregated, and sketches from shards
+    // merge by cell-wise addition. Candidates (here the exact top-10)
+    // probe the sketch; the report shows exact vs estimate vs overcount.
+    Q(
+      "agg_countmin_tokens",
+      Some(s"""WITH tk AS (
+              |  SELECT unnest(string_split(lower(text), ' ')) AS tok
+              |  FROM documents),
+              |r AS (SELECT unnest(range($cmsD)) AS r),
+              |sk AS (
+              |  SELECT r, CAST(('0x'||substr(md5(tok||':'||CAST(r AS VARCHAR)),1,15))
+              |           AS BIGINT) % $cmsW AS bucket,
+              |    CAST(COUNT(*) AS BIGINT) AS c
+              |  FROM tk, r GROUP BY 1, 2),
+              |top AS (
+              |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact
+              |  FROM tk GROUP BY tok ORDER BY exact DESC, tok LIMIT 10),
+              |q AS (
+              |  SELECT t.tok, t.exact, r.r,
+              |    CAST(('0x'||substr(md5(t.tok||':'||CAST(r.r AS VARCHAR)),1,15))
+              |      AS BIGINT) % $cmsW AS bucket
+              |  FROM top t, r)
+              |SELECT q.tok, q.exact, MIN(sk.c) AS cms_est,
+              |  MIN(sk.c) - q.exact AS overcount
+              |FROM q JOIN sk ON q.r = sk.r AND q.bucket = sk.bucket
+              |GROUP BY q.tok, q.exact
+              |ORDER BY q.exact DESC, q.tok""".stripMargin),
+      (s, dir) => {
+        def bucket(tok: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
+          conv(
+            substring(md5(concat(tok, lit(":"), r.cast("string"))), 1, 15),
+            16, 10).cast("long") % cmsW
+        val tk = Tables(s, dir, "documents")
+          .select(explode(split(lower(col("text")), " ")).as("tok"))
+        val rows = explode(sequence(lit(0), lit(cmsD - 1))).as("r")
+        val sk = tk.select(col("tok"), rows)
+          .select(col("r"), bucket(col("tok"), col("r")).as("bucket"))
+          .groupBy("r", "bucket")
+          .agg(cnt.as("c"))
+        val top = tk.groupBy("tok").agg(cnt.as("exact"))
+          .orderBy(col("exact").desc, col("tok"))
+          .limit(vocabK)
+        val probes = top.select(col("tok"), col("exact"), rows)
+          .select(
+            col("tok"), col("exact"), col("r"),
+            bucket(col("tok"), col("r")).as("bucket"))
+        probes.join(broadcast(sk), Seq("r", "bucket"))
+          .groupBy("tok", "exact")
+          .agg(min("c").as("cms_est"))
+          .select(
+            col("tok"), col("exact"), col("cms_est"),
+            (col("cms_est") - col("exact")).as("overcount"))
+          .orderBy(col("exact").desc, col("tok"))
       }),
 
     // Vocabulary build + OOV accounting: global top-k tokens by
