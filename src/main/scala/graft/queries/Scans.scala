@@ -13,6 +13,44 @@ import org.apache.spark.sql.functions._
   */
 object Scans extends QueryPack {
 
+  /** The 2-D box predicate served by the z-ordered layout. Plain column
+    * comparisons on the MATERIALIZED dims (`ck`, `dy`): parquet stats
+    * pushdown only sees raw-column predicates — a filter on
+    * `o_custkey % 256` would never prune, which is why the layout writes
+    * the cluster dimensions as physical columns.
+    */
+  private[graft] def zorderBox: org.apache.spark.sql.Column =
+    col("ck") < 32 && col("dy") < 32
+
+  /** Materialize the two cluster dimensions as physical columns. */
+  private[graft] def withDims(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("ck", (col("o_custkey") % 256).cast("long"))
+      .withColumn("dy", (dayofyear(col("o_orderdate")) % 256).cast("long"))
+
+  /** Morton-interleave the low 8 bits of (custkey bucket, day-of-year)
+    * and write `df` range-partitioned + sorted by the code, small row
+    * groups so stats-based skipping operates within files too. The two
+    * dims land as physical columns (`ck`, `dy`) so box predicates push
+    * down to the footer stats.
+    */
+  private[graft] def writeZOrdered(
+      df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val z = (0 until 8)
+      .map { i =>
+        shiftleft(shiftright(col("ck"), i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(col("dy"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }
+      .reduce(_ + _)
+    withDims(df)
+      .withColumn("z", z.cast("long"))
+      .repartitionByRange(8, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite")
+      .option("parquet.block.size", 64 * 1024)
+      .parquet(path)
+  }
+
   def queries: Seq[Q] = Seq(
     // Full-table DataSourceV2 parquet scan, schema from the footer.
     Q(
@@ -244,6 +282,32 @@ object Scans extends QueryPack {
           .filter(col("epoch") === col("latest"))
           .select("name", "bucket", "value", "n_versions")
           .orderBy("name", "bucket")
+      }),
+
+    // Z-order clustered layout (the Delta/Iceberg OPTIMIZE ZORDER BY move,
+    // on vanilla parquet): interleave the bits of two query dimensions
+    // (customer bucket, day-of-year) into a Morton code, range-partition +
+    // sort the table by it, and write. Every file/row-group then covers a
+    // RECTANGLE of (custkey, date) space, so parquet min/max stats prune a
+    // 2-D box predicate on EITHER dimension — the layout trick that turns
+    // a 100 TB full scan into reading the handful of files whose rectangle
+    // intersects the query box. ZOrderSpec proves it: the same filter
+    // reads strictly fewer rows off this layout than off a key-ordered
+    // one. The Morton fold is 8 unrolled shift/mask terms — pure codegen'd
+    // per-row arithmetic; the result is layout-only, so the oracle is the
+    // plain filtered aggregate.
+    Q(
+      "sink_zorder_skipping",
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS s
+             |FROM orders
+             |WHERE o_custkey % 256 < 32 AND dayofyear(o_orderdate) % 256 < 32""".stripMargin),
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_orders"
+        Scans.writeZOrdered(Tables(s, dir, "orders"), tmp)
+        s.read.parquet(tmp)
+          .filter(zorderBox)
+          .agg(cnt.as("n"), round(dsum(col("o_totalprice")), 4).as("s"))
       }),
 
     // Corrupt-tolerant ingestion: a landing dir holds well-formed JSON-lines
