@@ -372,6 +372,47 @@ object Joins extends QueryPack {
         }
       }),
 
+    // Keyless range join, bucketized: "events within ±5 min of each error"
+    // has NO equi key — naively a BroadcastNestedLoopJoin, the O(n·m)
+    // scale-killer. The standard fix manufactures the key: bucket time into
+    // window-radius cells, probe (b-1, b, b+1) via explode, equi-join on
+    // the bucket, filter the exact predicate. Candidate work becomes
+    // |probes| × 3 × bucket occupancy instead of |probes| × |events| —
+    // the plan that survives 100 TB (PlanShapeSpec asserts no BNLJ /
+    // cartesian). LEFT join-back keeps zero-neighbor probes.
+    Q(
+      "join_range_bucketed",
+      Some("""SELECT e.event_id AS err_id, CAST(COUNT(o.event_id) AS BIGINT) AS n_near
+             |FROM events e LEFT JOIN events o
+             |  ON o.event_id <> e.event_id
+             | AND o.ts >= e.ts - INTERVAL 5 MINUTE
+             | AND o.ts <= e.ts + INTERVAL 5 MINUTE
+             |WHERE e.event_type = 'error' AND e.event_id < 300
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val radiusUs = 5L * 60 * 1000000
+        val ev = Tables(s, dir, "events")
+          .select(
+            col("event_id").as("o_id"), unix_micros(col("ts")).as("o_us"),
+            (unix_micros(col("ts")) / radiusUs).cast("long").as("bkt"))
+        val err = Tables(s, dir, "events")
+          .filter(col("event_type") === "error" && col("event_id") < 300)
+          .select(col("event_id").as("err_id"), unix_micros(col("ts")).as("e_us"))
+        val probes = err.withColumn(
+          "bkt",
+          explode(array(Seq(-1, 0, 1).map(
+            d => (col("e_us") / radiusUs).cast("long") + d): _*)))
+        val near = probes.join(ev, "bkt")
+          .filter(
+            col("o_id") =!= col("err_id") &&
+              abs(col("o_us") - col("e_us")) <= radiusUs)
+          .groupBy("err_id")
+          .agg(cnt.as("n"))
+        err.join(near, Seq("err_id"), "left_outer")
+          .select(col("err_id"), coalesce(col("n"), lit(0L)).as("n_near"))
+          .orderBy("err_id")
+      }),
+
     // Interval-overlap join: lineitems shipped within 90 days of their
     // order's date (equi key + range predicate: no cross product at scale).
     Q(

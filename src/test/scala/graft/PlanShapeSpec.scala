@@ -77,6 +77,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("might_contain") || p.contains("bloom_filter"), p)
   }
 
+  test("bucketized range join avoids nested-loop/cartesian plans") {
+    val p = plan("join_range_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("bucketed co-located join has no exchange above the sort-merge join") {
     val df = Registry.byId("join_bucketed_colocated").run(spark, sf)
     df.collect()
