@@ -343,45 +343,37 @@ object MLOps extends QueryPack {
     // reference's per-class evaluation implies, and every
     // retrieval/classifier head needs): posexplode to (label, dim, value),
     // decimal-exact mean per cell — ONE partial-aggregated shuffle of
-    // (label, dim) scalar cells, never whole vectors — then the k×d result
-    // reassembles ordered by dim. At 100 TB the cell shuffle is |labels|×64
-    // keys of partial sums; the raw embeddings never leave their map side.
+    // (label, dim) scalar cells, never whole vectors. Output is the long
+    // form (label, dim, mv) ordered by (label, dim) — scalar columns only,
+    // per SURVEY §7.3 rule 6 (the oracle comparator cannot sort/hash array
+    // cells). At 100 TB the cell shuffle is |labels|×64 keys of partial
+    // sums; the raw embeddings never leave their map side.
     Q(
       "ml_embedding_avg_pool",
       // DuckDB lateral range() can't reference sibling columns; the zipped
-      // unnest + generate_subscripts pair is the ordinality idiom (1-based
-      // vs posexplode's 0-based — dim is only a key/order column, never
-      // output, so the offset is immaterial).
+      // unnest + generate_subscripts pair is the ordinality idiom. dim is
+      // an OUTPUT column here, so numbering must agree: 1-based on both
+      // sides (posexplode's 0-based pos gets +1), cast to INT on both.
       Some("""WITH c AS (
              |  SELECT label, generate_subscripts(embedding, 1) AS dim,
              |    unnest(embedding) AS v
-             |  FROM embeddings),
-             |m AS (
-             |  SELECT label, dim,
-             |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
-             |      / COUNT(*) AS mv
-             |  FROM c GROUP BY 1, 2)
-             |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_dims,
-             |  list(mv ORDER BY dim) AS centroid
-             |FROM m GROUP BY label ORDER BY label""".stripMargin),
+             |  FROM embeddings)
+             |SELECT label, CAST(dim AS INT) AS dim,
+             |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+             |    / COUNT(*) AS mv
+             |FROM c GROUP BY 1, 2 ORDER BY label, dim""".stripMargin),
       (s, dir) =>
         Tables(s, dir, "embeddings")
-          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
           // Unrounded: decimal-exact sums to ONE final double division is
           // bit-equal across engines, while ROUND(·,6) can break a
           // knife-edge tie differently (exact-expansion HALF_UP vs
           // scaled-double rounding). FLOAT widens to DOUBLE before the
           // decimal cast — engines disagree on direct float→decimal
           // rounding (shortest-repr vs exact-expansion).
-          .groupBy("label", "dim")
+          .groupBy(col("label"), (col("pos") + 1).cast("int").as("dim"))
           .agg((dsum(col("v").cast("double")) / cnt).as("mv"))
-          .groupBy("label")
-          .agg(
-            cnt.as("n_dims"),
-            transform(
-              array_sort(collect_list(struct(col("dim"), col("mv")))),
-              cell => cell.getField("mv")).as("centroid"))
-          .orderBy("label")),
+          .orderBy("label", "dim")),
 
     // MLlib interop — the platform KMeans (k-means|| init, seeded) over the
     // same embeddings as ml_kmeans_iterations; cluster-size profile output.
