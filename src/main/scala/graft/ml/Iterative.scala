@@ -33,7 +33,17 @@ object GradientDescent {
       n: Double, sx: Double, sy: Double,
       sxx: Double, sxy: Double, syy: Double)
 
-  final case class State(step: Int, w: Double, b: Double)
+  /** Driver-held optimizer state. Beyond (w, b), carries the Adam first/
+    * second-moment estimates per parameter (reference trains with
+    * `optax.adam(config.learning_rate)`, `trainer/flax_model.py:275`) —
+    * m/v are PART of the state, so checkpoint/resume round-trips them
+    * bit-for-bit exactly like the weights (CheckpointSpec). Plain GD
+    * ignores them (they stay 0.0).
+    */
+  final case class State(
+      step: Int, w: Double, b: Double,
+      mw: Double = 0.0, mb: Double = 0.0,
+      vw: Double = 0.0, vb: Double = 0.0)
 
   /** ONE distributed pass over a DataFrame with columns (x, y). */
   def moments(xy: DataFrame): Moments = {
@@ -59,18 +69,49 @@ object GradientDescent {
     val sse = st.w * st.w * sxx + 2 * st.w * st.b * sx - 2 * st.w * sxy +
       n * st.b * st.b - 2 * st.b * sy + syy
     val mse = sse / n
-    (State(st.step + 1, st.w - lr * 2.0 * gw / n, st.b - lr * 2.0 * gb / n), mse)
+    (State(st.step + 1, st.w - lr * 2.0 * gw / n, st.b - lr * 2.0 * gb / n,
+      st.mw, st.mb, st.vw, st.vb), mse)
   }
 
-  /** Fold [[step]] `nSteps` times from `init`, optionally checkpointing
-    * each step's state. History rows: (step, w, b, mse-before-update).
+  /** One Adam step (`optax.adam` semantics, defaults b1=0.9, b2=0.999,
+    * eps=1e-8; reference `flax_model.py:275`): exponential first/second
+    * moments of the mean-loss gradient with bias correction. Same
+    * closed-form gradient from the sufficient statistics — the data is
+    * never touched; moments live in [[State]] so a checkpointed resume
+    * replays the identical trajectory bit-for-bit.
+    */
+  def stepAdam(m: Moments, st: State, lr: Double,
+      b1: Double = 0.9, b2: Double = 0.999, eps: Double = 1e-8)
+      : (State, Double) = {
+    import m._
+    val gw = 2.0 * (st.w * sxx + st.b * sx - sxy) / n
+    val gb = 2.0 * (st.w * sx + n * st.b - sy) / n
+    val sse = st.w * st.w * sxx + 2 * st.w * st.b * sx - 2 * st.w * sxy +
+      n * st.b * st.b - 2 * st.b * sy + syy
+    val t = st.step + 1
+    val mw = b1 * st.mw + (1 - b1) * gw
+    val mb = b1 * st.mb + (1 - b1) * gb
+    val vw = b2 * st.vw + (1 - b2) * gw * gw
+    val vb = b2 * st.vb + (1 - b2) * gb * gb
+    val bc1 = 1 - math.pow(b1, t)
+    val bc2 = 1 - math.pow(b2, t)
+    val w2 = st.w - lr * (mw / bc1) / (math.sqrt(vw / bc2) + eps)
+    val b2n = st.b - lr * (mb / bc1) / (math.sqrt(vb / bc2) + eps)
+    (State(t, w2, b2n, mw, mb, vw, vb), sse / n)
+  }
+
+  /** Fold an optimizer step `nSteps` times from `init`, optionally
+    * checkpointing each step's state. History rows:
+    * (step, w, b, mse-before-update). `opt` defaults to plain [[step]];
+    * pass `stepAdam(_, _, _)` for Adam.
     */
   def run(m: Moments, init: State, nSteps: Int, lr: Double,
-      ckpt: Option[ModelCheckpoint] = None)
+      ckpt: Option[ModelCheckpoint] = None,
+      opt: (Moments, State, Double) => (State, Double) = step)
       : (State, Seq[(Int, Double, Double, Double)]) = {
     var st = init
     val hist = (1 to nSteps).map { _ =>
-      val (next, mse) = step(m, st, lr)
+      val (next, mse) = opt(m, st, lr)
       st = next
       ckpt.foreach(c => c.save(st.step, toDf(c.spark, st)))
       (st.step, st.w, st.b, mse)
@@ -79,11 +120,15 @@ object GradientDescent {
   }
 
   def toDf(spark: SparkSession, st: State): DataFrame =
-    spark.createDataFrame(Seq((st.step, st.w, st.b))).toDF("step", "w", "b")
+    spark.createDataFrame(
+      Seq((st.step, st.w, st.b, st.mw, st.mb, st.vw, st.vb)))
+      .toDF("step", "w", "b", "mw", "mb", "vw", "vb")
 
   def fromDf(df: DataFrame): State = {
     val r = df.head()
-    State(r.getInt(0), r.getDouble(1), r.getDouble(2))
+    State(r.getAs[Int]("step"), r.getAs[Double]("w"), r.getAs[Double]("b"),
+      r.getAs[Double]("mw"), r.getAs[Double]("mb"),
+      r.getAs[Double]("vw"), r.getAs[Double]("vb"))
   }
 }
 

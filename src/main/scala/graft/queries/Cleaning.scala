@@ -83,16 +83,20 @@ object Cleaning extends QueryPack {
 
     // The reference's actual cleaning pipeline composed end-to-end
     // (trainer/flax_model.py:79-95): cell values outside the valid range
-    // are replaced by the smoothed 3x3-neighborhood value (the relational
-    // gaussian_filter analog — smoothing reads ALL cells, invalid included,
-    // exactly like the reference), then the whole surface is clipped to the
-    // range. Grid = (user, day) over events, valid range = [10, 180]
+    // are replaced by the GAUSSIAN-smoothed 3x3-neighborhood value
+    // (`gaussian_filter(..., sigma=1)`, flax_model.py:73 — smoothing reads
+    // ALL cells, invalid included, exactly like the reference), then the
+    // whole surface is clipped to the range. The kernel is the binomial
+    // [1,2,1]⊗[1,2,1]/16 — the standard fixed-RATIONAL discretization of
+    // the sigma=1 Gaussian — carried as an integer `w` column on the
+    // broadcast offset table so the weighted neighbor sums stay exact
+    // DECIMAL. Grid = (user, day) over events, valid range = [10, 180]
     // (analog of the [200, 330] K LST band). The offset table broadcasts;
-    // the grid shuffles once on its key. Numerics: per-cell and neighbor
-    // sums stay exact DECIMAL until ONE final double division, so every
-    // emitted double is bit-identical across engines and shuffle orders —
-    // no ROUND knife-edges (an intermediate double->DECIMAL(30,10) re-cast
-    // here once manufactured an exact round-half tie at sf0.01).
+    // the grid shuffles once on its key. Numerics: per-cell and weighted
+    // neighbor sums stay exact DECIMAL until ONE final double division, so
+    // every emitted double is bit-identical across engines and shuffle
+    // orders — no ROUND knife-edges (an intermediate double->DECIMAL(30,10)
+    // re-cast here once manufactured an exact round-half tie at sf0.01).
     Q(
       "clean_impute_neighborhood_clip",
       Some("""WITH grid AS (
@@ -101,12 +105,13 @@ object Cleaning extends QueryPack {
              |         SUM(CAST(value AS DECIMAL(18,6))) AS sv,
              |         COUNT(*) AS n
              |  FROM events GROUP BY 1, 2),
-             |offs AS (SELECT a.dy, b.dx
-             |         FROM (VALUES (-1), (0), (1)) a(dy), (VALUES (-1), (0), (1)) b(dx)),
+             |offs AS (SELECT a.dy, b.dx, a.wy * b.wx AS w
+             |         FROM (VALUES (-1, 1), (0, 2), (1, 1)) a(dy, wy),
+             |              (VALUES (-1, 1), (0, 2), (1, 1)) b(dx, wx)),
              |sm AS (
              |  SELECT g.u, g.d,
              |    CAST(g.sv AS DOUBLE) / g.n AS v,
-             |    CAST(SUM(ng.sv) AS DOUBLE) / SUM(ng.n) AS smoothed
+             |    CAST(SUM(o.w * ng.sv) AS DOUBLE) / SUM(o.w * ng.n) AS smoothed
              |  FROM grid g JOIN offs o ON TRUE
              |  JOIN grid ng ON ng.u = g.u + o.dy AND ng.d = g.d + o.dx
              |  GROUP BY g.u, g.d, g.sv, g.n)
@@ -123,9 +128,12 @@ object Cleaning extends QueryPack {
           .agg(
             sum(col("value").cast(DecimalType(18, 6))).as("sv"),
             cnt.as("n"))
+        // Binomial sigma=1 kernel: weight = wy(dy) * wx(dx), wy = (1,2,1).
+        def bw(o: Int): Int = if (o == 0) 2 else 1
         val offs = s.createDataFrame(
-          for { dy <- Seq(-1, 0, 1); dx <- Seq(-1, 0, 1) } yield (dy, dx))
-          .toDF("dy", "dx")
+          for { dy <- Seq(-1, 0, 1); dx <- Seq(-1, 0, 1) }
+            yield (dy, dx, bw(dy) * bw(dx)))
+          .toDF("dy", "dx", "w")
         val ng = grid.select(
           col("u").as("nu"), col("d").as("nd"),
           col("sv").as("nsv"), col("n").as("nn"))
@@ -133,7 +141,8 @@ object Cleaning extends QueryPack {
           .join(ng, col("nu") === col("u") + col("dy") && col("nd") === col("d") + col("dx"))
           .groupBy("u", "d", "sv", "n")
           .agg(
-            (sum(col("nsv")).cast("double") / sum(col("nn"))).as("smoothed"))
+            (sum(col("w") * col("nsv")).cast("double") / sum(col("w") * col("nn")))
+              .as("smoothed"))
           .withColumn("v", col("sv").cast("double") / col("n"))
         sm.select(
           col("u"), col("d"),

@@ -26,9 +26,13 @@ object MLOps extends QueryPack {
     "DFC35A", "C4281B", "A59B8F", "B39FE1")
 
   def queries: Seq[Q] = Seq(
-    // 2-D convolution as a relation: sparse grid (user x day) self-joined
-    // against a 9-row kernel-offset table, then group-sum. Scales to any
-    // raster: the offset table broadcasts, the grid shuffles once on its key.
+    // 2-D Gaussian convolution as a relation: sparse grid (user x day)
+    // self-joined against a 9-row kernel-offset table carrying integer
+    // binomial weights [1,2,1]⊗[1,2,1] (the fixed-rational discretization
+    // of the reference's gaussian_filter sigma=1, flax_model.py:73), then
+    // weighted group-sum / 16. Scales to any raster: the offset table
+    // broadcasts, the grid shuffles once on its key; weighted sums of
+    // BIGINT counts are exact, ONE final double division.
     Q(
       "ml_conv2d_join_agg",
       Some("""WITH grid AS (
@@ -36,14 +40,15 @@ object MLOps extends QueryPack {
              |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS d,
              |         CAST(COUNT(*) AS BIGINT) AS c
              |  FROM events GROUP BY 1, 2),
-             |offs AS (SELECT a.dy, b.dx
-             |         FROM (VALUES (-1), (0), (1)) a(dy), (VALUES (-1), (0), (1)) b(dx)),
+             |offs AS (SELECT a.dy, b.dx, a.wy * b.wx AS w
+             |         FROM (VALUES (-1, 1), (0, 2), (1, 1)) a(dy, wy),
+             |              (VALUES (-1, 1), (0, 2), (1, 1)) b(dx, wx)),
              |conv AS (
-             |  SELECT g.u, g.d, SUM(n.c) AS s
+             |  SELECT g.u, g.d, SUM(o.w * n.c) AS s
              |  FROM grid g JOIN offs o ON TRUE
              |  JOIN grid n ON n.u = g.u + o.dy AND n.d = g.d + o.dx
              |  GROUP BY 1, 2)
-             |SELECT u, d, ROUND(CAST(s AS DOUBLE) / 9.0, 6) AS conv
+             |SELECT u, d, ROUND(CAST(s AS DOUBLE) / 16.0, 6) AS conv
              |FROM conv ORDER BY u, d""".stripMargin),
       (s, dir) => {
         val grid = Tables(s, dir, "events")
@@ -52,15 +57,72 @@ object MLOps extends QueryPack {
             datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
               .cast("int").as("d"))
           .agg(cnt.as("c"))
+        def bw(o: Int): Int = if (o == 0) 2 else 1
         val offs = s.createDataFrame(
-          for { dy <- Seq(-1, 0, 1); dx <- Seq(-1, 0, 1) } yield (dy, dx))
-          .toDF("dy", "dx")
+          for { dy <- Seq(-1, 0, 1); dx <- Seq(-1, 0, 1) }
+            yield (dy, dx, bw(dy) * bw(dx)))
+          .toDF("dy", "dx", "w")
         val n = grid.select(col("u").as("nu"), col("d").as("nd"), col("c").as("nc"))
         grid.crossJoin(broadcast(offs))
           .join(n, col("nu") === col("u") + col("dy") && col("nd") === col("d") + col("dx"))
           .groupBy("u", "d")
-          .agg(sum("nc").as("s"))
-          .select(col("u"), col("d"), round(col("s").cast("double") / 9.0, 6).as("conv"))
+          .agg(sum(col("w") * col("nc")).as("s"))
+          .select(col("u"), col("d"), round(col("s").cast("double") / 16.0, 6).as("conv"))
+          .orderBy("u", "d")
+      }),
+
+    // Multi-channel 5×5 convolution — the literal shape of the reference's
+    // first layer, `nn.Conv(features=32, kernel_size=(5,5))` over the
+    // NUM_INPUTS=3 input bands (flax_model.py:156,24). Same conv-as-join
+    // plan, generalized: 3 integer band channels per grid cell (count,
+    // sum(floor(value)), sum(length(event_type))), a 25-row broadcast
+    // offset table with separable binomial [1,4,6,4,1]⊗[1,4,6,4,1] weights
+    // (sigma≈1.1 Gaussian, kernel sum 256), and per-band multipliers
+    // (1,2,3) standing in for the learned channel weights. All products
+    // and sums are exact BIGINT; ONE final double division by the kernel
+    // mass 256·6. At 100 TB nothing changes: offsets broadcast, the grid
+    // shuffles once on (u,d), the 25-way neighbor lookup is an equi-join.
+    Q(
+      "ml_conv2d_5x5_multiband",
+      Some("""WITH grid AS (
+             |  SELECT user_id AS u,
+             |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS d,
+             |         CAST(COUNT(*) AS BIGINT) AS b0,
+             |         CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS b1,
+             |         CAST(SUM(length(event_type)) AS BIGINT) AS b2
+             |  FROM events GROUP BY 1, 2),
+             |offs AS (SELECT a.dy, b.dx, a.wy * b.wx AS w
+             |         FROM (VALUES (-2, 1), (-1, 4), (0, 6), (1, 4), (2, 1)) a(dy, wy),
+             |              (VALUES (-2, 1), (-1, 4), (0, 6), (1, 4), (2, 1)) b(dx, wx)),
+             |conv AS (
+             |  SELECT g.u, g.d, SUM(o.w * (n.b0 + 2 * n.b1 + 3 * n.b2)) AS s
+             |  FROM grid g JOIN offs o ON TRUE
+             |  JOIN grid n ON n.u = g.u + o.dy AND n.d = g.d + o.dx
+             |  GROUP BY 1, 2)
+             |SELECT u, d, ROUND(CAST(s AS DOUBLE) / 1536.0, 6) AS conv5
+             |FROM conv ORDER BY u, d""".stripMargin),
+      (s, dir) => {
+        val grid = Tables(s, dir, "events")
+          .groupBy(
+            col("user_id").as("u"),
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+              .cast("int").as("d"))
+          .agg(
+            cnt.as("b0"),
+            sum(floor(col("value")).cast("long")).as("b1"),
+            sum(length(col("event_type")).cast("long")).as("b2"))
+        val bin = Map(-2 -> 1, -1 -> 4, 0 -> 6, 1 -> 4, 2 -> 1)
+        val offs = s.createDataFrame(
+          for { dy <- -2 to 2; dx <- -2 to 2 } yield (dy, dx, bin(dy) * bin(dx)))
+          .toDF("dy", "dx", "w")
+        val n = grid.select(
+          col("u").as("nu"), col("d").as("nd"),
+          col("b0").as("n0"), col("b1").as("n1"), col("b2").as("n2"))
+        grid.crossJoin(broadcast(offs))
+          .join(n, col("nu") === col("u") + col("dy") && col("nd") === col("d") + col("dx"))
+          .groupBy("u", "d")
+          .agg(sum(col("w") * (col("n0") + lit(2) * col("n1") + lit(3) * col("n2"))).as("s"))
+          .select(col("u"), col("d"), round(col("s").cast("double") / 1536.0, 6).as("conv5"))
           .orderBy("u", "d")
       }),
 
@@ -143,6 +205,36 @@ object MLOps extends QueryPack {
           .orderBy("vec_id")
       }),
 
+    // jax.nn.one_hot(labels, NUM_CLASSES=9) (flax_model.py:184): class id
+    // per "pixel" (floor(value) % 9, as in ml_palette_render), one-hot via
+    // transform(sequence(0,8), i -> ...) — a pure per-row array map, zero
+    // shuffles at any scale. Exploded to long form (event_id, cls, idx,
+    // bit) for the oracle comparator (SURVEY §7.3 rule 6: no array cells).
+    Q(
+      "ml_onehot_encode",
+      Some("""WITH px AS (
+             |  SELECT event_id, CAST(floor(value) AS INT) % 9 AS cls FROM events),
+             |oh AS (
+             |  SELECT event_id, cls,
+             |    list_transform(range(0, 9),
+             |      i -> CASE WHEN i = cls THEN 1 ELSE 0 END) AS l
+             |  FROM px)
+             |SELECT event_id, cls,
+             |  CAST(generate_subscripts(l, 1) - 1 AS INT) AS idx,
+             |  CAST(unnest(l) AS INT) AS bit
+             |FROM oh ORDER BY event_id, idx""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .select(col("event_id"), (floor(col("value")).cast("int") % 9).as("cls"))
+          .select(
+            col("event_id"), col("cls"),
+            posexplode(transform(sequence(lit(0), lit(8)),
+              i => when(i === col("cls"), 1).otherwise(0))).as(Seq("idx", "bit")))
+          .select(
+            col("event_id"), col("cls"),
+            col("idx").cast("int").as("idx"), col("bit").cast("int").as("bit"))
+          .orderBy("event_id", "idx")),
+
     // The training loop: 3 fixed gradient-descent steps for
     // l_extendedprice ~ l_quantity. Sufficient statistics: for a quadratic
     // loss the gradient and SSE are closed-form in (n, Sx, Sy, Sxx, Sxy,
@@ -160,6 +252,26 @@ object MLOps extends QueryPack {
             .select(col("l_quantity").as("x"), col("l_extendedprice").as("y")))
         val (_, hist) =
           GradientDescent.run(m, GradientDescent.State(0, 0.0, 0.0), 3, 0.001)
+        s.createDataFrame(hist).toDF("iter", "w", "b", "mse")
+      }),
+
+    // The same closed-form training loop under the reference's ACTUAL
+    // optimizer — optax.adam(lr), flax_model.py:275 — with first/second
+    // moment state (m/v per parameter) carried in GradientDescent.State
+    // and therefore in every checkpoint. One distributed moments pass,
+    // then 3 Adam steps of pure driver arithmetic. Iterative => no SQL
+    // oracle; CheckpointSpec asserts bit-for-bit Adam resume.
+    Q(
+      "ml_train_adam_iterations",
+      None,
+      (s, dir) => {
+        import graft.ml.GradientDescent
+        val m = GradientDescent.moments(
+          Tables(s, dir, "lineitem")
+            .select(col("l_quantity").as("x"), col("l_extendedprice").as("y")))
+        val (_, hist) = GradientDescent.run(
+          m, GradientDescent.State(0, 0.0, 0.0), 3, 0.001,
+          opt = GradientDescent.stepAdam(_, _, _))
         s.createDataFrame(hist).toDF("iter", "w", "b", "mse")
       }),
 

@@ -38,6 +38,35 @@ class CheckpointSpec extends SparkSpec {
     }
   }
 
+  test("Adam: resume(checkpoint(2)) + 3 more == run(5), bit-for-bit incl m/v") {
+    val adam = GD.stepAdam(_: GD.Moments, _: GD.State, _: Double)
+    val (endFull, histFull) =
+      GD.run(moments, GD.State(0, 0.0, 0.0), 5, 0.001, opt = adam)
+    val ckpt = ModelCheckpoint(spark, tmp())
+    GD.run(moments, GD.State(0, 0.0, 0.0), 2, 0.001, Some(ckpt), opt = adam)
+    val (step, stateDf) = ckpt.restoreLatest().get
+    assert(step == 2)
+    val restored = GD.fromDf(stateDf)
+    // The checkpoint must round-trip the optimizer moments, not just (w, b):
+    // a resume that zeroed m/v would diverge from the uninterrupted run on
+    // the very next step.
+    val (endRes, histRes) = GD.run(moments, restored, 3, 0.001, opt = adam)
+    assert(endRes.step == endFull.step)
+    assert(bitsEq(endRes.w, endFull.w) && bitsEq(endRes.b, endFull.b))
+    assert(bitsEq(endRes.mw, endFull.mw) && bitsEq(endRes.mb, endFull.mb))
+    assert(bitsEq(endRes.vw, endFull.vw) && bitsEq(endRes.vb, endFull.vb))
+    histFull.drop(2).zip(histRes).foreach { case ((i1, w1, b1, e1), (i2, w2, b2, e2)) =>
+      assert(i1 == i2 && bitsEq(w1, w2) && bitsEq(b1, b2) && bitsEq(e1, e2))
+    }
+  }
+
+  test("Adam converges: MSE strictly decreases over the first 5 steps") {
+    val adam = GD.stepAdam(_: GD.Moments, _: GD.State, _: Double)
+    val (_, hist) = GD.run(moments, GD.State(0, 0.0, 0.0), 5, 0.001, opt = adam)
+    val mses = hist.map(_._4)
+    mses.zip(mses.tail).foreach { case (a, b) => assert(b < a) }
+  }
+
   test("k-means: resume(checkpoint(1)) + 2 more == run(3), centroid bits equal") {
     val e = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
     val init = KMeansLloyd.init(e)
