@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Bench-isolation harness: adjudicates whether the historically spiky
+  * bench rows (`stream_restart_exactly_once`, `dedup_minhash_mllib`,
+  * `ml_train_gd_iterations`, `dedup_cc_clusters`, `agg_corr_covar`) carry a
+  * real session-state leak (state-store spool, accumulated temp artifacts,
+  * GC pressure from the 120+ queries that ran before them in `graft.Bench`)
+  * or are plain fixed-overhead noise.
+  *
+  * Protocol: each suspect runs min-of-2 in ONE long-lived "shared" session
+  * (after the same whole-table cache warm `Bench` does), then again min-of-2
+  * in its own FRESH SparkSession — built after the shared session is fully
+  * stopped, with its own cold table cache. The shared leg runs FIRST so the
+  * fresh legs execute on a fully JIT-warm JVM: any remaining fresh-vs-shared
+  * delta is session state, not code-compilation warmup. A near-zero delta
+  * (fresh ≈ shared) means the round-to-round spikes are machine/overhead
+  * noise, not a leak; a large positive shared-minus-fresh delta would mean
+  * the long-lived session genuinely degrades and needs fixing.
+  *
+  * Emits ONE JSON line:
+  * `{"metric":"bench_isolation","sf":...,"queries":{name:{"shared":s,
+  * "fresh":s,"shared_minus_fresh":s}}}`.
+  */
+object BenchIsolation {
+
+  val Suspects: Seq[String] = Seq(
+    "stream_restart_exactly_once",
+    "dedup_minhash_mllib",
+    "ml_train_gd_iterations",
+    "dedup_cc_clusters",
+    "agg_corr_covar")
+
+  private def newSession(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** min-of-2 through the same noop sink Bench uses (full row evaluation,
+    * no Catalyst pruning of computed columns).
+    */
+  private def time(spark: SparkSession, sfDir: String, name: String): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench-isolation] $name failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // Leg 1 — shared session, Bench's exact protocol (warm all table caches,
+    // then run each suspect back-to-back in the one session).
+    val shared = newSession(cpus)
+    Tables.names.foreach(t => Tables(shared, sfDir, t).count())
+    val sharedTimes = Suspects.map(q => q -> time(shared, sfDir, q)).toMap
+    shared.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+
+    // Leg 2 — one FRESH session per suspect: cold session state, cold table
+    // cache (Tables keys on session identity), warm JVM/JIT.
+    val freshTimes = Suspects.map { q =>
+      val s = newSession(cpus)
+      Tables.names.foreach(t => Tables(s, sfDir, t).count())
+      val t = time(s, sfDir, q)
+      s.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      q -> t
+    }.toMap
+
+    val qs = Suspects.map { q =>
+      val sh = sharedTimes(q); val fr = freshTimes(q)
+      f""""$q":{"shared":$sh%.3f,"fresh":$fr%.3f,"shared_minus_fresh":${sh - fr}%.3f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"bench_isolation","sf":"$sfDir","queries":$qs}""")
+  }
+}
