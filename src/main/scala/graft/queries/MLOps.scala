@@ -126,6 +126,53 @@ object MLOps extends QueryPack {
           .orderBy("u", "d")
       }),
 
+    // Transposed convolution — the reference's upsampling layer,
+    // `nn.ConvTranspose(features=16, kernel_size=(5,5))` (flax_model.py:158,
+    // 171). Where conv-as-join GATHERS (each output cell joins its input
+    // neighborhood), conv-transpose SCATTERS: each input cell contributes
+    // w(dy,dx)·v to output cell (u+dy, d+dx). Relationally that needs NO
+    // self-join at all: input ⨯ broadcast(25-row offset table) → project
+    // the output coordinate → groupBy(out coords) weighted sum. One
+    // map-side 25× explode, ONE partially-aggregated shuffle on the output
+    // key — at 100 TB this beats the gather plan on sparse grids because
+    // the neighbor lookup join disappears entirely. Exact BIGINT products,
+    // ONE final double division by the kernel mass 256.
+    Q(
+      "ml_conv_transpose_scatter",
+      Some("""WITH grid AS (
+             |  SELECT user_id AS u,
+             |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS d,
+             |         CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |offs AS (SELECT a.dy, b.dx, a.wy * b.wx AS w
+             |         FROM (VALUES (-2, 1), (-1, 4), (0, 6), (1, 4), (2, 1)) a(dy, wy),
+             |              (VALUES (-2, 1), (-1, 4), (0, 6), (1, 4), (2, 1)) b(dx, wx)),
+             |scat AS (
+             |  SELECT g.u + o.dy AS u, g.d + o.dx AS d, SUM(o.w * g.c) AS s
+             |  FROM grid g JOIN offs o ON TRUE
+             |  GROUP BY 1, 2)
+             |SELECT u, d, ROUND(CAST(s AS DOUBLE) / 256.0, 6) AS convt
+             |FROM scat ORDER BY u, d""".stripMargin),
+      (s, dir) => {
+        val grid = Tables(s, dir, "events")
+          .groupBy(
+            col("user_id").as("u"),
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+              .cast("int").as("d"))
+          .agg(cnt.as("c"))
+        val bin = Map(-2 -> 1, -1 -> 4, 0 -> 6, 1 -> 4, 2 -> 1)
+        val offs = s.createDataFrame(
+          for { dy <- -2 to 2; dx <- -2 to 2 } yield (dy, dx, bin(dy) * bin(dx)))
+          .toDF("dy", "dx", "w")
+        grid.crossJoin(broadcast(offs))
+          .groupBy(
+            (col("u") + col("dy")).as("u"),
+            (col("d") + col("dx")).as("d"))
+          .agg(sum(col("w") * col("c")).as("s"))
+          .select(col("u"), col("d"), round(col("s").cast("double") / 256.0, 6).as("convt"))
+          .orderBy("u", "d")
+      }),
+
     // Per-group standardize: exact decimal moments per segment, broadcast
     // back — one shuffle of the small agg, zero shuffles of the fact rows.
     Q(
