@@ -59,6 +59,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("5x5 multiband conv broadcasts offsets; neighbor lookup is a hash join") {
+    val p = plan("ml_conv2d_5x5_multiband")
+    // The 25-row offset table rides a broadcast (nested-loop for the cross
+    // join is fine — it is bounded by construction); the neighbor lookup on
+    // (u+dy, d+dx) must be an equi hash join, never a cartesian product.
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("conv-transpose scatter has NO self-join — one aggregate over the explode") {
+    val p = plan("ml_conv_transpose_scatter")
+    // Scatter needs no neighbor lookup: the only join in the plan is the
+    // bounded broadcast of the 25-row offset table.
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("one-hot encode is a pure map pipeline — zero joins, zero aggregates") {
+    val p = plan("ml_onehot_encode")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+    assert(p.contains("Generate"), p) // the posexplode
+  }
+
   test("AQE splits the hot partition in the skew join") {
     Registry.byId("join_skew_aqe").run(spark, sf)
     // run() executed eagerly under the lowered skew thresholds and stashed
