@@ -57,6 +57,39 @@ class PropertySpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("conv-transpose scatter conserves mass: sum(output) == count(events)") {
+    // Each input cell scatters its full kernel mass (256/256 = 1) across
+    // the output grid with no boundary clipping, so the weighted output
+    // total must equal the input total exactly (up to the 6dp rounding of
+    // each emitted cell).
+    val out = Registry.byId("ml_conv_transpose_scatter").run(spark, sf)
+    val total = out.agg(sum(col("convt"))).head().getDouble(0)
+    val n = Tables(spark, sf, "events").count().toDouble
+    assert(math.abs(total - n) < 1e-2, s"mass $total != $n")
+  }
+
+  test("5x5 multiband conv is invariant to shuffle partitioning") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def runSorted() = Registry.byId("ml_conv2d_5x5_multiband").run(spark, sf)
+      .collect().map(_.toString).toSeq
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val a = runSorted()
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val b = runSorted()
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("one-hot is exact: bit=1 iff idx==cls, exactly one per event") {
+    val oh = Registry.byId("ml_onehot_encode").run(spark, sf)
+    assert(oh.filter(
+      (col("bit") === 1 && col("idx") =!= col("cls")) ||
+        (col("bit") === 0 && col("idx") === col("cls"))).count() == 0)
+    val rowSums = oh.groupBy("event_id").agg(sum("bit").as("s"))
+    assert(rowSums.filter(col("s") =!= 1).count() == 0)
+  }
+
   test("minhash LSH output is well-formed: ordered pairs, est in [0,1]") {
     val lsh = Registry.byId("dedup_minhash_lsh").run(spark, sf)
     val bad = lsh.filter(
