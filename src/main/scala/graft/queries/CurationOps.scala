@@ -366,5 +366,77 @@ object CurationOps extends QueryPack {
               sum(when(col("in_vocab").isNull, 1).otherwise(0))
                 / cnt.cast("double"), 6).as("oov_rate"))
           .orderBy("lang")
+      }),
+
+    // Benchmark decontamination — the eval-overlap scrub every serious
+    // training-corpus build runs before training: drop (here: count)
+    // training documents sharing any character 20-gram shingle with a
+    // held-out evaluation set (eval = doc_id % 10 == 0, the benchmark
+    // analog). Scale shape is the whole point: the eval set is tiny and
+    // FIXED (benchmarks are MBs even when the corpus is 100 TB), so its
+    // distinct gram set BROADCASTS and contamination detection is a
+    // broadcast semi-join — the 100 TB training side never shuffles; its
+    // grams are generated map-side, matched against the broadcast hash
+    // relation, and reduced to one distinct doc_id set. (Past the
+    // broadcast threshold the same plan degrades gracefully to a bloom
+    // prefilter + shuffled semi-join.) Same substring-shingle dialect
+    // guard as dedup_ngram_jaccard: len >= gram width on both engines,
+    // since Spark's sequence descends below the width while DuckDB's
+    // range is empty. lang is COALESCE'd — a NULL group would diverge on
+    // NULLS FIRST (Spark) vs NULLS LAST (DuckDB) ordering.
+    Q(
+      "decontaminate_ngram_overlap",
+      Some("""WITH d AS (
+             |  SELECT doc_id, COALESCE(lang, '??') AS lang, lower(text) AS tx
+             |  FROM documents),
+             |e AS (SELECT DISTINCT substr(tx, CAST(i AS INT), 20) AS gram
+             |      FROM d, unnest(range(1, len(tx)-18)) r(i)
+             |      WHERE doc_id % 10 = 0 AND len(tx) >= 20),
+             |tg AS (SELECT DISTINCT doc_id, substr(tx, CAST(i AS INT), 20) AS gram
+             |       FROM d, unnest(range(1, len(tx)-18)) r(i)
+             |       WHERE doc_id % 10 <> 0 AND len(tx) >= 20),
+             |c AS (SELECT DISTINCT tg.doc_id FROM tg JOIN e ON tg.gram = e.gram),
+             |t AS (SELECT doc_id, lang FROM d WHERE doc_id % 10 <> 0)
+             |SELECT t.lang, CAST(COUNT(*) AS BIGINT) AS n_train,
+             |  CAST(COUNT(c.doc_id) AS BIGINT) AS n_contam,
+             |  CAST(COUNT(c.doc_id) AS DOUBLE) / COUNT(*) AS contam_rate
+             |FROM t LEFT JOIN c ON t.doc_id = c.doc_id
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("lang"), lit("??")).as("lang"),
+            lower(col("text")).as("tx"))
+        // No per-doc gram distinct: the semi-join only needs EXISTENCE, and
+        // a distinct here would shuffle every 20-char gram string — the one
+        // thing this plan exists to avoid. Grams are xxhash64'd to longs
+        // BEFORE the join, so the broadcast relation is a long set (8 bytes
+        // per eval gram instead of a ~60-byte string), the probe is a long
+        // hash lookup, and the training side stays map-side; only matched
+        // doc_ids shuffle (for the distinct), a set bounded by the doc
+        // count, not the gram count. Collision risk is the same negligible
+        // class dedup_exact_hash accepts for md5 keys (~1e-8 at 1M grams);
+        // the DuckDB oracle joins raw grams, so a collision that changed
+        // the outcome would surface as a red row.
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .filter(length(col("tx")) >= 20)
+          .select(col("doc_id"), col("tx"),
+            explode(sequence(lit(1), length(col("tx")) - 19)).as("i"))
+          .select(col("doc_id"),
+            xxhash64(expr("substring(tx, i, 20)")).as("gram_h"))
+        val evalGrams = grams(d.filter(col("doc_id") % 10 === 0))
+          .select("gram_h").distinct()
+        val contam = grams(d.filter(col("doc_id") % 10 =!= 0))
+          .join(broadcast(evalGrams), Seq("gram_h"), "left_semi")
+          .select("doc_id").distinct()
+          .withColumn("hit", lit(1))
+        d.filter(col("doc_id") % 10 =!= 0)
+          .select("doc_id", "lang")
+          .join(contam, Seq("doc_id"), "left_outer")
+          .groupBy("lang")
+          .agg(
+            cnt.as("n_train"),
+            count(col("hit")).cast("long").as("n_contam"),
+            (count(col("hit")).cast("double") / count(lit(1))).as("contam_rate"))
+          .orderBy("lang")
       }))
 }

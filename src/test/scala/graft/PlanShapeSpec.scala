@@ -84,6 +84,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Generate"), p) // the posexplode
   }
 
+  test("decontamination matches eval grams via broadcast hash join, no product") {
+    val p = plan("decontaminate_ngram_overlap")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("AQE splits the hot partition in the skew join") {
     Registry.byId("join_skew_aqe").run(spark, sf)
     // run() executed eagerly under the lowered skew thresholds and stashed
