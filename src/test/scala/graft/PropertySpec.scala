@@ -90,6 +90,21 @@ class PropertySpec extends SparkSpec {
     assert(rowSums.filter(col("s") =!= 1).count() == 0)
   }
 
+  test("decontamination is well-formed: 0 <= n_contam <= n_train, rate consistent") {
+    val out = Registry.byId("decontaminate_ngram_overlap").run(spark, sf)
+    val bad = out.filter(
+      col("n_contam") < 0 || col("n_contam") > col("n_train") ||
+        abs(col("contam_rate") -
+          col("n_contam").cast("double") / col("n_train")) > 1e-12)
+    assert(bad.count() == 0)
+    // Totals must cover the training side exactly: sum(n_train) == #docs
+    // with doc_id % 10 != 0.
+    val total = out.agg(sum("n_train")).head().getLong(0)
+    val expect = Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 10 =!= 0).count()
+    assert(total == expect)
+  }
+
   test("minhash LSH output is well-formed: ordered pairs, est in [0,1]") {
     val lsh = Registry.byId("dedup_minhash_lsh").run(spark, sf)
     val bad = lsh.filter(
