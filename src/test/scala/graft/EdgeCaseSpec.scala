@@ -124,4 +124,40 @@ class EdgeCaseSpec extends SparkSpec {
       Seq((2L, "2024-01-01 00:00:00", "2024-01-01 00:10:00")))
     assert(state.exists && state.get.n == 1) // the 02:00 session stays open
   }
+
+  test("Adam at the optimum is a fixed point: zero gradient leaves w,b unchanged") {
+    import graft.ml.{GradientDescent => GD}
+    // Moments of y = 2x exactly: optimum (w,b) = (2,0), gradient = 0 there.
+    // n=3 over x in {1,2,3}: sx=6, sy=12, sxx=14, sxy=28, syy=56.
+    val m = GD.Moments(3, 6, 12, 14, 28, 56)
+    val (st1, mse1) = GD.stepAdam(m, GD.State(0, 2.0, 0.0), 0.001)
+    assert(st1.w == 2.0 && st1.b == 0.0 && mse1 == 0.0)
+    assert(st1.mw == 0.0 && st1.vw == 0.0) // moments stay zero on zero grad
+  }
+
+  test("one-hot class id stays in [0,8] across value boundaries") {
+    val px = Seq(0.0, 8.999, 9.0, 17.5, 199.99).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("event_id", "value")
+    val cls = px.select((floor(col("value")).cast("int") % 9).as("cls"))
+      .as[Int].collect()
+    assert(cls.toSeq == Seq(0, 8, 0, 8, 1))
+  }
+
+  test("conv-transpose on a single input cell emits the full 5x5 kernel footprint") {
+    // One cell with count 256 scatters to 25 output cells whose values are
+    // exactly the binomial weights (s/256 with s = w*256 = w).
+    val grid = Seq((10L, 5, 256L)).toDF("u", "d", "c")
+    val bin = Map(-2 -> 1, -1 -> 4, 0 -> 6, 1 -> 4, 2 -> 1)
+    val offs = (for { dy <- -2 to 2; dx <- -2 to 2 }
+      yield (dy, dx, bin(dy) * bin(dx))).toDF("dy", "dx", "w")
+    val out = grid.crossJoin(broadcast(offs))
+      .groupBy((col("u") + col("dy")).as("u"), (col("d") + col("dx")).as("d"))
+      .agg((sum(col("w") * col("c")) / 256.0).as("convt"))
+      .collect()
+    assert(out.length == 25)
+    val total = out.map(_.getAs[Double]("convt")).sum
+    assert(math.abs(total - 256.0) < 1e-9) // mass conserved, no clipping
+    val center = out.find(r => r.getAs[Long]("u") == 10L && r.getAs[Int]("d") == 5).get
+    assert(center.getAs[Double]("convt") == 36.0) // 6*6 weight at the center
+  }
 }
