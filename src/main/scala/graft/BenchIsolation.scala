@@ -43,7 +43,10 @@ object BenchIsolation {
   }
 
   /** min-of-2 through the same noop sink Bench uses (full row evaluation,
-    * no Catalyst pruning of computed columns).
+    * no Catalyst pruning of computed columns). A failed run must NOT be
+    * reported as its (misleadingly small) partial elapsed time — that would
+    * distort the shared-vs-fresh verdict — so failures surface as NaN,
+    * which the JSON emitter renders as an explicit "failed" marker.
     */
   private def time(spark: SparkSession, sfDir: String, name: String): Double = {
     def once(): Double = {
@@ -51,14 +54,20 @@ object BenchIsolation {
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench-isolation] $name failed: ${e.getMessage}")
+          Double.NaN
       }
-      (System.nanoTime() - t0) / 1e9
     }
-    math.min(once(), once())
+    val (a, b) = (once(), once())
+    if (a.isNaN || b.isNaN) Double.NaN else math.min(a, b)
   }
+
+  /** NaN (= a failed leg) is not valid JSON as a bare literal; emit null. */
+  private def jnum(v: Double): String =
+    if (v.isNaN) "null" else f"$v%.3f"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -87,7 +96,9 @@ object BenchIsolation {
 
     val qs = Suspects.map { q =>
       val sh = sharedTimes(q); val fr = freshTimes(q)
-      f""""$q":{"shared":$sh%.3f,"fresh":$fr%.3f,"shared_minus_fresh":${sh - fr}%.3f}"""
+      val failed = sh.isNaN || fr.isNaN
+      s""""$q":{"shared":${jnum(sh)},"fresh":${jnum(fr)},""" +
+        s""""shared_minus_fresh":${jnum(sh - fr)},"failed":$failed}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"bench_isolation","sf":"$sfDir","queries":$qs}""")
   }

@@ -377,9 +377,12 @@ object CurationOps extends QueryPack {
     // distinct gram set BROADCASTS and contamination detection is a
     // broadcast semi-join — the 100 TB training side never shuffles; its
     // grams are generated map-side, matched against the broadcast hash
-    // relation, and reduced to one distinct doc_id set. (Past the
-    // broadcast threshold the same plan degrades gracefully to a bloom
-    // prefilter + shuffled semi-join.) Same substring-shingle dialect
+    // relation, and reduced to one distinct doc_id set. (NOTE: the explicit
+    // broadcast() hint below FORCES the broadcast regardless of
+    // spark.sql.autoBroadcastJoinThreshold — correct here because eval sets
+    // are fixed-size by construction; an eval side of unbounded size would
+    // need the hint removed so AQE can fall back to a bloom prefilter +
+    // shuffled semi-join instead of OOMing.) Same substring-shingle dialect
     // guard as dedup_ngram_jaccard: len >= gram width on both engines,
     // since Spark's sequence descends below the width while DuckDB's
     // range is empty. lang is COALESCE'd — a NULL group would diverge on

@@ -253,14 +253,19 @@ object MLOps extends QueryPack {
       }),
 
     // jax.nn.one_hot(labels, NUM_CLASSES=9) (flax_model.py:184): class id
-    // per "pixel" (floor(value) % 9, as in ml_palette_render), one-hot via
-    // transform(sequence(0,8), i -> ...) — a pure per-row array map, zero
-    // shuffles at any scale. Exploded to long form (event_id, cls, idx,
-    // bit) for the oracle comparator (SURVEY §7.3 rule 6: no array cells).
+    // per "pixel", one-hot via transform(sequence(0,8), i -> ...) — a pure
+    // per-row array map, zero shuffles at any scale. The class id uses the
+    // NON-NEGATIVE modulus pmod(floor(value), 9) (DuckDB: ((x%9)+9)%9) so a
+    // negative events.value still lands in 0..8 and PropertySpec's
+    // "exactly one bit per event" invariant holds on ANY value domain —
+    // a plain % would go negative and emit an all-zero row. Exploded to
+    // long form (event_id, cls, idx, bit) for the oracle comparator
+    // (SURVEY §7.3 rule 6: no array cells).
     Q(
       "ml_onehot_encode",
       Some("""WITH px AS (
-             |  SELECT event_id, CAST(floor(value) AS INT) % 9 AS cls FROM events),
+             |  SELECT event_id,
+             |    ((CAST(floor(value) AS INT) % 9) + 9) % 9 AS cls FROM events),
              |oh AS (
              |  SELECT event_id, cls,
              |    list_transform(range(0, 9),
@@ -272,7 +277,8 @@ object MLOps extends QueryPack {
              |FROM oh ORDER BY event_id, idx""".stripMargin),
       (s, dir) =>
         Tables(s, dir, "events")
-          .select(col("event_id"), (floor(col("value")).cast("int") % 9).as("cls"))
+          .select(col("event_id"),
+            pmod(floor(col("value")).cast("int"), lit(9)).as("cls"))
           .select(
             col("event_id"), col("cls"),
             posexplode(transform(sequence(lit(0), lit(8)),

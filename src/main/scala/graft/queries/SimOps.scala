@@ -266,15 +266,16 @@ object SimOps extends QueryPack {
           .limit(20)
       }),
 
-    // ANN via multi-table random-hyperplane LSH: L=4 hash tables of 4 sign
-    // bits each (planes 4t..4t+3 -> 16 buckets per table); candidates = ids
-    // sharing a (table, bucket) cell with the query, union over tables; then
-    // exact cosine + top-3 within candidates. Each vector explodes into L
-    // rows keyed (t, bucket) — an EQUI-join shuffle key, so at 100 TB this
-    // hash-partitions by cell and never forms a pairwise product (an OR of
-    // bucket equalities would degrade to nested-loop). Recall ~52% at 1/3 of
-    // the data scanned on sf0.001 (asserted in AnnRecallSpec); deterministic
-    // planes keep it oracle-checkable.
+    // ANN via multi-table random-hyperplane LSH: L=NumTables=8 hash tables
+    // of 4 sign bits each (planes 4t..4t+3 -> 16 buckets per table);
+    // candidates = ids sharing a (table, bucket) cell with the query, union
+    // over tables; then exact cosine + top-3 within candidates. Each vector
+    // explodes into L rows keyed (t, bucket) — an EQUI-join shuffle key, so
+    // at 100 TB this hash-partitions by cell and never forms a pairwise
+    // product (an OR of bucket equalities would degrade to nested-loop).
+    // Measured recall@3 ~0.75 on sf0.001 (see the Planes scaladoc; gate
+    // >= 0.4 asserted in AnnRecallSpec); deterministic planes keep it
+    // oracle-checkable.
     Q(
       "sim_ann_lsh_topk", {
         def bucketSql(t: Int): String = (0 until 4)
