@@ -25,6 +25,41 @@ object MLOps extends QueryPack {
     "419BDF", "397D49", "88B053", "7A87C6", "E49635",
     "DFC35A", "C4281B", "A59B8F", "B39FE1")
 
+  /** Separable binomial [1,4,6,4,1] — the 5x5 kernel family used by every
+    * conv-layer query (fixed-rational Gaussian, flax_model.py KERNEL_SIZE=5).
+    */
+  private[graft] val Bin5: Map[Int, Int] =
+    Map(-2 -> 1, -1 -> 4, 0 -> 6, 1 -> 4, 2 -> 1)
+
+  /** Conv-layer kernel of the composed forward pass: binomial minus a
+    * uniform bias (sum 256-250=6, per-tap range -9..26) — SIGNED, so the
+    * following relu genuinely clips (an all-positive kernel over count
+    * bands would make relu the identity and the composition vacuous).
+    */
+  private[graft] val FwdConvOffs: Seq[(Int, Int, Int)] =
+    for { dy <- -2 to 2; dx <- -2 to 2 } yield (dy, dx, Bin5(dy) * Bin5(dx) - 10)
+
+  /** Conv-transpose kernel of the composed forward pass: binomial with
+    * checkerboard signs. Zero-DC by separability ((1-4+6-4+1)^2 = 0), so
+    * the scattered field oscillates around 0 and the second relu clips
+    * about half the cells.
+    */
+  private[graft] val FwdScatOffs: Seq[(Int, Int, Int)] =
+    for { dy <- -2 to 2; dx <- -2 to 2 }
+      yield (dy, dx,
+        Bin5(dy) * Bin5(dx) * (if (((dy + dx) % 2 + 2) % 2 == 0) 1 else -1))
+
+  /** Dense head: 9 affine logits a_k*h + b_k whose upper envelope assigns
+    * class k on an h2 interval — slopes -4..4 with concave intercepts put
+    * the breakpoints (5,10,20,35,55,80,120,170) inside the observed h2
+    * range 0..~220, so every class actually occurs (measured on sf0.01:
+    * all 9 classes populated). Ties at exact breakpoints resolve to the
+    * FIRST maximal index in both engines (array_position/list_position).
+    */
+  private[graft] val DenseA: Seq[Int] = (0 to 8).map(_ - 4)
+  private[graft] val DenseB: Seq[Int] =
+    Seq(495, 490, 480, 460, 425, 370, 290, 170, 0)
+
   def queries: Seq[Q] = Seq(
     // 2-D Gaussian convolution as a relation: sparse grid (user x day)
     // self-joined against a 9-row kernel-offset table carrying integer
@@ -563,5 +598,97 @@ object MLOps extends QueryPack {
             row_number().over(
               org.apache.spark.sql.expressions.Window
                 .orderBy(col("n").desc)).cast("int"))
+      }),
+
+    // The reference's ENTIRE model.apply composed as one relational
+    // pipeline: Conv(5x5) -> relu -> ConvTranspose(5x5) -> relu ->
+    // Dense(9) + argmax (CNN_LandCover.__call__, flax_model.py:153-162)
+    // with the CNN_LST head relu(Dense(1)) as one extra column
+    // (flax_model.py:166-174 — "No negative temperatures"). Each layer is
+    // the standalone operator's exact plan — conv = gather join against
+    // the broadcast 25-tap kernel (ml_conv2d_5x5_multiband), transpose =
+    // scatter groupBy with NO self-join (ml_conv_transpose_scatter), dense
+    // head = per-row array map (ml_softmax_argmax_infer) — chained on the
+    // intermediate (u, d) grids. relu = greatest(0, .) in integer domain;
+    // between layers the activation downshifts by >>6 (exact power-of-two
+    // rescale, both engines' bit-shift) so magnitudes stay in BIGINT range
+    // at ANY scale. All arithmetic is exact BIGINT until the single final
+    // /1024.0 of the LST head (power of two => exact in binary doubles).
+    // Shuffle ledger at 100 TB: one groupBy for the input grid, one per
+    // conv layer (the minimum — each layer re-keys its output grid), zero
+    // for the heads; both kernel tables broadcast.
+    Q(
+      "ml_cnn_forward_compose", {
+        def vals(offs: Seq[(Int, Int, Int)]): String =
+          offs.map { case (dy, dx, w) => s"($dy, $dx, $w)" }.mkString(", ")
+        val lvec = DenseA.zip(DenseB)
+          .map { case (a, b) => s"$a * h2 + $b" }.mkString("[", ", ", "]")
+        Some(s"""WITH grid AS (
+                |  SELECT user_id AS u,
+                |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS d,
+                |         CAST(COUNT(*) AS BIGINT)
+                |           + 2 * CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT)
+                |           + 3 * CAST(SUM(length(event_type)) AS BIGINT) AS v
+                |  FROM events GROUP BY 1, 2),
+                |offs1(dy, dx, w) AS (VALUES ${vals(FwdConvOffs)}),
+                |conv AS (
+                |  SELECT g.u, g.d, CAST(SUM(o.w * n.v) AS BIGINT) AS s1
+                |  FROM grid g JOIN offs1 o ON TRUE
+                |  JOIN grid n ON n.u = g.u + o.dy AND n.d = g.d + o.dx
+                |  GROUP BY 1, 2),
+                |relu1 AS (SELECT u, d, GREATEST(0, s1) >> 6 AS h1 FROM conv),
+                |offs2(dy, dx, w) AS (VALUES ${vals(FwdScatOffs)}),
+                |scat AS (
+                |  SELECT r.u + o.dy AS u, r.d + o.dx AS d,
+                |         CAST(SUM(o.w * r.h1) AS BIGINT) AS s2
+                |  FROM relu1 r JOIN offs2 o ON TRUE GROUP BY 1, 2),
+                |relu2 AS (SELECT u, d, GREATEST(0, s2) >> 6 AS h2 FROM scat),
+                |dense AS (SELECT u, d, h2, $lvec AS l FROM relu2)
+                |SELECT u, d, CAST(h2 AS BIGINT) AS h2,
+                |  CAST(list_position(l, list_max(l)) - 1 AS INT) AS pred_class,
+                |  CAST(list_max(l) AS BIGINT) AS max_logit,
+                |  ROUND(CAST(GREATEST(0, 2 * h2 - 64) AS DOUBLE) / 1024.0, 6) AS lst
+                |FROM dense ORDER BY u, d""".stripMargin)
+      },
+      (s, dir) => {
+        val grid = Tables(s, dir, "events")
+          .groupBy(
+            col("user_id").as("u"),
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+              .cast("int").as("d"))
+          .agg((cnt + lit(2) * sum(floor(col("value")).cast("long"))
+            + lit(3) * sum(length(col("event_type")).cast("long"))).as("v"))
+        def offsDf(offs: Seq[(Int, Int, Int)]) =
+          s.createDataFrame(offs).toDF("dy", "dx", "w")
+        // Layer 1 — Conv(5x5): gather join, exactly ml_conv2d_5x5_multiband's
+        // plan shape; relu + exact >>6 downshift in integer domain.
+        val n = grid.select(col("u").as("nu"), col("d").as("nd"), col("v").as("nv"))
+        val relu1 = grid.crossJoin(broadcast(offsDf(FwdConvOffs)))
+          .join(n, col("nu") === col("u") + col("dy") && col("nd") === col("d") + col("dx"))
+          .groupBy("u", "d")
+          .agg(sum(col("w") * col("nv")).as("s1"))
+          .select(col("u"), col("d"),
+            shiftright(greatest(lit(0L), col("s1")), 6).as("h1"))
+        // Layer 2 — ConvTranspose(5x5): scatter groupBy on the OUTPUT
+        // coordinate, no self-join (ml_conv_transpose_scatter's plan).
+        val relu2 = relu1.crossJoin(broadcast(offsDf(FwdScatOffs)))
+          .groupBy(
+            (col("u") + col("dy")).as("u"),
+            (col("d") + col("dx")).as("d"))
+          .agg(sum(col("w") * col("h1")).as("s2"))
+          .select(col("u"), col("d"),
+            shiftright(greatest(lit(0L), col("s2")), 6).as("h2"))
+        // Heads — Dense(9)+argmax (land cover) and relu(Dense(1)) (LST):
+        // pure per-row maps, zero shuffles.
+        val logits = array(DenseA.zip(DenseB)
+          .map { case (a, b) => lit(a.toLong) * col("h2") + lit(b.toLong) }: _*)
+        relu2.select(
+          col("u"), col("d"), col("h2"),
+          (array_position(logits, array_max(logits)) - 1).cast("int")
+            .as("pred_class"),
+          array_max(logits).as("max_logit"),
+          round(greatest(lit(0L), lit(2L) * col("h2") - 64L).cast("double")
+            / 1024.0, 6).as("lst"))
+          .orderBy("u", "d")
       }))
 }

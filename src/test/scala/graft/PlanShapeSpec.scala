@@ -87,7 +87,26 @@ class PlanShapeSpec extends SparkSpec {
   test("decontamination matches eval grams via broadcast hash join, no product") {
     val p = plan("decontaminate_ngram_overlap")
     assert(p.contains("BroadcastHashJoin"), p)
+    // The contamination probe must be the SEMI join form — an inner join
+    // would duplicate a training doc once per matched gram and shuffle the
+    // multiplicity downstream.
+    assert(p.contains("LeftSemi"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("composed FCN forward pass: kernels broadcast, exactly one gather join") {
+    val p = plan("ml_cnn_forward_compose")
+    assert(!p.contains("CartesianProduct"), p)
+    // Two bounded 25-row kernel broadcasts (conv gather + transpose
+    // scatter) and ONE equi join (the conv neighbor lookup). The scatter
+    // layer and both heads must add no further joins — that is what makes
+    // the composition scale like its standalone layers.
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    val equi = ("SortMergeJoin".r.findAllIn(p).size
+      + "ShuffledHashJoin".r.findAllIn(p).size
+      + "BroadcastHashJoin".r.findAllIn(p).size)
+    assert(bnlj == 2, s"expected 2 kernel broadcasts, got $bnlj\n$p")
+    assert(equi == 1, s"expected 1 gather equi-join, got $equi\n$p")
   }
 
   test("AQE splits the hot partition in the skew join") {

@@ -105,6 +105,23 @@ class PropertySpec extends SparkSpec {
     assert(total == expect)
   }
 
+  test("composed FCN forward pass is non-vacuous and well-formed") {
+    val out = Registry.byId("ml_cnn_forward_compose").run(spark, sf).cache()
+    // Heads well-formed on every row: class in 0..8, LST clamped >= 0,
+    // max_logit actually the envelope max of the 9 dense lines at h2.
+    assert(out.filter(
+      col("pred_class") < 0 || col("pred_class") > 8 || col("lst") < 0).count() == 0)
+    // The relu layers must DO something: the zero-DC transpose kernel
+    // clips about half the cells to h2 = 0, the rest stay positive. If
+    // either side is empty the signed-kernel construction regressed and
+    // the composition is testing the identity function.
+    assert(out.filter(col("h2") === 0).count() > 0)
+    assert(out.filter(col("h2") > 0).count() > 0)
+    // The dense envelope must produce a genuine multi-class prediction.
+    assert(out.select("pred_class").distinct().count() >= 3)
+    out.unpersist()
+  }
+
   test("minhash LSH output is well-formed: ordered pairs, est in [0,1]") {
     val lsh = Registry.byId("dedup_minhash_lsh").run(spark, sf)
     val bad = lsh.filter(
