@@ -100,6 +100,17 @@ object GradientDescent {
     (State(t, w2, b2n, mw, mb, vw, vb), sse / n)
   }
 
+  /** Closed-form MSE of `st` under moments `m` — the loss probe the
+    * train/eval alternation uses against the EVAL split's moments (the
+    * identical sse expression [[step]]/[[stepAdam]] evaluate on the train
+    * split; shared term order keeps the probe bit-reproducible).
+    */
+  def mse(m: Moments, st: State): Double = {
+    import m._
+    (st.w * st.w * sxx + 2 * st.w * st.b * sx - 2 * st.w * sxy +
+      n * st.b * st.b - 2 * st.b * sy + syy) / n
+  }
+
   /** Fold an optimizer step `nSteps` times from `init`, optionally
     * checkpointing each step's state. History rows:
     * (step, w, b, mse-before-update). `opt` defaults to plain [[step]];
@@ -129,6 +140,42 @@ object GradientDescent {
     State(r.getAs[Int]("step"), r.getAs[Double]("w"), r.getAs[Double]("b"),
       r.getAs[Double]("mw"), r.getAs[Double]("mb"),
       r.getAs[Double]("vw"), r.getAs[Double]("vb"))
+  }
+}
+
+/** The reference's per-epoch train/eval alternation
+  * (`trainer/flax_model.py:349-375`): each epoch trains on the 90% split
+  * and probes the loss on the held-out 10% split, logging both. Here the
+  * two splits are reduced ONCE each to exact sufficient statistics
+  * ([[GradientDescent.moments]]), so the whole multi-epoch loop — Adam
+  * updates from the train moments, eval-MSE probes from the eval moments —
+  * is pure driver arithmetic: at 100 TB the data is scanned exactly twice
+  * regardless of epoch count, versus once per epoch for a naive loop.
+  * Checkpoint/resume folds through the same [[GradientDescent.State]], so
+  * a restored run replays the identical (train_loss, eval_loss) series
+  * bit-for-bit (CheckpointSpec).
+  */
+object TrainEval {
+
+  import GradientDescent.{Moments, State, stepAdam, mse, toDf}
+
+  /** Run `epochs` Adam epochs from `init`. History rows:
+    * (metric, epoch, value) — `train_loss` is the loss the epoch's update
+    * observed (pre-update, as the reference's `train_epoch` returns),
+    * `eval_loss` the held-out MSE of the post-update state (as the
+    * reference's `apply_lc` evaluates after each epoch).
+    */
+  def run(mTrain: Moments, mEval: Moments, init: State, epochs: Int,
+      lr: Double, ckpt: Option[ModelCheckpoint] = None)
+      : (State, Seq[(String, Int, Double)]) = {
+    var st = init
+    val hist = (init.step + 1 to init.step + epochs).flatMap { epoch =>
+      val (next, trainMse) = stepAdam(mTrain, st, lr)
+      st = next
+      ckpt.foreach(c => c.save(st.step, toDf(c.spark, st)))
+      Seq(("train_loss", epoch, trainMse), ("eval_loss", epoch, mse(mEval, st)))
+    }
+    (st, hist)
   }
 }
 

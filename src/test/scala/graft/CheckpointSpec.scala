@@ -97,6 +97,39 @@ class CheckpointSpec extends SparkSpec {
     assert(ModelCheckpoint(spark, tmp() + "/nope").restoreLatest().isEmpty)
   }
 
+  test("train/eval epochs: resume(checkpoint(3)) + 2 == run(5), eval-MSE series bit-equal") {
+    import graft.ml.TrainEval
+    val li = Tables(spark, sf, "lineitem").select(
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+      col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      .withColumn("split", graft.ml.SeededSplit.assign(col("k"), 42L))
+    val mTrain = GD.moments(li.filter(col("split") === "train"))
+    val mEval = GD.moments(li.filter(col("split") === "test"))
+    val (endFull, histFull) =
+      TrainEval.run(mTrain, mEval, GD.State(0, 0.0, 0.0), 5, 0.001)
+    // Sanity on the series itself: 5 epochs x 2 metrics, eval loss finite
+    // and strictly decreasing over the early epochs (Adam is converging on
+    // the held-out split too, not just the train split).
+    assert(histFull.length == 10)
+    val evalSeries = histFull.filter(_._1 == "eval_loss").map(_._3)
+    assert(evalSeries.zip(evalSeries.tail).forall { case (a, b) => b < a })
+    // Resume leg: 3 checkpointed epochs, restore from the store, 2 more.
+    val ckpt = ModelCheckpoint(spark, tmp())
+    TrainEval.run(mTrain, mEval, GD.State(0, 0.0, 0.0), 3, 0.001, Some(ckpt))
+    val (step, stateDf) = ckpt.restoreLatest().get
+    assert(step == 3)
+    val (endRes, histRes) =
+      TrainEval.run(mTrain, mEval, GD.fromDf(stateDf), 2, 0.001)
+    assert(endRes.step == endFull.step)
+    assert(bitsEq(endRes.w, endFull.w) && bitsEq(endRes.b, endFull.b))
+    assert(bitsEq(endRes.mw, endFull.mw) && bitsEq(endRes.vw, endFull.vw))
+    // Both metric series — train AND eval — replay bit-for-bit after the
+    // restart, epoch labels included.
+    histFull.drop(6).zip(histRes).foreach { case ((n1, e1, v1), (n2, e2, v2)) =>
+      assert(n1 == n2 && e1 == e2 && bitsEq(v1, v2))
+    }
+  }
+
   test("ml_train_checkpoint_resume registry rows all bit_equal") {
     val rows = Registry.byId("ml_train_checkpoint_resume").run(spark, sf).collect()
     assert(rows.length == 3)
