@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Build BENCH_SCALE.json from two graft.Bench JSON lines at different scales.
+
+Usage: python3 tools/bench_scale.py <small.json> <big.json> <factor> > BENCH_SCALE.json
+
+For each query: slope = t_big / t_small. With a KxF data-size factor F, a
+perfectly linear query has slope <= F (usually far below, because fixed
+per-query overhead — session, planning, small shuffles — dominates at these
+toy sizes). Queries flagged super-linear are those with slope > F and
+t_big large enough to matter (> 1s), i.e. not fixed-overhead noise.
+Dev tool only; the JVM library has no Python dependency.
+"""
+import json
+import sys
+
+
+def main():
+    small_path, big_path, factor = sys.argv[1], sys.argv[2], float(sys.argv[3])
+    small = json.load(open(small_path))
+    big = json.load(open(big_path))
+    qs = {}
+    flagged = []
+    for name, t_small in sorted(small["queries"].items()):
+        t_big = big["queries"].get(name)
+        if t_big is None:
+            continue
+        slope = round(t_big / t_small, 2) if t_small > 0 else None
+        qs[name] = {"t_small": round(t_small, 3), "t_big": round(t_big, 3),
+                    "slope": slope}
+        if slope is not None and slope > factor and t_big > 1.0:
+            flagged.append(name)
+    out = {
+        "metric": "bench_scale",
+        "sf_small": small["sf"],
+        "sf_big": big["sf"],
+        "data_factor": factor,
+        "total_small": round(small["value"], 2),
+        "total_big": round(big["value"], 2),
+        "total_slope": round(big["value"] / small["value"], 2),
+        "flagged_superlinear": flagged,
+        "queries": qs,
+    }
+    json.dump(out, sys.stdout, indent=1)
+    print()
+
+
+if __name__ == "__main__":
+    main()
