@@ -58,6 +58,26 @@ object GradientDescent {
       m.getDouble(3), m.getDouble(4), m.getDouble(5))
   }
 
+  /** BOTH splits' moments in ONE distributed pass: groupBy over the split
+    * column with the same exact-decimal sums — the train/eval alternation
+    * touches the data once, not once per split (at 100 TB: one scan total
+    * for any number of epochs). Decimal sums are exact and
+    * merge-order-independent, so each split's Moments is bit-identical to
+    * a separate filtered [[moments]] pass (asserted in CheckpointSpec).
+    */
+  def momentsBySplit(xy: DataFrame, splitCol: String): Map[String, Moments] =
+    xy.groupBy(col(splitCol)).agg(
+      cnt.as("n"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsumWide(col("x") * col("x")).as("sxx"),
+      dsumWide(col("x") * col("y")).as("sxy"),
+      dsumWide(col("y") * col("y")).as("syy"))
+      .collect()
+      .map(r => r.getString(0) -> Moments(
+        r.getLong(1).toDouble, r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+
   /** One GD step: returns the next state and the MSE of the *incoming*
     * state (the loss the step observed, as the reference logs it).
     */

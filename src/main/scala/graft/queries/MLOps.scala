@@ -366,11 +366,12 @@ object MLOps extends QueryPack {
     // The reference's epoch LOOP end-to-end (flax_model.py:349-375): per
     // epoch, train on the 90% split (Adam step), evaluate on the held-out
     // 10% split, log both losses — composed from the engine's own pieces:
-    // SeededSplit (ml_train_test_split) partitions the rows, ONE moments
-    // pass per split (GradientDescent.moments), graft.ml.TrainEval folds
-    // 5 Adam epochs of pure driver arithmetic, and the metric rows flow
-    // through a parquet metrics sink in the (metric, epoch, value) shape
-    // of sink_append_metrics. At 100 TB: exactly two data scans total,
+    // SeededSplit (ml_train_test_split) partitions the rows, ONE
+    // groupBy(split) moments pass covers BOTH splits
+    // (GradientDescent.momentsBySplit), graft.ml.TrainEval folds 5 Adam
+    // epochs of pure driver arithmetic, and the metric rows flow through
+    // a parquet metrics sink in the (metric, epoch, value) shape of
+    // sink_append_metrics. At 100 TB: exactly ONE data scan total,
     // independent of epoch count. Iterative + filesystem state => no SQL
     // oracle; CheckpointSpec asserts the (train_loss, eval_loss) series
     // is replayed bit-for-bit on checkpoint resume.
@@ -385,10 +386,9 @@ object MLOps extends QueryPack {
           (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
           col("l_quantity").as("x"), col("l_extendedprice").as("y"))
           .withColumn("split", SeededSplit.assign(col("k"), 42L))
-        val mTrain = GD.moments(li.filter(col("split") === "train"))
-        val mEval = GD.moments(li.filter(col("split") === "test"))
+        val m = GD.momentsBySplit(li, "split")
         val (_, hist) =
-          TrainEval.run(mTrain, mEval, GD.State(0, 0.0, 0.0), 5, 0.001)
+          TrainEval.run(m("train"), m("test"), GD.State(0, 0.0, 0.0), 5, 0.001)
         // Metrics-sink round-trip: persist the scalar series the way the
         // reference's SummaryWriter does, then serve it back ordered.
         val outDir =

@@ -103,8 +103,12 @@ class CheckpointSpec extends SparkSpec {
       (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
       col("l_quantity").as("x"), col("l_extendedprice").as("y"))
       .withColumn("split", graft.ml.SeededSplit.assign(col("k"), 42L))
+    // The single-scan grouped pass must agree bit-for-bit with separate
+    // filtered passes — exact decimal sums make the two plans equivalent.
+    val bySplit = GD.momentsBySplit(li, "split")
     val mTrain = GD.moments(li.filter(col("split") === "train"))
     val mEval = GD.moments(li.filter(col("split") === "test"))
+    assert(bySplit("train") == mTrain && bySplit("test") == mEval)
     val (endFull, histFull) =
       TrainEval.run(mTrain, mEval, GD.State(0, 0.0, 0.0), 5, 0.001)
     // Sanity on the series itself: 5 epochs x 2 metrics, eval loss finite
