@@ -653,77 +653,167 @@ object MLOps extends QueryPack {
     // conv layer (the minimum — each layer re-keys its output grid), zero
     // for the heads; both kernel tables broadcast.
     Q(
-      "ml_cnn_forward_compose", {
-        def vals(offs: Seq[(Int, Int, Int)]): String =
-          offs.map { case (dy, dx, w) => s"($dy, $dx, $w)" }.mkString(", ")
-        val lvec = DenseA.zip(DenseB)
-          .map { case (a, b) => s"$a * h2 + $b" }.mkString("[", ", ", "]")
-        Some(s"""WITH grid AS (
-                |  SELECT user_id AS u,
-                |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS d,
-                |         CAST(COUNT(*) AS BIGINT)
-                |           + 2 * CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT)
-                |           + 3 * CAST(SUM(length(event_type)) AS BIGINT) AS v
-                |  FROM events GROUP BY 1, 2),
-                |offs1(dy, dx, w) AS (VALUES ${vals(FwdConvOffs)}),
-                |conv AS (
-                |  SELECT g.u, g.d, CAST(SUM(o.w * n.v) AS BIGINT) AS s1
-                |  FROM grid g JOIN offs1 o ON TRUE
-                |  JOIN grid n ON n.u = g.u + o.dy AND n.d = g.d + o.dx
-                |  GROUP BY 1, 2),
-                |relu1 AS (SELECT u, d, GREATEST(0, s1) >> 6 AS h1 FROM conv),
-                |offs2(dy, dx, w) AS (VALUES ${vals(FwdScatOffs)}),
-                |scat AS (
-                |  SELECT r.u + o.dy AS u, r.d + o.dx AS d,
-                |         CAST(SUM(o.w * r.h1) AS BIGINT) AS s2
-                |  FROM relu1 r JOIN offs2 o ON TRUE GROUP BY 1, 2),
-                |relu2 AS (SELECT u, d, GREATEST(0, s2) >> 6 AS h2 FROM scat),
-                |dense AS (SELECT u, d, h2, $lvec AS l FROM relu2)
-                |SELECT u, d, CAST(h2 AS BIGINT) AS h2,
-                |  CAST(list_position(l, list_max(l)) - 1 AS INT) AS pred_class,
-                |  CAST(list_max(l) AS BIGINT) AS max_logit,
-                |  ROUND(CAST(GREATEST(0, 2 * h2 - 64) AS DOUBLE) / 1024.0, 6) AS lst
-                |FROM dense ORDER BY u, d""".stripMargin)
-      },
+      "ml_cnn_forward_compose",
+      Some(s"""$FwdTrunkSql,
+              |dense AS (SELECT u, d, h2, $DenseLogitsSql AS l FROM relu2)
+              |SELECT u, d, CAST(h2 AS BIGINT) AS h2,
+              |  CAST(list_position(l, list_max(l)) - 1 AS INT) AS pred_class,
+              |  CAST(list_max(l) AS BIGINT) AS max_logit,
+              |  ROUND(CAST(GREATEST(0, 2 * h2 - 64) AS DOUBLE) / 1024.0, 6) AS lst
+              |FROM dense ORDER BY u, d""".stripMargin),
       (s, dir) => {
-        val grid = Tables(s, dir, "events")
-          .groupBy(
-            col("user_id").as("u"),
-            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
-              .cast("int").as("d"))
-          .agg((cnt + lit(2) * sum(floor(col("value")).cast("long"))
-            + lit(3) * sum(length(col("event_type")).cast("long"))).as("v"))
-        def offsDf(offs: Seq[(Int, Int, Int)]) =
-          s.createDataFrame(offs).toDF("dy", "dx", "w")
-        // Layer 1 — Conv(5x5): gather join, exactly ml_conv2d_5x5_multiband's
-        // plan shape; relu + exact >>6 downshift in integer domain.
-        val n = grid.select(col("u").as("nu"), col("d").as("nd"), col("v").as("nv"))
-        val relu1 = grid.crossJoin(broadcast(offsDf(FwdConvOffs)))
-          .join(n, col("nu") === col("u") + col("dy") && col("nd") === col("d") + col("dx"))
-          .groupBy("u", "d")
-          .agg(sum(col("w") * col("nv")).as("s1"))
-          .select(col("u"), col("d"),
-            shiftright(greatest(lit(0L), col("s1")), 6).as("h1"))
-        // Layer 2 — ConvTranspose(5x5): scatter groupBy on the OUTPUT
-        // coordinate, no self-join (ml_conv_transpose_scatter's plan).
-        val relu2 = relu1.crossJoin(broadcast(offsDf(FwdScatOffs)))
-          .groupBy(
-            (col("u") + col("dy")).as("u"),
-            (col("d") + col("dx")).as("d"))
-          .agg(sum(col("w") * col("h1")).as("s2"))
-          .select(col("u"), col("d"),
-            shiftright(greatest(lit(0L), col("s2")), 6).as("h2"))
         // Heads — Dense(9)+argmax (land cover) and relu(Dense(1)) (LST):
-        // pure per-row maps, zero shuffles.
-        val logits = array(DenseA.zip(DenseB)
-          .map { case (a, b) => lit(a.toLong) * col("h2") + lit(b.toLong) }: _*)
-        relu2.select(
+        // pure per-row maps over the trunk, zero shuffles.
+        fwdTrunk(s, dir).select(
           col("u"), col("d"), col("h2"),
-          (array_position(logits, array_max(logits)) - 1).cast("int")
+          (array_position(denseLogits, array_max(denseLogits)) - 1).cast("int")
             .as("pred_class"),
-          array_max(logits).as("max_logit"),
+          array_max(denseLogits).as("max_logit"),
           round(greatest(lit(0L), lit(2L) * col("h2") - 64L).cast("double")
             / 1024.0, 6).as("lst"))
           .orderBy("u", "d")
+      }),
+
+    // Reference entry point 2 END-TO-END (SURVEY §3.2, flax_inference
+    // .ipynb: restore -> model.apply -> argmax -> render_classifications):
+    // the composed forward pass's argmax class fed through the SAME
+    // np.interp palette ramp as ml_palette_render — per-cell RGB of the
+    // model's PREDICTION, not of a raw input band. The palette is a 9-row
+    // broadcast dim; everything after the trunk's last shuffle is a
+    // per-row map + two bounded broadcast joins, so the render adds ZERO
+    // shuffles at any scale.
+    Q(
+      "ml_cnn_infer_render", {
+        val palVals = Palette.zipWithIndex
+          .map { case (h, i) => s"($i, '$h')" }.mkString(", ")
+        Some(s"""$FwdTrunkSql,
+                |dense AS (SELECT u, d, $DenseLogitsSql AS l FROM relu2),
+                |px AS (SELECT u, d,
+                |         CAST(list_position(l, list_max(l)) - 1 AS INT) AS v
+                |       FROM dense),
+                |pal AS (
+                |  SELECT CAST(idx AS INT) AS idx,
+                |    CAST(('0x'||substr(hex,1,2)) AS INT) AS r,
+                |    CAST(('0x'||substr(hex,3,2)) AS INT) AS g,
+                |    CAST(('0x'||substr(hex,5,2)) AS INT) AS b
+                |  FROM (VALUES $palVals) p(idx, hex)),
+                |m AS (SELECT u, d, v,
+                |        floor(CAST(v AS DOUBLE) / 9.0 * 255.0) * 9.0 / 255.0 AS x
+                |      FROM px),
+                |kk AS (SELECT u, d, v, CAST(floor(x) AS INT) AS k,
+                |         x - floor(x) AS frac FROM m)
+                |SELECT kk.u, kk.d, kk.v AS pred_class,
+                |  CAST(floor(lo.r + frac * (hi.r - lo.r)) AS INT) AS red,
+                |  CAST(floor(lo.g + frac * (hi.g - lo.g)) AS INT) AS green,
+                |  CAST(floor(lo.b + frac * (hi.b - lo.b)) AS INT) AS blue
+                |FROM kk JOIN pal lo ON kk.k = lo.idx
+                |        JOIN pal hi ON kk.k + 1 = hi.idx
+                |ORDER BY kk.u, kk.d""".stripMargin)
+      },
+      (s, dir) => {
+        val pal = s.createDataFrame(Palette.zipWithIndex.map { case (h, i) => (i, h) })
+          .toDF("idx", "hex")
+          .select(
+            col("idx").cast("int").as("idx"),
+            conv(substring(col("hex"), 1, 2), 16, 10).cast("int").as("r"),
+            conv(substring(col("hex"), 3, 2), 16, 10).cast("int").as("g"),
+            conv(substring(col("hex"), 5, 2), 16, 10).cast("int").as("b"))
+        val px = fwdTrunk(s, dir).select(
+          col("u"), col("d"),
+          (array_position(denseLogits, array_max(denseLogits)) - 1).cast("int")
+            .as("v"))
+        // np.interp ramp, identical arithmetic to ml_palette_render: color
+        // index trunc(v/9*255), ramp position x over knots 0..8, floor'd
+        // lerp per channel. v = pred_class in 0..8 => k in 0..7, so the
+        // (k, k+1) knot joins always match.
+        val x = floor(col("v").cast("double") / 9.0 * 255.0) * 9.0 / 255.0
+        val kk = px
+          .withColumn("x", x)
+          .withColumn("k", floor(col("x")).cast("int"))
+          .withColumn("frac", col("x") - floor(col("x")))
+        val lo = pal.select(
+          col("idx").as("lidx"), col("r").as("lr"), col("g").as("lg"), col("b").as("lb"))
+        val hi = pal.select(
+          col("idx").as("hidx"), col("r").as("hr"), col("g").as("hg"), col("b").as("hb"))
+        kk.join(broadcast(lo), col("k") === col("lidx"))
+          .join(broadcast(hi), col("k") + 1 === col("hidx"))
+          .select(
+            col("u"), col("d"), col("v").as("pred_class"),
+            floor(col("lr") + col("frac") * (col("hr") - col("lr"))).cast("int").as("red"),
+            floor(col("lg") + col("frac") * (col("hg") - col("lg"))).cast("int").as("green"),
+            floor(col("lb") + col("frac") * (col("hb") - col("lb"))).cast("int").as("blue"))
+          .orderBy("u", "d")
       }))
+
+  /** Forward-pass trunk shared by `ml_cnn_forward_compose` and
+    * `ml_cnn_infer_render`: events grid -> Conv(5x5, signed binomial
+    * kernel) -> relu -> >>6 -> ConvTranspose(5x5, zero-DC checkerboard
+    * kernel) -> relu -> >>6, as rows (u, d, h2). Layer plans are exactly
+    * the standalone operators': gather join vs broadcast kernel, then
+    * scatter groupBy with no self-join. All BIGINT, exact.
+    */
+  private def fwdTrunk(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val grid = Tables(s, dir, "events")
+      .groupBy(
+        col("user_id").as("u"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("int").as("d"))
+      .agg((cnt + lit(2) * sum(floor(col("value")).cast("long"))
+        + lit(3) * sum(length(col("event_type")).cast("long"))).as("v"))
+    def offsDf(offs: Seq[(Int, Int, Int)]) =
+      s.createDataFrame(offs).toDF("dy", "dx", "w")
+    val n = grid.select(col("u").as("nu"), col("d").as("nd"), col("v").as("nv"))
+    val relu1 = grid.crossJoin(broadcast(offsDf(FwdConvOffs)))
+      .join(n, col("nu") === col("u") + col("dy") && col("nd") === col("d") + col("dx"))
+      .groupBy("u", "d")
+      .agg(sum(col("w") * col("nv")).as("s1"))
+      .select(col("u"), col("d"),
+        shiftright(greatest(lit(0L), col("s1")), 6).as("h1"))
+    relu1.crossJoin(broadcast(offsDf(FwdScatOffs)))
+      .groupBy(
+        (col("u") + col("dy")).as("u"),
+        (col("d") + col("dx")).as("d"))
+      .agg(sum(col("w") * col("h1")).as("s2"))
+      .select(col("u"), col("d"),
+        shiftright(greatest(lit(0L), col("s2")), 6).as("h2"))
+  }
+
+  /** DuckDB twin of [[fwdTrunk]]: a WITH chain whose last CTE is
+    * `relu2(u, d, h2)` — callers append their head CTEs/SELECT.
+    */
+  private lazy val FwdTrunkSql: String = {
+    def vals(offs: Seq[(Int, Int, Int)]): String =
+      offs.map { case (dy, dx, w) => s"($dy, $dx, $w)" }.mkString(", ")
+    s"""WITH grid AS (
+       |  SELECT user_id AS u,
+       |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS d,
+       |         CAST(COUNT(*) AS BIGINT)
+       |           + 2 * CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT)
+       |           + 3 * CAST(SUM(length(event_type)) AS BIGINT) AS v
+       |  FROM events GROUP BY 1, 2),
+       |offs1(dy, dx, w) AS (VALUES ${vals(FwdConvOffs)}),
+       |conv AS (
+       |  SELECT g.u, g.d, CAST(SUM(o.w * n.v) AS BIGINT) AS s1
+       |  FROM grid g JOIN offs1 o ON TRUE
+       |  JOIN grid n ON n.u = g.u + o.dy AND n.d = g.d + o.dx
+       |  GROUP BY 1, 2),
+       |relu1 AS (SELECT u, d, GREATEST(0, s1) >> 6 AS h1 FROM conv),
+       |offs2(dy, dx, w) AS (VALUES ${vals(FwdScatOffs)}),
+       |scat AS (
+       |  SELECT r.u + o.dy AS u, r.d + o.dx AS d,
+       |         CAST(SUM(o.w * r.h1) AS BIGINT) AS s2
+       |  FROM relu1 r JOIN offs2 o ON TRUE GROUP BY 1, 2),
+       |relu2 AS (SELECT u, d, GREATEST(0, s2) >> 6 AS h2 FROM scat)""".stripMargin
+  }
+
+  /** Dense(9) head as a Spark array column over `h2`. */
+  private def denseLogits: org.apache.spark.sql.Column =
+    array(DenseA.zip(DenseB)
+      .map { case (a, b) => lit(a.toLong) * col("h2") + lit(b.toLong) }: _*)
+
+  /** DuckDB twin of [[denseLogits]] (a list literal over `h2`). */
+  private lazy val DenseLogitsSql: String = DenseA.zip(DenseB)
+    .map { case (a, b) => s"$a * h2 + $b" }.mkString("[", ", ", "]")
 }
