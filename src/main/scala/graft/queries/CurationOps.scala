@@ -441,5 +441,45 @@ object CurationOps extends QueryPack {
             count(col("hit")).cast("long").as("n_contam"),
             (count(col("hit")).cast("double") / count(lit(1))).as("contam_rate"))
           .orderBy("lang")
+      }),
+
+    // Per-source document cap — the "max N docs per domain" step every
+    // production corpus build runs (C4/RefinedWeb-style domain balancing):
+    // keep a deterministic UNIFORM sample of at most `capPerSource` docs
+    // per source, not the top-N by any quality column (that is
+    // dedup_pipeline_keep_best's job). Uniformity + determinism come from
+    // ranking on md5(doc_id:seed) — the same engine-checkable hash family
+    // as SeededSplit, so any two runs (or engines) keep identical rows.
+    // Scale shape: ONE shuffle on source carrying (doc_id, 16-byte hash)
+    // scalars only — the text never moves; the per-source window is a
+    // streaming rank over the sorted run. A pathologically hot source
+    // makes this window skew-bound, in which case pre-aggregated counts +
+    // a per-source hash-threshold prefilter (two scans, no window) is the
+    // escape hatch — documented, not needed at benchmark scales.
+    Q(
+      "corpus_cap_per_source",
+      Some(s"""WITH r AS (
+              |  SELECT doc_id, source,
+              |    row_number() OVER (PARTITION BY source
+              |      ORDER BY md5(CAST(doc_id AS VARCHAR)||':$capSeed'), doc_id)
+              |      AS smp_rank
+              |  FROM documents)
+              |SELECT doc_id, source, CAST(smp_rank AS INT) AS smp_rank,
+              |  CAST(smp_rank <= $capPerSource AS BOOLEAN) AS kept
+              |FROM r ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("source")
+          .orderBy(md5(concat(col("doc_id").cast("string"), lit(s":$capSeed"))),
+            col("doc_id"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("smp_rank", row_number().over(w).cast("int"))
+          .select(col("doc_id"), col("source"), col("smp_rank"),
+            (col("smp_rank") <= capPerSource).as("kept"))
+          .orderBy("doc_id")
       }))
+
+  /** Per-source cap + its sampling seed for `corpus_cap_per_source`. */
+  private val capPerSource = 15
+  private val capSeed = 17
 }

@@ -105,6 +105,20 @@ class PropertySpec extends SparkSpec {
     assert(total == expect)
   }
 
+  test("per-source cap keeps exactly min(cap, n) docs per source") {
+    val out = Registry.byId("corpus_cap_per_source").run(spark, sf)
+    val per = out.groupBy("source").agg(
+      sum(when(col("kept"), 1).otherwise(0)).as("kept_n"),
+      count(lit(1)).as("n"))
+    assert(per.filter(col("kept_n") =!= least(lit(15), col("n"))).count() == 0)
+    // Ranks are a permutation of 1..n within each source.
+    val badRank = out.groupBy("source").agg(
+      count(lit(1)).as("n"), max("smp_rank").as("mx"),
+      countDistinct("smp_rank").as("dr"))
+      .filter(col("mx") =!= col("n") || col("dr") =!= col("n"))
+    assert(badRank.count() == 0)
+  }
+
   test("composed FCN forward pass is non-vacuous and well-formed") {
     val out = Registry.byId("ml_cnn_forward_compose").run(spark, sf).cache()
     // Heads well-formed on every row: class in 0..8, LST clamped >= 0,
