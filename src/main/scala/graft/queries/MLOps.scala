@@ -387,6 +387,10 @@ object MLOps extends QueryPack {
           col("l_quantity").as("x"), col("l_extendedprice").as("y"))
           .withColumn("split", SeededSplit.assign(col("k"), 42L))
         val m = GD.momentsBySplit(li, "split")
+        // A degenerate corpus (too few rows for the 90/10 hash split to
+        // populate both sides) must fail loudly, not with a bare map miss.
+        require(m.contains("train") && m.contains("test"),
+          s"ml_train_eval_epochs: both splits must be non-empty, got ${m.keySet}")
         val (_, hist) =
           TrainEval.run(m("train"), m("test"), GD.State(0, 0.0, 0.0), 5, 0.001)
         // Metrics-sink round-trip: persist the scalar series the way the

@@ -135,12 +135,14 @@ class EdgeCaseSpec extends SparkSpec {
     assert(st1.mw == 0.0 && st1.vw == 0.0) // moments stay zero on zero grad
   }
 
-  test("one-hot class id stays in [0,8] across value boundaries") {
-    val px = Seq(0.0, 8.999, 9.0, 17.5, 199.99).zipWithIndex
+  test("one-hot class id stays in [0,8] across value boundaries, incl. negatives") {
+    // pmod, not %: the query's class id must land in 0..8 even for
+    // negative values (plain % would give -2 for -10.5 -> floor -11).
+    val px = Seq(0.0, 8.999, 9.0, 17.5, 199.99, -10.5).zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("event_id", "value")
-    val cls = px.select((floor(col("value")).cast("int") % 9).as("cls"))
+    val cls = px.select(pmod(floor(col("value")).cast("int"), lit(9)).as("cls"))
       .as[Int].collect()
-    assert(cls.toSeq == Seq(0, 8, 0, 8, 1))
+    assert(cls.toSeq == Seq(0, 8, 0, 8, 1, 7))
   }
 
   test("conv-transpose on a single input cell emits the full 5x5 kernel footprint") {
@@ -159,5 +161,38 @@ class EdgeCaseSpec extends SparkSpec {
     assert(math.abs(total - 256.0) < 1e-9) // mass conserved, no clipping
     val center = out.find(r => r.getAs[Long]("u") == 10L && r.getAs[Int]("d") == 5).get
     assert(center.getAs[Double]("convt") == 36.0) // 6*6 weight at the center
+  }
+
+  test("momentsBySplit on a single-split input returns a one-key map") {
+    import graft.ml.{GradientDescent => GD}
+    val df = Seq((1.0, 2.0, "train"), (2.0, 4.0, "train"))
+      .toDF("x", "y", "split")
+    val m = GD.momentsBySplit(df, "split")
+    assert(m.keySet == Set("train") && m("train").n == 2.0)
+  }
+
+  test("per-source cap keeps ALL docs of a source smaller than the cap") {
+    // Exercises the n < cap branch the benchmark corpus never hits (every
+    // sf source holds >= 25 docs vs cap 15): a 3-doc source must keep all
+    // 3, with ranks a permutation of 1..3.
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge_cap").toString
+    Seq((1L, "tiny"), (2L, "tiny"), (3L, "tiny"))
+      .toDF("doc_id", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Registry.byId("corpus_cap_per_source").run(spark, dir).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[Boolean]("kept")))
+    assert(out.map(_.getAs[Int]("smp_rank")).sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("composed FCN forward pass on an empty events table is empty, not an error") {
+    // Every layer (grid agg, gather join, scatter agg, heads) must pass
+    // zero rows through cleanly. ts is written as a raw int64 like the
+    // driver's nanos column so Tables' ts conversion path is exercised.
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge_fcn").toString
+    Seq.empty[(Long, Long, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    assert(Registry.byId("ml_cnn_forward_compose").run(spark, dir).count() == 0)
   }
 }
