@@ -477,9 +477,69 @@ object CurationOps extends QueryPack {
           .select(col("doc_id"), col("source"), col("smp_rank"),
             (col("smp_rank") <= capPerSource).as("kept"))
           .orderBy("doc_id")
+      }),
+
+    // Per-language quality-quantile filtering (CCNet/RefinedWeb-style):
+    // keep documents whose quality score clears their OWN language's p30 —
+    // a per-lang calibrated gate, because absolute score thresholds favor
+    // stopword-dense languages. The quantile is the rank-based empirical
+    // one (row at ceil(q*n) in (score, doc_id) order) — the same
+    // interpolation-free technique agg_median_quantile proved
+    // cross-engine; the |langs|-row threshold table broadcasts back.
+    // Scale shape: the per-lang window ranks (doc_id, score) SCALARS (the
+    // text stays map-side in the scoring stage); at extreme per-lang
+    // cardinalities the one-pass mergeable-sketch form (approx_percentile)
+    // replaces the exact rank — documented escape hatch, not needed at
+    // benchmark scale.
+    Q(
+      "corpus_quality_quantile_filter",
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, COALESCE(lang, '??') AS lang, text FROM documents),
+              |s AS (
+              |  SELECT doc_id, lang,
+              |    CAST(len(list_filter(string_split(text, ' '),
+              |           t -> t IN ($stopsSql))) AS DOUBLE)
+              |      / len(string_split(text, ' ')) AS score
+              |  FROM d),
+              |r AS (
+              |  SELECT doc_id, lang, score,
+              |    row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn,
+              |    count(*) OVER (PARTITION BY lang) AS n FROM s),
+              |t AS (SELECT lang, score AS thr FROM r
+              |      WHERE rn = CAST(greatest(1, ceil($qualityQ * n)) AS BIGINT))
+              |SELECT r.doc_id, r.lang, ROUND(r.score, 6) AS q_score,
+              |  ROUND(t.thr, 6) AS lang_thr, r.score >= t.thr AS kept
+              |FROM r JOIN t ON r.lang = t.lang ORDER BY r.doc_id""".stripMargin),
+      (s, dir) => {
+        val scored = Tables(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("lang"), lit("??")).as("lang"),
+            (size(filter(split(col("text"), " "),
+              t => t.isInCollection(stops))).cast("double")
+              / size(split(col("text"), " "))).as("score"))
+        val wOrd = Window.partitionBy("lang").orderBy("score", "doc_id")
+        val wAll = Window.partitionBy("lang")
+        val ranked = scored
+          .withColumn("rn", row_number().over(wOrd))
+          .withColumn("n", count(lit(1)).over(wAll))
+        val thr = ranked
+          .filter(col("rn") ===
+            greatest(lit(1L), ceil(lit(qualityQ) * col("n"))).cast("long"))
+          .select(col("lang"), col("score").as("thr"))
+        ranked.join(broadcast(thr), "lang")
+          .select(col("doc_id"), col("lang"),
+            round(col("score"), 6).as("q_score"),
+            round(col("thr"), 6).as("lang_thr"),
+            (col("score") >= col("thr")).as("kept"))
+          .orderBy("doc_id")
       }))
 
   /** Per-source cap + its sampling seed for `corpus_cap_per_source`. */
   private val capPerSource = 15
   private val capSeed = 17
+
+  /** Quality-filter quantile for `corpus_quality_quantile_filter`. */
+  private val qualityQ = 0.3
+
+  private def stops = TextAnalysis.stops
+  private def stopsSql = TextAnalysis.stopsSql
 }

@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis extends QueryPack {
 
-  private val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
-  private val stopsSql = stops.map(s => s"'$s'").mkString(", ")
+  // Shared with CurationOps' quality-quantile filter so the stopword
+  // dialect cannot drift between the scoring and filtering stages.
+  private[queries] val stops =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private[queries] val stopsSql = stops.map(s => s"'$s'").mkString(", ")
 
   /** BPE-ish tokenizer regex: letter runs, digit runs, single punctuation. */
   private val bpePat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
