@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * scales without driver-side generators.
   *
   * Replication preserves referential integrity: each scaling key domain
-  * (custkey, orderkey, partkey, suppkey, event_id, user_id, doc_id, vec_id)
+  * (custkey, orderkey, partkey, suppkey, event_id, doc_id, vec_id)
   * is offset by `replica * (max(key)+pad)` on BOTH its primary table and
   * every foreign reference, while the fixed dimensions (region, nation) and
   * all non-key attributes are copied verbatim — the same join fan-outs,
@@ -53,7 +53,6 @@ object ScaleGen {
     val partK = domain(raw("part"), "p_partkey")
     val suppK = domain(raw("supplier"), "s_suppkey")
     val evK = domain(raw("events"), "event_id")
-    val userK = domain(raw("events"), "user_id")
     val docK = domain(raw("documents"), "doc_id", mod = 10L)
     val vecK = domain(raw("embeddings"), "vec_id")
 
@@ -80,8 +79,12 @@ object ScaleGen {
         Map("o_orderkey" -> ordK, "o_custkey" -> custK)),
       "lineitem" -> replicate(raw("lineitem"),
         Map("l_orderkey" -> ordK, "l_partkey" -> partK, "l_suppkey" -> suppK)),
+      // user_id is a CUSTOMER foreign key (stream_dim_join joins
+      // user_id = c_custkey), so it must shift by the customer domain —
+      // an events-derived step would only keep referential integrity by
+      // the accident of c_custkey being dense from 0.
       "events" -> replicate(raw("events"),
-        Map("event_id" -> evK, "user_id" -> userK)),
+        Map("event_id" -> evK, "user_id" -> custK)),
       "documents" -> replicate(raw("documents"), Map("doc_id" -> docK)),
       "embeddings" -> replicate(raw("embeddings"), Map("vec_id" -> vecK)))
 

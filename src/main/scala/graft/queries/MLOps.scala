@@ -394,9 +394,13 @@ object MLOps extends QueryPack {
         val (_, hist) =
           TrainEval.run(m("train"), m("test"), GD.State(0, 0.0, 0.0), 5, 0.001)
         // Metrics-sink round-trip: persist the scalar series the way the
-        // reference's SummaryWriter does, then serve it back ordered.
+        // reference's SummaryWriter does, then serve it back ordered. Path is
+        // keyed by (session, input dir) so concurrent runs — two benches, a
+        // parallel test suite, two users sharing /tmp — never clobber each
+        // other's sink, and a lazily re-read DataFrame sees its own run only.
         val outDir =
-          s"${System.getProperty("java.io.tmpdir")}/graft_metrics/train_eval"
+          s"${System.getProperty("java.io.tmpdir")}/graft_metrics/train_eval_" +
+            s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
         s.createDataFrame(hist).toDF("metric", "epoch", "value")
           .write.mode("overwrite").parquet(outDir)
         s.read.parquet(outDir).orderBy("epoch", "metric")
@@ -493,7 +497,10 @@ object MLOps extends QueryPack {
     // per-pixel class ids, hex channels parsed, and np.interp's piecewise
     // linear color ramp computed exactly — color index = trunc(v/9*255),
     // ramp position x = 9*ci/255 over knots 0..8, channel = floor(lerp).
-    // "Pixels" = events rows, class id = floor(value) % 9. The palette is a
+    // "Pixels" = events rows, class id = pmod(floor(value), 9) — pmod, not %,
+    // so a negative value maps into [0,9) and renders instead of being
+    // silently dropped by the palette joins (same hardening as
+    // ml_onehot_encode's class id). The palette is a
     // 9-row broadcast dim; pixels never shuffle — per-pixel map only.
     Q(
       "ml_palette_render", {
@@ -505,7 +512,8 @@ object MLOps extends QueryPack {
                 |    CAST(('0x'||substr(hex,3,2)) AS INT) AS g,
                 |    CAST(('0x'||substr(hex,5,2)) AS INT) AS b
                 |  FROM (VALUES $palVals) p(idx, hex)),
-                |px AS (SELECT event_id, CAST(floor(value) AS INT) % 9 AS v FROM events),
+                |px AS (SELECT event_id,
+                |         ((CAST(floor(value) AS INT) % 9) + 9) % 9 AS v FROM events),
                 |m AS (SELECT event_id, v,
                 |        floor(CAST(v AS DOUBLE) / 9.0 * 255.0) * 9.0 / 255.0 AS x
                 |      FROM px),
@@ -528,7 +536,7 @@ object MLOps extends QueryPack {
             conv(substring(col("hex"), 3, 2), 16, 10).cast("int").as("g"),
             conv(substring(col("hex"), 5, 2), 16, 10).cast("int").as("b"))
         val px = Tables(s, dir, "events")
-          .select(col("event_id"), (floor(col("value")).cast("int") % 9).as("v"))
+          .select(col("event_id"), pmod(floor(col("value")).cast("int"), lit(9)).as("v"))
         val x = floor(col("v").cast("double") / 9.0 * 255.0) * 9.0 / 255.0
         val kk = px
           .withColumn("x", x)

@@ -24,6 +24,12 @@ def main():
         t_big = big["queries"].get(name)
         if t_big is None:
             continue
+        # A failed query is recorded as null (the BenchIsolation convention);
+        # skip it as failed instead of crashing the whole report on None > 0.
+        if not isinstance(t_small, (int, float)) or not isinstance(t_big, (int, float)):
+            qs[name] = {"t_small": t_small, "t_big": t_big, "slope": None,
+                        "failed": True}
+            continue
         slope = round(t_big / t_small, 2) if t_small > 0 else None
         qs[name] = {"t_small": round(t_small, 3), "t_big": round(t_big, 3),
                     "slope": slope}
