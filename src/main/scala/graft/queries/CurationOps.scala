@@ -5,6 +5,7 @@ import graft.Fns._
 import graft.ml.SeededSplit
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** SURVEY.md §2.L — training-data curation extensions: PII redaction,
   * repetition-based quality filtering (Gopher-style), weighted mixture
@@ -531,6 +532,89 @@ object CurationOps extends QueryPack {
             round(col("thr"), 6).as("lang_thr"),
             (col("score") >= col("thr")).as("kept"))
           .orderBy("doc_id")
+      }),
+
+    // Perplexity-based quality gating (CCNet-style): train a unigram LM
+    // with add-one smoothing on a clean REFERENCE subset (the eval slice,
+    // doc_id % 10 == 0 — same held-out convention as
+    // decontaminate_ngram_overlap; CCNet trains its KenLM on Wikipedia),
+    // then score every training doc by cross-entropy under that LM and
+    // gate on a fixed ce threshold. The model is vocabTop rows:
+    // p(tok) = (cnt+1)/(N+V+1) for the top-V reference tokens,
+    // p(OOV) = 1/(N+V+1).
+    //
+    // Cross-engine determinism: ln() may differ between java.lang.Math and
+    // libm in the last ulp, so log-probs are rounded to 9 dp IN THE MODEL
+    // (only V+1 <= 65 DISTINCT values ever pass through ln — boundary
+    // coincidence risk is nil, unlike rounding a per-doc ln) and stored as
+    // DECIMAL(18,9); the per-doc sum of decimals is exact and
+    // order-independent, so partial aggregation / shuffle order cannot
+    // change the result, and ONE double division per doc ends the exact
+    // pipeline. kept compares the unrounded division — identical IEEE
+    // doubles both engines.
+    //
+    // Scale shape: the reference subset is fixed-size even at 100 TB, so
+    // the trained LM is a broadcast dim (<= 65 rows); scoring is a
+    // map-side explode + broadcast hash join + ONE partial-aggregated
+    // shuffle of (doc_id, decimal) scalar cells — raw text never shuffles.
+    Q(
+      "corpus_perplexity_filter",
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+              |  FROM documents),
+              |ref AS (SELECT tok FROM tok WHERE doc_id % 10 = 0),
+              |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ref),
+              |vocab AS (
+              |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM ref
+              |  GROUP BY tok ORDER BY c DESC, tok LIMIT $vocabTop),
+              |vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+              |lp AS (
+              |  SELECT tok,
+              |    CAST(ROUND(ln((c + 1) / CAST(n + v + 1 AS DOUBLE)), 9)
+              |         AS DECIMAL(18,9)) AS logp
+              |  FROM vocab, nv, vv),
+              |oov AS (
+              |  SELECT CAST(ROUND(ln(1 / CAST(n + v + 1 AS DOUBLE)), 9)
+              |              AS DECIMAL(18,9)) AS logp
+              |  FROM nv, vv),
+              |sc AS (
+              |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+              |    SUM(COALESCE(lp.logp, (SELECT logp FROM oov))) AS s
+              |  FROM tok t LEFT JOIN lp ON t.tok = lp.tok
+              |  WHERE t.doc_id % 10 <> 0 GROUP BY t.doc_id)
+              |SELECT doc_id, n_tok,
+              |  ROUND(-CAST(s AS DOUBLE) / n_tok, 6) AS ce,
+              |  (-CAST(s AS DOUBLE) / n_tok) <= $ceThreshold AS kept
+              |FROM sc ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val tok = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("tok"))
+        val ref = tok.filter(col("doc_id") % 10 === 0).select("tok")
+        val nv = ref.agg(cnt.as("n"))
+        val vocab = ref.groupBy("tok").agg(cnt.as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(vocabTop)
+        val vv = vocab.agg(cnt.as("v"))
+        val consts = nv.crossJoin(vv) // one (n, v) row
+        val denom = (col("n") + col("v") + 1).cast("double")
+        val lp = vocab.crossJoin(broadcast(consts))
+          .select(col("tok"),
+            round(log((col("c") + 1) / denom), 9)
+              .cast(DecimalType(18, 9)).as("logp"))
+        val oov = consts
+          .select(round(log(lit(1.0) / denom), 9)
+            .cast(DecimalType(18, 9)).as("oov_logp"))
+        val ce = -(col("s").cast("double")) / col("n_tok")
+        tok.filter(col("doc_id") % 10 =!= 0)
+          .join(broadcast(lp), Seq("tok"), "left_outer")
+          .crossJoin(broadcast(oov))
+          .groupBy("doc_id")
+          .agg(cnt.as("n_tok"),
+            sum(coalesce(col("logp"), col("oov_logp"))).as("s"))
+          .select(col("doc_id"), col("n_tok"),
+            round(ce, 6).as("ce"),
+            (ce <= ceThreshold).as("kept"))
+          .orderBy("doc_id")
       }))
 
   /** Per-source cap + its sampling seed for `corpus_cap_per_source`. */
@@ -539,6 +623,13 @@ object CurationOps extends QueryPack {
 
   /** Quality-filter quantile for `corpus_quality_quantile_filter`. */
   private val qualityQ = 0.3
+
+  /** Unigram-LM size and cross-entropy gate for `corpus_perplexity_filter`
+    * (threshold = the ~median ce of the synthetic corpus — 3.40/3.41/3.40
+    * at sf0.001/0.01/0.1 — so both outcomes occur at every scale).
+    */
+  private val vocabTop = 64
+  private val ceThreshold = 3.41
 
   private def stops = TextAnalysis.stops
   private def stopsSql = TextAnalysis.stopsSql

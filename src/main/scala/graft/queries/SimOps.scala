@@ -198,10 +198,187 @@ object SimOps extends QueryPack {
        |FROM r WHERE rn <= 3 ORDER BY qa, rn""".stripMargin
   }
 
+  /** Shared SQL fragments for the generated oracles. */
+  private def centsSql(cents: Array[Array[Float]]): String = {
+    import graft.ml.Quantizers.sqlFloat
+    cents.zipWithIndex
+      .map { case (c, i) =>
+        s"($i, ${c.map(sqlFloat).mkString("[", ", ", "]")}::DOUBLE[])" }
+      .mkString(",\n  ")
+  }
+
+  private val cosPairSql: String =
+    """ROUND(list_sum(list_transform(list_zip(x.embedding, y.embedding),
+      |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS cos""".stripMargin
+
+  /** DuckDB oracle for sim_ann_ivfpq_topk: IVF list pruning (trained
+    * centroids) composed with PQ/ADC inside the probed lists (trained
+    * codebook) — both value sets inlined as exact literals.
+    */
+  private def ivfpqOracle(
+      cents: Array[Array[Float]], cb: Array[Array[Array[Float]]]): String = {
+    import graft.ml.Quantizers.sqlFloat
+    val cc = pqCc(cb) _
+    def cbSql(si: Int, c: Int): String =
+      cb(si)(c).map(sqlFloat).mkString("[", ", ", "]::DOUBLE[]")
+    def subSql(si: Int): String =
+      s"embedding[${si * PqSubDim + 1}:${(si + 1) * PqSubDim}]"
+    def dotSql(si: Int, c: Int): String =
+      s"list_sum(list_transform(list_zip(${subSql(si)}, ${cbSql(si, c)}), " +
+        "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
+    def qqSql(si: Int): String =
+      s"list_sum(list_transform(${subSql(si)}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    def codeSql(si: Int): String = {
+      val ds = (0 until PqCodes)
+        .map(c => s"(${cc(si, c)} - 2 * ${dotSql(si, c)})")
+        .mkString("[", ",\n      ", "]")
+      s"list_position($ds, list_min($ds)) - 1 AS code$si"
+    }
+    val codeCols = (0 until PqSubs).map(codeSql).mkString(",\n")
+    val lutCols = (for (si <- 0 until PqSubs; c <- 0 until PqCodes) yield
+      s"${qqSql(si)} - 2 * ${dotSql(si, c)} + ${cc(si, c)} AS ql_${si}_$c")
+      .mkString(",\n")
+    val adistSql = (0 until PqSubs).map { si =>
+      s"(CASE code$si ${(0 until PqCodes)
+        .map(c => s"WHEN $c THEN ql_${si}_$c").mkString(" ")} END)"
+    }.mkString(" + ")
+    val dotQC =
+      """list_sum(list_transform(list_zip(e.embedding, c.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))""".stripMargin
+    s"""WITH cents AS (SELECT * FROM (VALUES
+       |  ${centsSql(cents)}) t(cid, embedding)),
+       |dists AS (
+       |  SELECT e.vec_id, c.cid,
+       |    list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+       |      - 2 * $dotQC AS dist
+       |  FROM embeddings e, cents c),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM dists WHERE vec_id < 20) WHERE rn <= 2),
+       |codes AS (SELECT vec_id AS qb, $codeCols FROM embeddings),
+       |codesc AS (SELECT a.cid, c.* FROM codes c JOIN assigned a ON c.qb = a.vec_id),
+       |q AS (SELECT vec_id AS qa, $lutCols FROM embeddings WHERE vec_id < 20),
+       |p AS (SELECT q.qa, codesc.qb, $adistSql AS adist
+       |      FROM probes pr JOIN q ON pr.vec_id = q.qa
+       |                     JOIN codesc ON pr.cid = codesc.cid
+       |      WHERE q.qa <> codesc.qb),
+       |short AS (SELECT qa, qb FROM (
+       |    SELECT qa, qb, row_number() OVER (PARTITION BY qa ORDER BY adist, qb) AS rs
+       |    FROM p) WHERE rs <= $PqShortlist),
+       |sc AS (
+       |  SELECT short.qa, short.qb, $cosPairSql
+       |  FROM short JOIN embeddings x ON short.qa = x.vec_id
+       |             JOIN embeddings y ON short.qb = y.vec_id),
+       |r AS (SELECT qa, qb, cos,
+       |        row_number() OVER (PARTITION BY qa ORDER BY cos DESC, qb) AS rn
+       |      FROM sc)
+       |SELECT qa, qb, cos, CAST(rn AS INT) AS rn
+       |FROM r WHERE rn <= 3 ORDER BY qa, rn""".stripMargin
+  }
+
+  /** DuckDB oracle for dedup_semantic_embcluster, generated against the
+    * trained IVF centroids.
+    */
+  private def semdedupOracle(cents: Array[Array[Float]], tau: Double): String = {
+    val dotQC =
+      """list_sum(list_transform(list_zip(e.embedding, c.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))""".stripMargin
+    s"""WITH cents AS (SELECT * FROM (VALUES
+       |  ${centsSql(cents)}) t(cid, embedding)),
+       |dists AS (
+       |  SELECT e.vec_id, c.cid,
+       |    list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+       |      - 2 * $dotQC AS dist,
+       |    $dotQC
+       |      / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS centsim
+       |  FROM embeddings e, cents c),
+       |a AS (
+       |  SELECT vec_id, cid, centsim FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |p AS (
+       |  SELECT ax.vec_id AS va, ay.vec_id AS vb, ax.centsim AS csa, ay.centsim AS csb,
+       |    list_sum(list_transform(list_zip(x.embedding, y.embedding),
+       |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+       |  FROM a ax JOIN a ay ON ax.cid = ay.cid AND ax.vec_id < ay.vec_id
+       |            JOIN embeddings x ON ax.vec_id = x.vec_id
+       |            JOIN embeddings y ON ay.vec_id = y.vec_id),
+       |rem AS (
+       |  SELECT DISTINCT CASE WHEN csb >= csa THEN vb ELSE va END AS rid
+       |  FROM p WHERE cos >= $tau)
+       |SELECT a.vec_id, a.cid, ROUND(a.centsim, 6) AS centsim,
+       |  (rem.rid IS NOT NULL) AS removed
+       |FROM a LEFT JOIN rem ON a.vec_id = rem.rid
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
+  /** SemDeDup cosine threshold. The synthetic embeddings are near-random
+    * (all-pairs cosine tops out around 0.47), so the usual 0.95-0.99 of the
+    * paper would never fire here; 0.40 is calibrated so both outcomes occur
+    * (59 all-pairs candidates at sf0.01) while staying well above the 0.29
+    * p99 noise floor.
+    */
+  private[graft] val SemTau = 0.40
+
   /** DuckDB twin of [[dot]] against plane i. */
   private def duckPlaneDot(i: Int): String =
     s"list_sum(list_transform(list_zip(embedding, ${planeSql(i)}), " +
       "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
+
+  // ---- shared PQ plan fragments (sim_ann_pq_topk / sim_ann_ivfpq_topk) ----
+
+  private def pqSubv(si: Int): Column =
+    slice(col("embedding"), si * PqSubDim + 1, PqSubDim)
+
+  private def pqCbLit(cb: Array[Array[Array[Float]]])(si: Int, c: Int): Column =
+    array(cb(si)(c).toIndexedSeq.map(lit): _*)
+
+  /** PQ-encode every embedding: (idAlias, code0..codeN). First-minimal
+    * argmin, LINEAR in the codeword count (see sim_ann_pq_topk's note —
+    * a pairwise when-chain is O(k^2) nodes and stalls Catalyst at k=16).
+    */
+  private def pqCodesDf(
+      e: org.apache.spark.sql.DataFrame,
+      cb: Array[Array[Array[Float]]],
+      idAlias: String): org.apache.spark.sql.DataFrame = {
+    val cc = pqCc(cb) _
+    val dsCols = (0 until PqSubs).map { si =>
+      array((0 until PqCodes).map(c =>
+        lit(cc(si, c)) - lit(2.0) * ndot(pqSubv(si), pqCbLit(cb)(si, c))): _*)
+        .as(s"ds$si")
+    }
+    e.select((col("vec_id").as(idAlias) +: dsCols): _*)
+      .select(
+        col(idAlias) +:
+          (0 until PqSubs).map(si =>
+            (array_position(col(s"ds$si"), array_min(col(s"ds$si"))) - 1)
+              .cast("int").as(s"code$si")): _*)
+  }
+
+  /** Per-query exact 4x16 ADC lookup table columns `ql_<sub>_<code>`. */
+  private def pqLutCols(cb: Array[Array[Array[Float]]]): Seq[Column] = {
+    val cc = pqCc(cb) _
+    for (si <- 0 until PqSubs; c <- 0 until PqCodes) yield
+      (ndot(pqSubv(si), pqSubv(si)) - lit(2.0) * ndot(pqSubv(si), pqCbLit(cb)(si, c)) +
+        lit(cc(si, c))).as(s"ql_${si}_$c")
+  }
+
+  /** Approximate distance = sum over subspaces of LUT[code]. */
+  private def pqAdistCol: Column = (0 until PqSubs).map { si =>
+    element_at(
+      array((0 until PqCodes).map(c => col(s"ql_${si}_$c")): _*),
+      col(s"code$si") + 1)
+  }.reduce(_ + _)
 
   def queries: Seq[Q] = Seq(
     // Brute-force cosine top-5 for 20 query vectors vs the whole table.
@@ -428,44 +605,18 @@ object SimOps extends QueryPack {
         native(s)
         val e = Tables(s, dir, "embeddings")
         val cb = graft.ml.Quantizers.pq(s, dir)
-        val cc = pqCc(cb) _
-        def subv(si: Int): Column =
-          slice(col("embedding"), si * PqSubDim + 1, PqSubDim)
-        def cbLit(si: Int, c: Int): Column =
-          array(cb(si)(c).toIndexedSeq.map(lit): _*)
-        // First-minimal argmin, LINEAR in the codeword count: materialize
-        // the distance array once per subspace, then array_position of its
-        // array_min (first occurrence — same tie-breaking as the oracle's
-        // list_position). A pairwise when-chain is O(k^2) expression nodes
-        // and stalls Catalyst at k=16.
-        val dsCols = (0 until PqSubs).map { si =>
-          array((0 until PqCodes).map(c =>
-            lit(cc(si, c)) - lit(2.0) * ndot(subv(si), cbLit(si, c))): _*)
-            .as(s"ds$si")
-        }
-        val codes = e
-          .select((col("vec_id").as("qb") +: dsCols): _*)
-          .select(
-            col("qb") +:
-              (0 until PqSubs).map(si =>
-                (array_position(col(s"ds$si"), array_min(col(s"ds$si"))) - 1)
-                  .cast("int").as(s"code$si")): _*)
-        val lutCols = for (si <- 0 until PqSubs; c <- 0 until PqCodes) yield
-          (ndot(subv(si), subv(si)) - lit(2.0) * ndot(subv(si), cbLit(si, c)) +
-            lit(cc(si, c))).as(s"ql_${si}_$c")
+        // First-minimal argmin code assignment and the per-query exact LUT
+        // are the shared fragments [[pqCodesDf]]/[[pqLutCols]] (also the
+        // building blocks of the composed sim_ann_ivfpq_topk index).
+        val codes = pqCodesDf(e, cb, "qb")
         val q = e.filter(col("vec_id") < 20)
-          .select((col("vec_id").as("qa") +: lutCols.toIndexedSeq): _*)
-        val adist = (0 until PqSubs).map { si =>
-          element_at(
-            array((0 until PqCodes).map(c => col(s"ql_${si}_$c")): _*),
-            col(s"code$si") + 1)
-        }.reduce(_ + _)
+          .select((col("vec_id").as("qa") +: pqLutCols(cb)): _*)
         // ADC shortlist over the code table, then exact re-rank of the
         // shortlist only (raw vectors re-join by key — never scanned).
         val wAd = Window.partitionBy("qa").orderBy(col("adist"), col("qb"))
         val shortlist = broadcast(q).crossJoin(codes)
           .filter(col("qa") =!= col("qb"))
-          .withColumn("adist", adist)
+          .withColumn("adist", pqAdistCol)
           .withColumn("rs", row_number().over(wAd))
           .filter(col("rs") <= PqShortlist)
           .select("qa", "qb")
@@ -518,6 +669,118 @@ object SimOps extends QueryPack {
           .toDF()
           .orderBy("doc_id")
       }),
+
+    // The composed production ANN index — IVF list pruning + PQ codes
+    // (FAISS's IVF+PQ shape, Jegou et al.; residual-free variant: codes
+    // quantize the raw vectors, not the per-list residuals — documented
+    // simplification that reuses the already-trained codebook and keeps the
+    // oracle exact): every vector carries (list id, 4 PQ nibble codes); a
+    // query probes its 2 nearest lists, ADC-ranks ONLY the code rows of
+    // those lists through its 4x16 LUT, shortlists 64, and exact-re-ranks
+    // the shortlist against raw vectors fetched by key. At 100 TB this is
+    // the index layout that actually ships: the code table is partitioned
+    // BY LIST ID, a query touches probe-count partitions (not the whole
+    // table, unlike flat PQ's full code scan), and raw vectors are fetched
+    // per-key for 64 candidates only. Composes the already-green IVF
+    // (coarse quantizer) and PQ (codes/LUT) fragments end-to-end — the same
+    // "layers compose" proof the FCN forward pass gave the ML family.
+    Q(
+      "sim_ann_ivfpq_topk",
+      None,
+      (s, dir) => {
+        native(s)
+        val e = Tables(s, dir, "embeddings")
+        val cents = s.createDataFrame(
+          graft.ml.Quantizers.ivf(s, dir).toIndexedSeq.zipWithIndex
+            .map { case (c, i) => (i, c.toIndexedSeq) })
+          .toDF("cid", "ce")
+        val cb = graft.ml.Quantizers.pq(s, dir)
+        val dists = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"),
+            (ndot(col("ce"), col("ce")) - lit(2.0) * ndot(col("embedding"), col("ce")))
+              .as("dist"))
+        val wd = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+        val ranked = dists.withColumn("rn", row_number().over(wd))
+        val assigned = ranked.filter(col("rn") === 1)
+          .select(col("vec_id").as("qb"), col("cid"))
+        val probes = ranked.filter(col("vec_id") < 20 && col("rn") <= 2)
+          .select(col("vec_id").as("qa"), col("cid"))
+        // The persisted index: list id + PQ codes per vector.
+        val codes = pqCodesDf(e, cb, "qb").join(assigned, "qb")
+        val q = e.filter(col("vec_id") < 20)
+          .select((col("vec_id").as("qa") +: pqLutCols(cb)): _*)
+        // Each query expands to its <=2 probed lists; the join on cid is the
+        // list-prune — candidates never leave their list partition.
+        val probed = probes.join(q, "qa")
+        val wAd = Window.partitionBy("qa").orderBy(col("adist"), col("qb"))
+        val shortlist = broadcast(probed).join(codes, "cid")
+          .filter(col("qa") =!= col("qb"))
+          .withColumn("adist", pqAdistCol)
+          .withColumn("rs", row_number().over(wAd))
+          .filter(col("rs") <= PqShortlist)
+          .select("qa", "qb")
+        val wc = Window.partitionBy("qa").orderBy(col("cos").desc, col("qb"))
+        shortlist
+          .join(e.select(col("vec_id").as("qa"), col("embedding").as("ea")), "qa")
+          .join(e.select(col("vec_id").as("qb"), col("embedding").as("eb2")), "qb")
+          .select(col("qa"), col("qb"),
+            round(ncos(col("ea"), col("eb2")), 6).as("cos"))
+          .withColumn("rn", row_number().over(wc).cast("int"))
+          .filter(col("rn") <= 3)
+          .orderBy("qa", "rn")
+      },
+      oracleGen = Some((s, dir) =>
+        ivfpqOracle(graft.ml.Quantizers.ivf(s, dir), graft.ml.Quantizers.pq(s, dir)))),
+
+    // Semantic (embedding-space) deduplication — SemDeDup (Abbas et al.
+    // 2023, public): k-means-cluster the embeddings, compute pairwise
+    // cosine ONLY within each cluster, and for every pair above the
+    // threshold keep the member with the LOWER cosine to its cluster
+    // centroid (the paper's keep-the-outlier rule; ties by vec_id). The
+    // whole point of clustering first is the scale shape: at 100 TB k grows
+    // with n (the paper uses ~50k clusters), cluster id is the partition
+    // key, and the quadratic pair join is bounded per cluster — no global
+    // all-pairs ever forms. Toy k=8 here (the shared IVF coarse quantizer,
+    // one training pass memoized with the ANN queries); removal decisions
+    // compare UNROUNDED doubles — identical left-to-right folds both
+    // engines, the invariant the whole SimOps file is built on.
+    Q(
+      "dedup_semantic_embcluster",
+      None,
+      (s, dir) => {
+        native(s)
+        val e = Tables(s, dir, "embeddings")
+        val cents = s.createDataFrame(
+          graft.ml.Quantizers.ivf(s, dir).toIndexedSeq.zipWithIndex
+            .map { case (c, i) => (i, c.toIndexedSeq) })
+          .toDF("cid", "ce")
+        val dists = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            (ndot(col("ce"), col("ce")) - lit(2.0) * ndot(col("embedding"), col("ce")))
+              .as("dist"),
+            ncos(col("embedding"), col("ce")).as("centsim"))
+        val wd = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+        val a = dists.withColumn("rn", row_number().over(wd))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid"), col("embedding"), col("centsim"))
+        val x = a.select(col("cid"), col("vec_id").as("va"),
+          col("embedding").as("ea"), col("centsim").as("csa"))
+        val y = a.select(col("cid"), col("vec_id").as("vb"),
+          col("embedding").as("eb"), col("centsim").as("csb"))
+        val rem = x.join(y, "cid")
+          .filter(col("va") < col("vb"))
+          .filter(ncos(col("ea"), col("eb")) >= SemTau)
+          .select(when(col("csb") >= col("csa"), col("vb")).otherwise(col("va"))
+            .as("rid"))
+          .distinct()
+        a.join(rem, col("vec_id") === col("rid"), "left_outer")
+          .select(col("vec_id"), col("cid"),
+            round(col("centsim"), 6).as("centsim"),
+            col("rid").isNotNull.as("removed"))
+          .orderBy("vec_id")
+      },
+      oracleGen = Some((s, dir) =>
+        semdedupOracle(graft.ml.Quantizers.ivf(s, dir), SemTau))),
 
     // Multimodal columns: text features joined with the vector modality.
     Q(

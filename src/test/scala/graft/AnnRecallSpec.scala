@@ -50,4 +50,11 @@ class AnnRecallSpec extends SparkSpec {
   test("PQ ANN recall@3 >= 0.6 vs exact top-3") {
     assert(recallOf("sim_ann_pq_topk") >= 0.6)
   }
+
+  // The composed index prunes TWICE (probe-2 lists, then ADC shortlist), so
+  // its recall is bounded above by IVF's; the gate asserts the composition
+  // doesn't collapse below the useful floor.
+  test("IVF+PQ composed ANN recall@3 >= 0.5 vs exact top-3") {
+    assert(recallOf("sim_ann_ivfpq_topk") >= 0.5)
+  }
 }

@@ -145,4 +145,60 @@ class PropertySpec extends SparkSpec {
     // Sharing a band == agreeing on 4 of 16 minima => est >= 4/16.
     assert(lsh.filter(col("est_jaccard") < 0.25).count() == 0)
   }
+
+  test("semantic dedup: removals are justified and the per-cluster minimum survives") {
+    // SemDeDup's one-shot pairwise rule CAN remove chained duplicates
+    // (a-b-c: b falls to a, c falls to b), so "every removed vector has a
+    // KEPT witness" is not an invariant. What IS guaranteed: (1) a removed
+    // vector had a same-cluster neighbor at cos >= tau (any status) — no
+    // removal without a real near-dup; (2) removal always points to a
+    // strictly lower (centsim, vec_id) partner, so each cluster's minimal
+    // pair-participant can never be removed — at least one member of
+    // every dup neighborhood survives. Recheck both against raw
+    // embeddings, independent of the query's own pair join.
+    import org.apache.spark.sql.expressions.Window
+    import graft.queries.SimOps.{dot, norm}
+    val out = Registry.byId("dedup_semantic_embcluster").run(spark, sf).cache()
+    assert(out.filter(col("removed")).count() > 0, "tau gate never fired")
+    val e = Tables(spark, sf, "embeddings")
+    val m = out.join(e, "vec_id")
+      .select(col("vec_id"), col("cid"), col("centsim"), col("removed"),
+        col("embedding"))
+    val x = m.select(col("cid"), col("vec_id").as("va"), col("embedding").as("ea"))
+    val y = m.select(col("cid"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    val pairs = x.join(y, "cid")
+      .filter(col("va") < col("vb"))
+      .filter(dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb")))
+        >= graft.queries.SimOps.SemTau)
+      .select("cid", "va", "vb")
+      .cache()
+    val participants = pairs.select(col("va").as("vec_id"))
+      .unionAll(pairs.select(col("vb").as("vec_id"))).distinct()
+    // (1) removed ⊆ pair participants.
+    val unjustified = out.filter(col("removed"))
+      .join(participants, Seq("vec_id"), "left_anti")
+    assert(unjustified.count() == 0, "removed vector with no near-dup neighbor")
+    // (2) the minimal (centsim, vec_id) participant per cluster is kept.
+    val wMin = Window.partitionBy("cid").orderBy(col("centsim"), col("vec_id"))
+    val minima = m.join(participants, "vec_id")
+      .withColumn("rn", row_number().over(wMin))
+      .filter(col("rn") === 1)
+    assert(minima.filter(col("removed")).count() == 0,
+      "a cluster's minimal dup-participant was removed")
+  }
+
+  test("perplexity filter: ce is bounded by the model's extreme log-probs") {
+    // ce is an average of per-token surprisals, each in
+    // [-ln p_max, -ln p_oov]; an escape means the LM join dropped or
+    // duplicated tokens. Both gate outcomes must occur (the threshold is
+    // calibrated to the corpus median).
+    val out = Registry.byId("corpus_perplexity_filter").run(spark, sf).cache()
+    assert(out.filter(col("kept")).count() > 0)
+    assert(out.filter(!col("kept")).count() > 0)
+    // Loosest possible bounds without retraining the LM here: surprisal is
+    // positive and the OOV floor of a 1-token reference corpus is absurdly
+    // high, so use a generous ceiling instead: ln of (N+V+1) at sf0.1
+    // scale is < 20.
+    assert(out.filter(col("ce") <= 0 || col("ce") > 20).count() == 0)
+  }
 }
