@@ -152,6 +152,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [") && p.contains("o_year"), p)
   }
 
+  test("composed IVF+PQ: list-pruned candidates, no product, probes broadcast") {
+    val p = plan("sim_ann_ivfpq_topk")
+    // The shortlist join keys on the list id (cid) with the tiny probed-query
+    // side broadcast — a product here would mean the list prune degenerated
+    // to flat PQ's full code scan.
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("semantic dedup pairs stay inside clusters — equi join on cid, no product") {
+    val p = plan("dedup_semantic_embcluster")
+    // The 8-row centroid broadcast cross join is deliberate; the PAIR join
+    // must be a cid equi-join (hash/merge), never a global product.
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      """BroadcastHashJoin \[cid""".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("perplexity filter joins the LM by broadcast — token stream never shuffles for the join") {
+    val p = plan("corpus_perplexity_filter")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("flagship whole-stage codegen covers the aggregation") {
     // AQE only shows the final (codegen'd) plan after execution.
     val df = Registry.byId("join_star_multiway").run(spark, sf)
