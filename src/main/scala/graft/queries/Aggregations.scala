@@ -100,6 +100,33 @@ object Aggregations extends QueryPack {
           .select(col("merged_users").cast("long").as("merged_users"))
       }),
 
+    // MERGEABLE quantile sketches (Apache DataSketches KLL) — the same
+    // two-level shape as agg_hll_sketch_union for ORDER STATISTICS: one
+    // ~3 KB sketch per event_type (bounded state regardless of group
+    // size, partial-aggregated map-side), then a cheap sketch-merge
+    // rollup to global p50/p90/p99. agg_median_quantile is the exact
+    // twin that sorts the full column; at 100 TB only the sketch shape
+    // survives — per-day/per-type sketches persist as tiny binaries and
+    // every re-aggregation is a merge, never a raw re-scan. KLL
+    // compaction is randomized (public algorithm property) => estimates
+    // carry a ±1.65% rank-error bound, not an equality oracle;
+    // KllSketchSpec gates them against exact percentiles.
+    Q(
+      "agg_kll_quantile_sketch",
+      None,
+      (s, dir) => {
+        import graft.functions.KllQuantile
+        val perType = Tables(s, dir, "events")
+          .groupBy("event_type")
+          .agg(KllQuantile.sketch(col("value").cast("double")).as("sk"))
+        perType
+          .agg(KllQuantile.union(col("sk")).as("merged"))
+          .select(
+            KllQuantile.quantile(col("merged"), 0.5).as("p50"),
+            KllQuantile.quantile(col("merged"), 0.9).as("p90"),
+            KllQuantile.quantile(col("merged"), 0.99).as("p99"))
+      }),
+
     Q(
       "agg_rollup_grouping_sets",
       Some("""SELECT r_name, n_name,

@@ -455,5 +455,81 @@ object DedupOps extends QueryPack {
             element_at(col("sig"), 1).as("m0"),
             element_at(col("sig"), NumHashes).as(s"m${NumHashes - 1}"))
           .orderBy("doc_id")
+      }),
+
+    // Cross-document repeated spans (ExactSubstr flavor — Lee et al. 2021,
+    // "Deduplicating Training Data Makes Language Models Better": verbatim
+    // spans recurring across documents are the highest-value dedup target).
+    // Two-pass hash-count shape: PASS 1 counts distinct docs AND the
+    // representative (min) doc per char-20-gram with only an 8-byte
+    // xxhash64 crossing the shuffle (the string never moves — same dialect
+    // as decontaminate_ngram_overlap); PASS 2 recovers the span text by
+    // re-scanning ONLY the representative documents of qualifying hashes
+    // (1465 of 5000 docs at sf0.1, 47 of 500 at sf0.01 — bounded by the
+    // hot-span count, never the corpus). The paper's suffix-array build is
+    // the single-machine shape; hash-count + bounded recovery is its
+    // shuffle-friendly distributed twin. Threshold membership (n_docs >= 5)
+    // is tie-free, so no top-k hash-vs-string tie-break divergence can
+    // arise between engines. Collision risk is the decontaminate class: the
+    // DuckDB oracle joins raw grams, so a hash collision that changed any
+    // output would be a red row.
+    Q(
+      "dedup_repeated_spans",
+      Some(s"""WITH d AS (SELECT doc_id, lower(text) AS tx FROM documents),
+              |g AS (SELECT DISTINCT doc_id, substr(tx, CAST(i AS INT), 20) AS gram
+              |      FROM d, unnest(range(1, len(tx)-18)) r(i)
+              |      WHERE len(tx) >= 20),
+              |c AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |        CAST(MIN(doc_id) AS BIGINT) AS rep_doc
+              |      FROM g GROUP BY gram)
+              |SELECT gram, n_docs, rep_doc FROM c
+              |WHERE n_docs >= $spanMinDocs
+              |ORDER BY n_docs DESC, gram""".stripMargin),
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), lower(col("text")).as("tx"))
+          .filter(length(col("tx")) >= 20)
+        def spans(src: DataFrame, keepText: Boolean): DataFrame = {
+          val base = src
+            .select(col("doc_id"), col("tx"),
+              explode(sequence(lit(1), length(col("tx")) - 19)).as("i"))
+            .select(col("doc_id"), expr("substring(tx, i, 20)").as("gram"))
+          if (keepText) base.select(col("doc_id"), col("gram"),
+            xxhash64(col("gram")).as("gram_h"))
+          else base.select(col("doc_id"), xxhash64(col("gram")).as("gram_h"))
+        }
+        // PASS 1: within-doc gram dedup happens MAP-SIDE inside the row
+        // (array_distinct over the doc's own hash array — a doc is one row,
+        // so no shuffle can be needed to dedup within it), leaving a single
+        // partially-aggregated shuffle for the cross-doc count. The naive
+        // distinct().groupBy() form shuffles twice for the same answer.
+        val hot = d
+          .select(col("doc_id"), explode(array_distinct(expr(
+            "transform(sequence(1, length(tx)-19), i -> xxhash64(substring(tx, i, 20)))")))
+            .as("gram_h"))
+          .groupBy("gram_h")
+          .agg(cnt.as("n_docs"), min(col("doc_id")).cast("long").as("rep_doc"))
+          .filter(col("n_docs") >= spanMinDocs)
+        // PASS 2: explode only the representative docs; the span string is
+        // read out of its own rep doc (doc_id match pins it there).
+        val repDocs = hot.select(col("rep_doc").as("doc_id")).distinct()
+        // hot's key is renamed before the join: hot and the recovery scan
+        // share lineage (both read `d`), and duplicate column names across
+        // a self-join lineage trip Spark's ambiguity check.
+        val hotR = hot.select(col("gram_h").as("hot_h"),
+          col("n_docs"), col("rep_doc"))
+        spans(d.join(broadcast(repDocs), Seq("doc_id"), "left_semi"),
+            keepText = true)
+          .join(broadcast(hotR),
+            col("gram_h") === col("hot_h") && col("doc_id") === col("rep_doc"))
+          .groupBy(col("hot_h"), col("n_docs"), col("rep_doc"))
+          .agg(min(col("gram")).as("gram"))
+          .select(col("gram"), col("n_docs"), col("rep_doc"))
+          .orderBy(col("n_docs").desc, col("gram"))
       }))
+
+  /** Repeat threshold for `dedup_repeated_spans` (>= 5 docs: 47 spans at
+    * sf0.01, ~10k at sf0.1 — bounded output at every test scale).
+    */
+  private val spanMinDocs = 5
 }

@@ -175,6 +175,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("repeated-spans recovery joins hot hashes by broadcast, no product") {
+    val p = plan("dedup_repeated_spans")
+    assert(!p.contains("CartesianProduct"), p)
+    // Both the rep-doc semi-join and the hot-hash recovery join must
+    // broadcast the bounded side — a shuffle here would move gram strings.
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("flagship whole-stage codegen covers the aggregation") {
     // AQE only shows the final (codegen'd) plan after execution.
     val df = Registry.byId("join_star_multiway").run(spark, sf)
