@@ -100,6 +100,49 @@ object Aggregations extends QueryPack {
           .select(col("merged_users").cast("long").as("merged_users"))
       }),
 
+    // Theta-sketch SET OPERATIONS (Apache DataSketches): the audience-
+    // overlap question — how many distinct users did BOTH X and Y — that
+    // HLL cannot answer (it only unions). Per-segment theta sketches are
+    // built in one grouped pass (partial-aggregated UDAF, bounded state),
+    // then union/intersection are sketch-algebra over the tiny binaries —
+    // at 100 TB every segment-combination query is a set operation over
+    // persisted sketches, never a raw re-scan. lgK=14 keeps the sketches
+    // in EXACT mode at every test scale (distinct users <= 1500 << 16384),
+    // so the estimates are exact integers and the full DuckDB oracle
+    // applies; past 2^lgK the same query degrades gracefully to
+    // ±1.6%-bounded estimates (the production regime).
+    Q(
+      "agg_theta_sketch_setops",
+      Some("""WITH a AS (SELECT DISTINCT user_id FROM events
+             |          WHERE event_type = 'click' AND value > 90),
+             |b AS (SELECT DISTINCT user_id FROM events
+             |      WHERE event_type = 'purchase' AND value > 90)
+             |SELECT
+             |  CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_click,
+             |  CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_purchase,
+             |  CAST((SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS BIGINT) AS n_union,
+             |  CAST((SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS BIGINT) AS n_intersect""".stripMargin),
+      (s, dir) => {
+        import graft.functions.ThetaSketch
+        val segs = Tables(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase") && col("value") > 90)
+          .select(col("event_type").as("seg"), col("user_id"))
+        val sk = segs.groupBy("seg")
+          .agg(ThetaSketch.sketch(col("user_id").cast("long")).as("sk"))
+        sk.agg(
+          max(when(col("seg") === "click", ThetaSketch.estimate(col("sk"))))
+            .as("e_click"),
+          max(when(col("seg") === "purchase", ThetaSketch.estimate(col("sk"))))
+            .as("e_purchase"),
+          ThetaSketch.estimate(ThetaSketch.union(col("sk"))).as("e_union"),
+          ThetaSketch.estimate(ThetaSketch.intersect(col("sk"))).as("e_intersect"))
+          .select(
+            col("e_click").cast("long").as("n_click"),
+            col("e_purchase").cast("long").as("n_purchase"),
+            col("e_union").cast("long").as("n_union"),
+            col("e_intersect").cast("long").as("n_intersect"))
+      }),
+
     // MERGEABLE quantile sketches (Apache DataSketches KLL) — the same
     // two-level shape as agg_hll_sketch_union for ORDER STATISTICS: one
     // ~3 KB sketch per event_type (bounded state regardless of group

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Theta set-operation contract for `agg_theta_sketch_setops`: in exact
+  * mode (distinct << 2^lgK at every test scale) the estimates are exact
+  * integers, so full set algebra must hold, and the sketch pipeline must
+  * be invariant to physical partitioning (the mergeability property scale
+  * rollups rely on).
+  */
+class ThetaSketchSpec extends SparkSpec {
+
+  test("exact-mode set algebra: inclusion-exclusion and bounds hold") {
+    val r = Registry.byId("agg_theta_sketch_setops").run(spark, sf)
+      .collect().head
+    val (a, b, u, i) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(u == a + b - i, s"inclusion-exclusion: $u != $a + $b - $i")
+    assert(i <= math.min(a, b) && u >= math.max(a, b), s"bounds: a=$a b=$b u=$u i=$i")
+    assert(i > 0, "degenerate: empty intersection")
+  }
+
+  test("sketch build is invariant to repartitioning") {
+    import graft.functions.ThetaSketch
+    def run(parts: Int): Long =
+      Tables(spark, sf, "events")
+        .filter(col("event_type") === "click" && col("value") > 90)
+        .repartition(parts)
+        .agg(ThetaSketch.estimate(
+          ThetaSketch.sketch(col("user_id").cast("long"))).as("e"))
+        .collect().head.getDouble(0).toLong
+    assert(run(1) == run(17))
+  }
+}

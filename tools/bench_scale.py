@@ -35,14 +35,18 @@ def main():
                     "slope": slope}
         if slope is not None and slope > factor and t_big > 1.0:
             flagged.append(name)
+    # Totals over the SHARED query set only, so a query present on one side
+    # only (added/removed between captures) cannot skew the slope.
+    ts = sum(v["t_small"] for v in qs.values() if not v.get("failed"))
+    tb = sum(v["t_big"] for v in qs.values() if not v.get("failed"))
     out = {
         "metric": "bench_scale",
         "sf_small": small["sf"],
         "sf_big": big["sf"],
         "data_factor": factor,
-        "total_small": round(small["value"], 2),
-        "total_big": round(big["value"], 2),
-        "total_slope": round(big["value"] / small["value"], 2),
+        "total_small": round(ts, 2),
+        "total_big": round(tb, 2),
+        "total_slope": round(tb / ts, 2) if ts > 0 else None,
         "flagged_superlinear": flagged,
         "queries": qs,
     }
