@@ -622,6 +622,47 @@ object MLOps extends QueryPack {
           .agg((dsum(col("v").cast("double")) / cnt).as("mv"))
           .orderBy("label", "dim")),
 
+    // Spatial resize as a relation — 2x average-pool downsample of the
+    // (user, day) raster (the `resize` of the multimodal north-star list and
+    // the pooling layer the FCN family lacked): each output cell is the mean
+    // of its 2x2 source block with zero padding for absent cells (sparse
+    // grid => divide by the FULL window area 4, the standard
+    // count_include_pad pooling). floor(x/2.0) is the block index in both
+    // engines (exact on these magnitudes, sign-safe — integer `/` truncation
+    // direction differs between engines on negatives). Exact BIGINT block
+    // sums, ONE final double division; scales like the conv family: the grid
+    // shuffles once on its (block) key, nothing else moves.
+    Q(
+      "ml_resize_avgpool2x",
+      Some("""WITH grid AS (
+             |  SELECT user_id AS u,
+             |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS d,
+             |         CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |ds AS (
+             |  SELECT CAST(floor(u / 2.0) AS INT) AS u2,
+             |         CAST(floor(d / 2.0) AS INT) AS d2,
+             |         SUM(c) AS s, CAST(COUNT(*) AS BIGINT) AS n_cells
+             |  FROM grid GROUP BY 1, 2)
+             |SELECT u2, d2, n_cells, ROUND(CAST(s AS DOUBLE) / 4.0, 6) AS resized
+             |FROM ds ORDER BY u2, d2""".stripMargin),
+      (s, dir) => {
+        val grid = Tables(s, dir, "events")
+          .groupBy(
+            col("user_id").as("u"),
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+              .cast("int").as("d"))
+          .agg(cnt.as("c"))
+        grid
+          .groupBy(
+            floor(col("u") / 2.0).cast("int").as("u2"),
+            floor(col("d") / 2.0).cast("int").as("d2"))
+          .agg(sum(col("c")).as("s"), cnt.as("n_cells"))
+          .select(col("u2"), col("d2"), col("n_cells"),
+            round(col("s").cast("double") / 4.0, 6).as("resized"))
+          .orderBy("u2", "d2")
+      }),
+
     // MLlib interop — the platform KMeans (k-means|| init, seeded) over the
     // same embeddings as ml_kmeans_iterations; cluster-size profile output.
     Q(

@@ -322,6 +322,9 @@ object SimOps extends QueryPack {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** Temporal stride for `multimodal_frame_sample` (keep every 4th frame). */
+  private val frameStride = 4
+
   /** SemDeDup cosine threshold. The synthetic embeddings are near-random
     * (all-pairs cosine tops out around 0.47), so the usual 0.95-0.99 of the
     * paper would never fire here; 0.40 is calibrated so both outcomes occur
@@ -781,6 +784,43 @@ object SimOps extends QueryPack {
       },
       oracleGen = Some((s, dir) =>
         semdedupOracle(graft.ml.Quantizers.ivf(s, dir), SemTau))),
+
+    // Temporal frame sampling — the `frame-sample` stage of the multimodal
+    // north-star list: a video blob explodes into its frames and a stride-4
+    // subsample survives (every production video pipeline decodes a strided
+    // subset, never all frames). Real decoders aren't in this container
+    // (same stub policy as multimodal_decode_features): n_frames derives
+    // from the blob exactly as the decode probe does, and the per-frame
+    // "decoded feature" is a deterministic content-addressed hash of
+    // (content, frame index). Plumbing is the real part: blob metadata ->
+    // explode -> stride filter is a zero-shuffle map pipeline; at 100 TB
+    // the explode multiplies rows ONLY by the kept frame count (the filter
+    // sits inside the generator's consumer, nothing shuffles).
+    Q(
+      "multimodal_frame_sample",
+      Some(s"""WITH b AS (
+              |  SELECT doc_id, md5(text) AS content_md5,
+              |    CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+              |  FROM documents WHERE doc_id < 50)
+              |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+              |  md5(content_md5 || ':' || CAST(f AS VARCHAR)) AS frame_hash
+              |FROM b, unnest(range(1, n_frames + 1)) r(f)
+              |WHERE (f - 1) % $frameStride = 0
+              |ORDER BY doc_id, frame_idx""".stripMargin),
+      (s, dir) => {
+        val blob = encode(col("text"), "UTF-8")
+        Tables(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"), md5(col("text")).as("content_md5"),
+            (length(blob) % 30 + 1).cast("int").as("n_frames"))
+          .select(col("doc_id"), col("content_md5"),
+            explode(sequence(lit(1), col("n_frames"))).as("f"))
+          .filter((col("f") - 1) % frameStride === 0)
+          .select(col("doc_id"), col("f").cast("int").as("frame_idx"),
+            md5(concat(col("content_md5"), lit(":"), col("f").cast("string")))
+              .as("frame_hash"))
+          .orderBy("doc_id", "frame_idx")
+      }),
 
     // Multimodal columns: text features joined with the vector modality.
     Q(
