@@ -30,7 +30,10 @@ object BenchIsolation {
     "dedup_minhash_mllib",
     "ml_train_gd_iterations",
     "dedup_cc_clusters",
-    "agg_corr_covar")
+    "agg_corr_covar",
+    // round 11: the new heaviest bench row — profile it up front rather
+    // than leaving "is 3.8s real work or session noise" to a later round.
+    "dedup_repeated_spans")
 
   private def newSession(cpus: String): SparkSession = {
     val s = SparkSession.builder()
