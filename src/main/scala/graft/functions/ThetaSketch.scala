@@ -112,10 +112,13 @@ object ThetaSketch {
   def intersect(sk: Column): Column =
     udaf(new ThetaIntersectAgg, ExpressionEncoder[Array[Byte]]())(sk)
 
-  /** Estimate from a serialized sketch (exact below 2^lgK — see above). */
+  /** Estimate from a serialized sketch (exact below 2^lgK — see above).
+    * NULL bytes (an aggregate over zero rows) estimate as 0 — an empty set.
+    */
   def estimate(sk: Column): Column = {
     val f = org.apache.spark.sql.functions.udf { (b: Array[Byte]) =>
-      Sketches.wrapCompactSketch(Memory.wrap(b)).getEstimate
+      if (b == null) 0.0
+      else Sketches.wrapCompactSketch(Memory.wrap(b)).getEstimate
     }
     f(sk)
   }

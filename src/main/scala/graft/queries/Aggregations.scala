@@ -129,18 +129,27 @@ object Aggregations extends QueryPack {
           .select(col("event_type").as("seg"), col("user_id"))
         val sk = segs.groupBy("seg")
           .agg(ThetaSketch.sketch(col("user_id").cast("long")).as("sk"))
+        // Empty-segment hardening (matches the oracle's semantics on ANY
+        // data shape): a missing segment estimates 0 (coalesce), and the
+        // intersection is 0 unless BOTH segments produced a sketch —
+        // intersect over a single sketch would return that sketch (the
+        // fold identity), which is not what "users in both" means.
         sk.agg(
-          max(when(col("seg") === "click", ThetaSketch.estimate(col("sk"))))
-            .as("e_click"),
-          max(when(col("seg") === "purchase", ThetaSketch.estimate(col("sk"))))
-            .as("e_purchase"),
+          coalesce(
+            max(when(col("seg") === "click", ThetaSketch.estimate(col("sk")))),
+            lit(0.0)).as("e_click"),
+          coalesce(
+            max(when(col("seg") === "purchase", ThetaSketch.estimate(col("sk")))),
+            lit(0.0)).as("e_purchase"),
           ThetaSketch.estimate(ThetaSketch.union(col("sk"))).as("e_union"),
-          ThetaSketch.estimate(ThetaSketch.intersect(col("sk"))).as("e_intersect"))
+          ThetaSketch.estimate(ThetaSketch.intersect(col("sk"))).as("e_int_raw"),
+          cnt.as("n_segs"))
           .select(
             col("e_click").cast("long").as("n_click"),
             col("e_purchase").cast("long").as("n_purchase"),
             col("e_union").cast("long").as("n_union"),
-            col("e_intersect").cast("long").as("n_intersect"))
+            when(col("n_segs") < 2, 0L)
+              .otherwise(col("e_int_raw").cast("long")).as("n_intersect"))
       }),
 
     // MERGEABLE quantile sketches (Apache DataSketches KLL) — the same

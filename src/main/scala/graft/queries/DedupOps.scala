@@ -489,15 +489,13 @@ object DedupOps extends QueryPack {
         val d = Tables(s, dir, "documents")
           .select(col("doc_id"), lower(col("text")).as("tx"))
           .filter(length(col("tx")) >= 20)
-        def spans(src: DataFrame, keepText: Boolean): DataFrame = {
-          val base = src
-            .select(col("doc_id"), col("tx"),
-              explode(sequence(lit(1), length(col("tx")) - 19)).as("i"))
-            .select(col("doc_id"), expr("substring(tx, i, 20)").as("gram"))
-          if (keepText) base.select(col("doc_id"), col("gram"),
-            xxhash64(col("gram")).as("gram_h"))
-          else base.select(col("doc_id"), xxhash64(col("gram")).as("gram_h"))
-        }
+        // Recovery-scan gram generator (pass 1 builds its hashes map-side
+        // via the inline transform(...) expression below, not through this).
+        def spans(src: DataFrame): DataFrame = src
+          .select(col("doc_id"), col("tx"),
+            explode(sequence(lit(1), length(col("tx")) - 19)).as("i"))
+          .select(col("doc_id"), expr("substring(tx, i, 20)").as("gram"))
+          .select(col("doc_id"), col("gram"), xxhash64(col("gram")).as("gram_h"))
         // PASS 1: within-doc gram dedup happens MAP-SIDE inside the row
         // (array_distinct over the doc's own hash array — a doc is one row,
         // so no shuffle can be needed to dedup within it), leaving a single
@@ -518,8 +516,7 @@ object DedupOps extends QueryPack {
         // a self-join lineage trip Spark's ambiguity check.
         val hotR = hot.select(col("gram_h").as("hot_h"),
           col("n_docs"), col("rep_doc"))
-        spans(d.join(broadcast(repDocs), Seq("doc_id"), "left_semi"),
-            keepText = true)
+        spans(d.join(broadcast(repDocs), Seq("doc_id"), "left_semi"))
           .join(broadcast(hotR),
             col("gram_h") === col("hot_h") && col("doc_id") === col("rep_doc"))
           .groupBy(col("hot_h"), col("n_docs"), col("rep_doc"))

@@ -395,12 +395,13 @@ object MLOps extends QueryPack {
           TrainEval.run(m("train"), m("test"), GD.State(0, 0.0, 0.0), 5, 0.001)
         // Metrics-sink round-trip: persist the scalar series the way the
         // reference's SummaryWriter does, then serve it back ordered. Path is
-        // keyed by (session, input dir) so concurrent runs — two benches, a
-        // parallel test suite, two users sharing /tmp — never clobber each
-        // other's sink, and a lazily re-read DataFrame sees its own run only.
+        // keyed by (user, input dir) — distinct users/dirs never clobber each
+        // other, and repeated runs on the same dir OVERWRITE in place instead
+        // of accumulating a new directory per applicationId (unbounded /tmp
+        // growth on long-lived hosts).
         val outDir =
           s"${System.getProperty("java.io.tmpdir")}/graft_metrics/train_eval_" +
-            s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+            s"${System.getProperty("user.name")}_${Integer.toHexString(dir.hashCode)}"
         s.createDataFrame(hist).toDF("metric", "epoch", "value")
           .write.mode("overwrite").parquet(outDir)
         s.read.parquet(outDir).orderBy("epoch", "metric")

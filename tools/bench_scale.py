@@ -21,14 +21,17 @@ def main():
     qs = {}
     flagged = []
     for name, t_small in sorted(small["queries"].items()):
-        t_big = big["queries"].get(name)
-        if t_big is None:
+        # A query absent from the big capture (added/removed between runs)
+        # is skipped; a PRESENT-but-null timing is a FAILURE at that scale
+        # (the BenchIsolation convention) and must be reported, not dropped —
+        # `.get(name) is None` cannot tell the two apart.
+        if name not in big["queries"]:
             continue
-        # A failed query is recorded as null (the BenchIsolation convention);
-        # skip it as failed instead of crashing the whole report on None > 0.
+        t_big = big["queries"][name]
         if not isinstance(t_small, (int, float)) or not isinstance(t_big, (int, float)):
             qs[name] = {"t_small": t_small, "t_big": t_big, "slope": None,
                         "failed": True}
+            flagged.append(name + " (failed)")
             continue
         slope = round(t_big / t_small, 2) if t_small > 0 else None
         qs[name] = {"t_small": round(t_small, 3), "t_big": round(t_big, 3),
