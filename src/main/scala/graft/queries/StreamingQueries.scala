@@ -529,5 +529,39 @@ object StreamingQueries extends QueryPack {
           .start()
         q.awaitTermination()
         s.table(sink).orderBy("ws", "event_type")
+      }),
+
+    // Streaming DISTINCT counting — the composition the two families imply:
+    // exact count(DISTINCT) is unsupported in streaming aggregations
+    // (unbounded per-window key state), so the documented production path
+    // is the mergeable sketch: approx_count_distinct (HLL++) per tumbling
+    // window, O(sketch) state per window regardless of user cardinality.
+    // True streaming run (AvailableNow, watermark, append). Sketch
+    // estimates are engine-specific => bench/smoke only;
+    // StreamingTwinSpec gates every window against the exact batch
+    // distinct within HLL++'s error band.
+    Q(
+      "stream_approx_distinct_windows",
+      None,
+      (s, dir) => withStreamPartitions(s, 8) {
+        val sink = s"mem_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_stream_ckpt").toString
+        val q = eventsStream(s, dir)
+          .withWatermark("ts", "1 day")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+            col("approx_users"))
+          .writeStream
+          .queryName(sink)
+          .outputMode("append")
+          .format("memory")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink).orderBy("ws")
       }))
 }

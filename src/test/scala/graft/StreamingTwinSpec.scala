@@ -60,4 +60,40 @@ class StreamingTwinSpec extends SparkSpec {
     val want = Tables(spark, sf, "events").select("event_id").distinct().count()
     assert(got == want)
   }
+
+  test("streaming approx-distinct windows land within HLL++ error of exact") {
+    // approx_count_distinct's default rsd is 5%; per-window cardinalities
+    // here are small (tens-to-hundreds), where HLL++ uses its exact/sparse
+    // modes, so a 5% band is generous rather than flaky.
+    val got = Registry.byId("stream_approx_distinct_windows").run(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables(spark, sf, "events")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Append mode withholds windows the watermark hasn't closed when the
+    // AvailableNow stream ends (the final day's tail) — the
+    // stream_late_data_policy semantics: a window is emitted iff its END
+    // <= max(ts) - 1 day, so a withheld window must START after
+    // max(ts) - 1 day - 1 window width. Emitted ⊆ exact, and the withheld
+    // set must be only that tail.
+    assert(got.keySet.subsetOf(exact.keySet), "streaming emitted unknown windows")
+    assert(got.nonEmpty)
+    val horizon = Tables(spark, sf, "events")
+      .agg(date_format(
+        max(col("ts")) - expr("INTERVAL 1 DAY") - expr("INTERVAL 1 HOUR"),
+        "yyyy-MM-dd HH:mm:ss"))
+      .collect().head.getString(0)
+    val withheld = exact.keySet -- got.keySet
+    assert(withheld.forall(_ >= horizon),
+      s"closed window withheld: ${withheld.filter(_ < horizon)}")
+    for ((ws, a) <- got) {
+      val n = exact(ws)
+      assert(math.abs(a - n).toDouble <= math.max(1.0, 0.05 * n),
+        s"window $ws: approx $a vs exact $n")
+    }
+  }
 }
