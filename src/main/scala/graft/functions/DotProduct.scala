@@ -97,6 +97,25 @@ object Native {
     "graft_cosine" -> { args =>
       require(args.length == 2, "graft_cosine expects 2 arguments")
       CosineSim(args(0), args(1))
+    },
+    // Spark's own bloom-filter expressions, surfaced as callable functions:
+    // neither `bloom_filter_agg` nor `might_contain` is in the public
+    // FunctionRegistry — the pair is normally only wired up internally by
+    // the InjectRuntimeFilter rule. Exposing them lets a query fold a key
+    // set to a bounded sketch, broadcast it (a ~100 KB binary, the same
+    // bounded-model-state class as k-means centroids), and prune map-side
+    // (`dedup_incremental_bloom`). No custom sketch code: both sides are
+    // the stock codegen'd Catalyst expressions.
+    "graft_might_contain" -> { args =>
+      require(args.length == 2, "graft_might_contain expects 2 arguments")
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(args(0), args(1))
+    },
+    "graft_bloom_agg" -> { args =>
+      require(args.length == 3,
+        "graft_bloom_agg expects (child, estimatedItems, numBits)")
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(args(0), args(1), args(2))
     })
 
   /** Idempotent per-session registration (temp functions live in the
@@ -122,6 +141,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifierHelper("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifierHelper("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (args: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifierHelper("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (args: Seq[Expression]) => new org.apache.spark.sql.catalyst.expressions
+        .aggregate.BloomFilterAggregate(args(0), args(1), args(2))))
     ext.injectOptimizerRule(_ => graft.plans.RewritePowAsMultiply)
   }
 }

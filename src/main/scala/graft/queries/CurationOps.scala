@@ -615,6 +615,76 @@ object CurationOps extends QueryPack {
             round(ce, 6).as("ce"),
             (ce <= ceThreshold).as("kept"))
           .orderBy("doc_id")
+      }),
+
+    // Token-budget source mixing (the Llama/GPT data-mixing recipe): each
+    // source gets a TOKEN budget proportional to its declared mixture
+    // weight, and is down-sampled to it deterministically. Differs from
+    // `corpus_mixture_sample` (fixed per-source DOC keep rates): here the
+    // rate is DERIVED — rate_s = min(1, B·w_s / tokens_s) with B = 50% of
+    // corpus tokens — so a source's rate adapts to how many tokens it
+    // actually has, and over-weighted small sources cap at keep-all.
+    // Scale shape: pass 1 shuffles only (source, n_tok) scalars for the
+    // per-source token totals; the |sources|-row rate table broadcasts back
+    // and pass 2 is a map-side probe + one partial-aggregated scalar
+    // shuffle (same two-pass stats-then-apply shape as vocab_build_topk).
+    // The keep decision is the md5-bucket hash (SeededSplit family, ‰
+    // granularity) — per-row deterministic, partition-invariant.
+    Q(
+      "corpus_token_budget_mix",
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+              |    CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':$mixSeed'),1,15))
+              |      AS BIGINT) % 1000 AS bucket
+              |  FROM documents),
+              |s AS (
+              |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |    CAST(SUM(n_tok) AS BIGINT) AS t_src,
+              |    CASE WHEN source IN ('src0','src1') THEN 0.20
+              |         WHEN source IN ('src2','src3','src4','src5') THEN 0.06
+              |         WHEN source IN ('src6','src7','src8','src9') THEN 0.04
+              |         ELSE 0.02 END AS w
+              |  FROM d GROUP BY source),
+              |tot AS (SELECT CAST(SUM(t_src) AS BIGINT) AS t_total FROM s),
+              |r AS (
+              |  SELECT source, n_docs, t_src,
+              |    CAST(FLOOR(1000.0 * LEAST(1.0, 0.5 * t_total * w / t_src))
+              |      AS INT) AS rate_pm
+              |  FROM s, tot)
+              |SELECT d.source, r.n_docs, r.t_src AS tok_total,
+              |  CAST(SUM(CASE WHEN d.bucket < r.rate_pm THEN d.n_tok ELSE 0 END)
+              |    AS BIGINT) AS tok_kept,
+              |  r.rate_pm
+              |FROM d JOIN r ON d.source = r.source
+              |GROUP BY d.source, r.n_docs, r.t_src, r.rate_pm
+              |ORDER BY d.source""".stripMargin),
+      (s, dir) => {
+        val w = when(col("source").isin("src0", "src1"), 0.20)
+          .when(col("source").isin("src2", "src3", "src4", "src5"), 0.06)
+          .when(col("source").isin("src6", "src7", "src8", "src9"), 0.04)
+          .otherwise(0.02)
+        val d = Tables(s, dir, "documents").select(
+          col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          (conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(s":$mixSeed"))), 1, 15), 16, 10).cast("long") % 1000)
+            .as("bucket"))
+        val perSrc = d.groupBy("source")
+          .agg(cnt.as("n_docs"), sum("n_tok").cast("long").as("t_src"))
+          .withColumn("w", w)
+        val tot = perSrc.agg(sum("t_src").cast("long").as("t_total"))
+        val rates = perSrc.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("t_src"),
+            floor(lit(1000.0) * least(lit(1.0),
+              lit(0.5) * col("t_total") * col("w") / col("t_src")))
+              .cast("int").as("rate_pm"))
+        d.join(broadcast(rates), Seq("source"))
+          .groupBy("source", "n_docs", "t_src", "rate_pm")
+          .agg(sum(when(col("bucket") < col("rate_pm"), col("n_tok"))
+            .otherwise(0L)).cast("long").as("tok_kept"))
+          .select(col("source"), col("n_docs"), col("t_src").as("tok_total"),
+            col("tok_kept"), col("rate_pm"))
+          .orderBy("source")
       }))
 
   /** Per-source cap + its sampling seed for `corpus_cap_per_source`. */
@@ -630,6 +700,9 @@ object CurationOps extends QueryPack {
     */
   private val vocabTop = 64
   private val ceThreshold = 3.41
+
+  /** Sampling seed for `corpus_token_budget_mix` (md5-bucket family). */
+  private val mixSeed = 21
 
   private def stops = TextAnalysis.stops
   private def stopsSql = TextAnalysis.stopsSql

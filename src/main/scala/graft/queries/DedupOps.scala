@@ -523,10 +523,93 @@ object DedupOps extends QueryPack {
           .agg(min(col("gram")).as("gram"))
           .select(col("gram"), col("n_docs"), col("rep_doc"))
           .orderBy(col("n_docs").desc, col("gram"))
-      }))
+      }),
+
+    // Incremental-crawl dedup: drop new-batch docs whose content fingerprint
+    // already exists in the prior corpus snapshot (every recurring crawl
+    // runs this against its last published corpus). The bloom prefilter is
+    // what makes it a 100 TB shape: the snapshot side folds to a fixed
+    // ~100 KB bloom sketch (stock `bloom_filter_agg`, partial-aggregated,
+    // collected once like the k-means centroids and re-broadcast as a
+    // literal), the new batch probes it MAP-SIDE (`graft_might_contain`,
+    // no false negatives by construction), and only the bloom-positive
+    // survivors — true dups plus the ~1% false-positive trickle — reach the
+    // exact semi-join confirm. Output is therefore EXACT (the bloom can
+    // only prune, never change the answer — the DuckDB oracle is the plain
+    // semi-join, and IncrementalBloomSpec asserts bloom-on == bloom-off);
+    // at scale the confirm join shuffles candidate keys instead of the
+    // whole new batch. Fingerprint dialect = text_fingerprint's sorted
+    // distinct token set.
+    Q(
+      "dedup_incremental_bloom",
+      Some("""WITH f AS (
+             |  SELECT doc_id, COALESCE(lang, '??') AS lang,
+             |    md5(array_to_string(list_sort(list_distinct(
+             |      string_split(lower(text), ' '))), ' ')) AS h
+             |  FROM documents),
+             |snap AS (SELECT DISTINCT h FROM f WHERE doc_id % 5 < 4),
+             |newb AS (SELECT doc_id, lang, h FROM f WHERE doc_id % 5 = 4)
+             |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_new,
+             |  CAST(SUM(CASE WHEN h IN (SELECT h FROM snap) THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_dup,
+             |  CAST(SUM(CASE WHEN h IN (SELECT h FROM snap) THEN 0 ELSE 1 END)
+             |    AS BIGINT) AS n_kept
+             |FROM newb GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) => incrementalDedup(s, dir, useBloom = true)))
+
+  /** Shared body of `dedup_incremental_bloom`; `useBloom = false` is the
+    * exact twin IncrementalBloomSpec compares against (the prefilter must
+    * be invisible in the result).
+    */
+  private[graft] def incrementalDedup(
+      s: SparkSession, dir: String, useBloom: Boolean): DataFrame = {
+    graft.functions.Native.register(s)
+    val fp = md5(array_join(array_sort(array_distinct(
+      split(lower(col("text")), " "))), " "))
+    val f = Tables(s, dir, "documents")
+      .select(col("doc_id"), coalesce(col("lang"), lit("??")).as("lang"),
+        fp.as("h"))
+    val snap = f.filter(col("doc_id") % 5 < 4)
+      .select(col("h").as("snap_h")).distinct()
+    val newB = f.filter(col("doc_id") % 5 === 4)
+    val pre = if (useBloom) newB.filter(
+      call_function("graft_might_contain",
+        lit(snapshotBloom(s, dir)), xxhash64(col("h"))))
+    else newB
+    val confirmed = pre
+      .join(snap, col("h") === col("snap_h"), "left_semi")
+      .select(col("doc_id"), lit(true).as("dup"))
+    newB.join(confirmed, Seq("doc_id"), "left_outer")
+      .groupBy("lang")
+      .agg(cnt.as("n_new"),
+        sum(when(col("dup"), 1L).otherwise(0L)).cast("long").as("n_dup"),
+        sum(when(col("dup"), 0L).otherwise(1L)).cast("long").as("n_kept"))
+      .orderBy("lang")
+  }
+
+  /** Serialized bloom over the snapshot fingerprints (bounded: `bloomBits`
+    * regardless of corpus size; a real deployment sizes items/bits to the
+    * published corpus count and persists the sketch next to it).
+    */
+  private[graft] def snapshotBloom(s: SparkSession, dir: String): Array[Byte] = {
+    graft.functions.Native.register(s)
+    val fp = md5(array_join(array_sort(array_distinct(
+      split(lower(col("text")), " "))), " "))
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") % 5 < 4)
+      .select(fp.as("h"))
+      .agg(expr(s"graft_bloom_agg(xxhash64(h), ${bloomItems}L, ${bloomBits}L)"))
+      .head.getAs[Array[Byte]](0)
+  }
 
   /** Repeat threshold for `dedup_repeated_spans` (>= 5 docs: 47 spans at
     * sf0.01, ~10k at sf0.1 — bounded output at every test scale).
     */
   private val spanMinDocs = 5
+
+  /** Bloom sizing for `dedup_incremental_bloom`: 100k expected items ×
+    * ~8.4 bits/item ≈ 105 KB sketch, ~2-3% false-positive rate.
+    */
+  private val bloomItems = 100000L
+  private val bloomBits = 838861L
 }

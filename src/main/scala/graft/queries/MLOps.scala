@@ -492,6 +492,46 @@ object MLOps extends QueryPack {
             graft.ml.SeededSplit.assign(col("o_orderkey"), 42L).as("split"))
           .orderBy("o_orderkey")),
 
+    // Stratified train/test split over the labeled embeddings: EXACT 90/10
+    // within every label stratum, not just in expectation. The hash split
+    // above is proportional only on average — for eval sets, a rare label
+    // can starve; the stratified form ranks each label's members by the
+    // same seeded md5 hash (deterministic, seed-swappable) and cuts at
+    // floor(0.9·n_label), so every class keeps >= 1 eval row once
+    // n_label >= 10. Scale shape: ONE shuffle of (vec_id, label) scalars
+    // for the per-label rank window (embeddings stay columnar-pruned to two
+    // cols); labels are few => partitions are large but the windowed state
+    // is a row_number counter, and the extreme-cardinality escape hatch is
+    // the two-pass count + hash-threshold form (corpus_cap_per_source
+    // documents it). Every row's assignment is oracle-checked.
+    Q(
+      "ml_stratified_split",
+      Some(s"""WITH r AS (
+              |  SELECT vec_id, label,
+              |    row_number() OVER (PARTITION BY label
+              |      ORDER BY md5(CAST(vec_id AS VARCHAR)||':$stratSeed'), vec_id)
+              |      AS strat_rank,
+              |    count(*) OVER (PARTITION BY label) AS n
+              |  FROM embeddings)
+              |SELECT vec_id, label, CAST(strat_rank AS INT) AS strat_rank,
+              |  CASE WHEN strat_rank <= CAST(FLOOR(0.9 * n) AS BIGINT)
+              |       THEN 'train' ELSE 'test' END AS split
+              |FROM r ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("label")
+          .orderBy(md5(concat(col("vec_id").cast("string"),
+            lit(s":$stratSeed"))), col("vec_id"))
+        val wn = Window.partitionBy("label")
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"))
+          .withColumn("strat_rank", row_number().over(w).cast("int"))
+          .withColumn("n", count(lit(1)).over(wn))
+          .select(col("vec_id"), col("label"), col("strat_rank"),
+            when(col("strat_rank") <= floor(lit(0.9) * col("n")).cast("long"),
+              "train").otherwise("test").as("split"))
+          .orderBy("vec_id")
+      }),
+
     // The reference's inference render path composed end-to-end
     // (trainer/flax_inference.ipynb cell 8, render_classifications): a
     // 9-color hex palette (cell 1 CLASSIFICATIONS) broadcast-joined against
@@ -870,4 +910,7 @@ object MLOps extends QueryPack {
   /** DuckDB twin of [[denseLogits]] (a list literal over `h2`). */
   private lazy val DenseLogitsSql: String = DenseA.zip(DenseB)
     .map { case (a, b) => s"$a * h2 + $b" }.mkString("[", ", ", "]")
+
+  /** Sampling seed for `ml_stratified_split` (md5-bucket family). */
+  private val stratSeed = 33
 }

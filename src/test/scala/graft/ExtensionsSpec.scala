@@ -13,10 +13,14 @@ class ExtensionsSpec extends SparkSpec {
     val reg = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
     val before = reg.listFunction().size
     org.apache.spark.sql.GraftTestHooks.registerFunctions(ext, reg)
-    assert(reg.listFunction().size == before + 2)
+    assert(reg.listFunction().size == before + 4)
     assert(reg.functionExists(
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
     assert(reg.functionExists(
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine")))
+    assert(reg.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_might_contain")))
+    assert(reg.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_agg")))
   }
 }

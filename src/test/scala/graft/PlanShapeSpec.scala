@@ -183,6 +183,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("incremental bloom dedup probes map-side and confirms without a product") {
+    val p = plan("dedup_incremental_bloom")
+    // The prefilter must sit in a Filter (map-side probe of the broadcast
+    // sketch literal), not behind a join; the exact confirm stays equi.
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("token-budget mix broadcasts the rate table back — no sort-merge apply") {
+    val p = plan("corpus_token_budget_mix")
+    // Pass 2 joins each doc row to its source's derived rate: the
+    // |sources|-row table must broadcast; an SMJ here would shuffle the
+    // full corpus a second time.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("flagship whole-stage codegen covers the aggregation") {
     // AQE only shows the final (codegen'd) plan after execution.
     val df = Registry.byId("join_star_multiway").run(spark, sf)
