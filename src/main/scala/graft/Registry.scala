@@ -44,7 +44,8 @@ object Registry {
     queries.TextAnalysis,
     queries.CurationOps,
     queries.DedupOps,
-    queries.SimOps)
+    queries.SimOps,
+    queries.GraphOps)
 
   lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

@@ -240,6 +240,73 @@ object MLOps extends QueryPack {
           .orderBy("o_orderkey")
       }),
 
+    // Closed-form multivariate linear regression by the normal equations —
+    // "training as ONE aggregation": the whole fit is a single
+    // partial-aggregated shuffle of O(d^2) exact decimal moments (the Gram
+    // matrix), then Cramer's rule on the 2x2 centered system as scalar
+    // double arithmetic over identical expression trees in both engines.
+    // The contrast with ml_train_gd_iterations is the point: when d is
+    // small, the normal-equation fold beats any iterative scan at 100 TB —
+    // one pass, no per-step driver round-trips, moments merge
+    // order-independently across 1000 executors.
+    Q(
+      "ml_linreg_normal_eq",
+      Some("""WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx1,
+             |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sx2,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             |  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS s11,
+             |  CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(30,10))) AS DOUBLE) AS s12,
+             |  CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(30,10))) AS DOUBLE) AS s22,
+             |  CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS s1y,
+             |  CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS s2y
+             |  FROM lineitem),
+             |m AS (SELECT n, sx1, sx2, sy,
+             |  CAST(n AS DOUBLE) * s11 - sx1 * sx1 AS m11,
+             |  CAST(n AS DOUBLE) * s12 - sx1 * sx2 AS m12,
+             |  CAST(n AS DOUBLE) * s22 - sx2 * sx2 AS m22,
+             |  CAST(n AS DOUBLE) * s1y - sx1 * sy AS v1,
+             |  CAST(n AS DOUBLE) * s2y - sx2 * sy AS v2
+             |  FROM s),
+             |b AS (SELECT n, sx1, sx2, sy,
+             |  (v1 * m22 - v2 * m12) / (m11 * m22 - m12 * m12) AS b1,
+             |  (m11 * v2 - m12 * v1) / (m11 * m22 - m12 * m12) AS b2
+             |  FROM m)
+             |SELECT n,
+             |  ROUND((sy - b1 * sx1 - b2 * sx2) / CAST(n AS DOUBLE), 6) AS b0,
+             |  ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2
+             |FROM b""".stripMargin),
+      (s, dir) => {
+        val x1 = col("l_quantity"); val x2 = col("l_discount")
+        val y = col("l_extendedprice")
+        def wide(c: org.apache.spark.sql.Column) =
+          sum(c.cast(DecimalType(30, 10))).cast("double")
+        val nd = col("n").cast("double")
+        val m11 = (nd * col("s11") - col("sx1") * col("sx1")).as("m11")
+        val m12 = (nd * col("s12") - col("sx1") * col("sx2")).as("m12")
+        val m22 = (nd * col("s22") - col("sx2") * col("sx2")).as("m22")
+        val v1 = (nd * col("s1y") - col("sx1") * col("sy")).as("v1")
+        val v2 = (nd * col("s2y") - col("sx2") * col("sy")).as("v2")
+        Tables(s, dir, "lineitem")
+          .agg(
+            cnt.as("n"),
+            dsum(x1).as("sx1"), dsum(x2).as("sx2"), dsum(y).as("sy"),
+            wide(x1 * x1).as("s11"), wide(x1 * x2).as("s12"),
+            wide(x2 * x2).as("s22"),
+            wide(x1 * y).as("s1y"), wide(x2 * y).as("s2y"))
+          .select(col("n"), col("sx1"), col("sx2"), col("sy"),
+            m11, m12, m22, v1, v2)
+          .select(col("n"), col("sx1"), col("sx2"), col("sy"),
+            ((col("v1") * col("m22") - col("v2") * col("m12")) /
+              (col("m11") * col("m22") - col("m12") * col("m12"))).as("b1"),
+            ((col("m11") * col("v2") - col("m12") * col("v1")) /
+              (col("m11") * col("m22") - col("m12") * col("m12"))).as("b2"))
+          .select(col("n"),
+            round((col("sy") - col("b1") * col("sx1") - col("b2") * col("sx2"))
+              / col("n").cast("double"), 6).as("b0"),
+            round(col("b1"), 6).as("b1"), round(col("b2"), 6).as("b2"))
+      }),
+
     // Dense layer as matvec against a fixed +/-1 weight vector; sequential
     // left-to-right fold in both engines.
     Q(

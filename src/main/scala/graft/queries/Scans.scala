@@ -466,5 +466,30 @@ object Scans extends QueryPack {
             col("event_type").as("name"),
             date_trunc("month", col("ts")).cast("date").as("bucket"))
           .agg(cnt.cast("double").as("value"))
-          .orderBy("name", "bucket")))
+          .orderBy("name", "bucket")),
+
+    // ORC round-trip: the third columnar interchange format next to parquet
+    // and the text formats above (Spark's built-in ORC source — predicate
+    // pushdown and column pruning work the same as parquet's). Values must
+    // survive the write→read hop bit-for-bit; the oracle aggregates the
+    // original table, so any ORC encode/decode drift is a hash mismatch.
+    // Sink path is keyed by the input dir (concurrent runs don't clobber).
+    Q(
+      "scan_orc_roundtrip",
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS bal
+             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_customer_" +
+          Integer.toHexString(dir.hashCode)
+        Tables(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+          .write.mode("overwrite").orc(tmp)
+        s.read
+          .schema("c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE")
+          .orc(tmp)
+          .groupBy("c_mktsegment")
+          .agg(cnt.as("n"), dsum(col("c_acctbal")).as("bal"))
+          .orderBy("c_mktsegment")
+      }))
 }

@@ -159,5 +159,40 @@ object TextAnalysis extends QueryPack {
               split(lower(col("text")), " "))), " ")).as("fingerprint"))
           .agg(min("doc_id").cast("long").as("rep_doc"), cnt.as("n_docs"))
           .orderBy(col("n_docs").desc, col("fingerprint"))
-          .limit(20)))
+          .limit(20)),
+
+    // One distributed BPE-training iteration (Sennrich et al. 2016): count
+    // adjacent character pairs across the corpus, weighted by word
+    // frequency — the top pair is the next merge. The two-stage shape IS
+    // the 100 TB story: stage 1 folds the corpus into a word-frequency
+    // table (vocabulary-sized — a few million rows no matter how many
+    // petabytes of text feed it), and the quadratic-ish pair explode runs
+    // over that compact table, never the raw corpus. Integer-exact.
+    Q(
+      "text_bpe_pair_counts",
+      Some("""WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS wd
+             |           FROM documents WHERE lang = 'en'),
+             |wf AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS f
+             |       FROM w WHERE len(wd) >= 2 GROUP BY 1),
+             |p AS (SELECT substr(wd, CAST(i AS INT), 2) AS pair, f
+             |      FROM wf, unnest(range(1, len(wd))) r(i))
+             |SELECT pair, CAST(SUM(f) AS BIGINT) AS n
+             |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val wf = Tables(s, dir, "documents")
+          .filter(col("lang") === "en")
+          .select(explode(split(lower(col("text")), " ")).as("wd"))
+          .filter(length(col("wd")) >= 2)
+          .groupBy("wd")
+          .agg(cnt.as("f"))
+        wf.select(
+            col("f"),
+            explode(expr(
+              "transform(sequence(1, length(wd)-1), i -> substring(wd, i, 2))"))
+              .as("pair"))
+          .groupBy("pair")
+          .agg(sum("f").cast("long").as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(20)
+      }))
 }
