@@ -416,6 +416,58 @@ object Aggregations extends QueryPack {
           .agg(cnt.as("n"), round(dsum(col("v")), 4).as("s"))
           .orderBy("metric")),
 
+    // Per-bucket Shannon entropy + Gini impurity of the event-type mix —
+    // the class-balance diagnostics of feature selection / data drift
+    // monitoring. Class probabilities are identical bigint/bigint double
+    // divisions in both engines; the per-class ln/square terms pass through
+    // ROUND 9dp into DECIMAL before summing (the corpus_perplexity_filter
+    // policy: a last-ulp libm divergence is absorbed by the rounding, and
+    // the decimal sum is order-independent across the 5-class terms).
+    Q(
+      "agg_entropy_gini",
+      Some("""WITH c AS (SELECT CAST(date_trunc('month', ts) AS DATE) AS bucket,
+             |    event_type, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |t AS (SELECT bucket, CAST(SUM(n) AS BIGINT) AS tot
+             |      FROM c GROUP BY 1),
+             |p AS (SELECT c.bucket, CAST(c.n AS DOUBLE) / t.tot AS p
+             |      FROM c JOIN t ON c.bucket = t.bucket),
+             |s AS (SELECT bucket,
+             |    CAST(SUM(CAST(ROUND(p * ln(p), 9) AS DECIMAL(18,9)))
+             |         AS DOUBLE) AS se,
+             |    CAST(SUM(CAST(ROUND(p * p, 9) AS DECIMAL(18,9)))
+             |         AS DOUBLE) AS sp
+             |  FROM p GROUP BY 1)
+             |SELECT bucket, ROUND(-se, 6) AS entropy, ROUND(1 - sp, 6) AS gini
+             |FROM s ORDER BY bucket""".stripMargin),
+      (s, dir) => {
+        val c = Tables(s, dir, "events")
+          .groupBy(
+            date_trunc("month", col("ts")).cast("date").as("bucket"),
+            col("event_type"))
+          .agg(cnt.as("n"))
+        val t = c.groupBy("bucket").agg(sum("n").cast("long").as("tot"))
+        c.join(t, "bucket")
+          .select(
+            col("bucket"),
+            (col("n").cast("double") / col("tot")).as("p"))
+          .select(
+            col("bucket"),
+            round(col("p") * log(col("p")), 9)
+              .cast(DecimalType(18, 9)).as("te"),
+            round(col("p") * col("p"), 9)
+              .cast(DecimalType(18, 9)).as("tp"))
+          .groupBy("bucket")
+          .agg(
+            sum("te").cast("double").as("se"),
+            sum("tp").cast("double").as("sp"))
+          .select(
+            col("bucket"),
+            round(-col("se"), 6).as("entropy"),
+            round(lit(1) - col("sp"), 6).as("gini"))
+          .orderBy("bucket")
+      }),
+
     // Pearson correlation + sample covariance from closed-form decimal sums
     // (never the engine's corr()/covar_samp() — their merge order is
     // engine-defined; these moments are exact and order-free).

@@ -239,15 +239,21 @@ object GraphOps extends QueryPack {
             round(SimOps.ncos(col("ea"), col("eb")), 6).as("cos"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
+        // The symmetrized kNN edge set is <= 3|V| rows by construction:
+        // materialize it once (each triangle join + the participation pass
+        // would otherwise re-run the cosine block) and broadcast it into
+        // the enumeration joins — wedge extension and closure check are
+        // then map-side; nothing shuffles after the kNN window.
         val und = knn
           .select(
             least(col("qa"), col("qb")).as("a"),
             greatest(col("qa"), col("qb")).as("b"))
           .distinct()
+          .localCheckpoint()
         val tri = und
-          .join(und.select(col("a").as("b"), col("b").as("c")), "b")
+          .join(broadcast(und.select(col("a").as("b"), col("b").as("c"))), "b")
           .join(
-            und.select(col("a").as("a3"), col("b").as("c3")),
+            broadcast(und.select(col("a").as("a3"), col("b").as("c3"))),
             col("a") === col("a3") && col("c") === col("c3"))
           .select("a", "b", "c")
         val pc = tri.select(col("a").as("node"))
@@ -256,7 +262,7 @@ object GraphOps extends QueryPack {
           .groupBy("node")
           .agg(cnt.as("n_tri"))
         e.select(col("vec_id").as("node"))
-          .join(pc, Seq("node"), "left")
+          .join(broadcast(pc), Seq("node"), "left")
           .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
           .orderBy(col("n_tri").desc, col("node"))
           .limit(25)

@@ -240,6 +240,41 @@ object MLOps extends QueryPack {
           .orderBy("o_orderkey")
       }),
 
+    // Confusion matrix of the argmax "classifier head" against the stored
+    // labels — the eval counterpart of ml_softmax_argmax_infer (same
+    // argmax-over-first-10-dims dialect, same deterministic logit
+    // tie-break), rolled up to per-(label, pred) counts: the standard
+    // model-eval table. Integer-exact; one |classes|²-row output no matter
+    // the corpus size (the aggregation IS the compression).
+    Q(
+      "ml_confusion_matrix",
+      Some("""WITH e AS (
+             |  SELECT vec_id, label, CAST(i AS INT) AS i,
+             |    CAST(embedding[i] AS DOUBLE) AS v
+             |  FROM embeddings, (SELECT unnest(range(1, 11)) AS i) t),
+             |r AS (SELECT vec_id, label, i,
+             |        row_number() OVER (PARTITION BY vec_id
+             |                           ORDER BY v DESC, i) AS rn
+             |      FROM e)
+             |SELECT label, CAST(i - 1 AS INT) AS pred_class,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM r WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("vec_id").orderBy(col("v").desc, col("i"))
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(slice(col("embedding"), 1, 10)))
+          .select(
+            col("vec_id"), col("label"),
+            (col("pos") + 1).cast("int").as("i"),
+            col("col").cast("double").as("v"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("label"), (col("i") - 1).cast("int").as("pred_class"))
+          .agg(cnt.as("n"))
+          .orderBy("label", "pred_class")
+      }),
+
     // Closed-form multivariate linear regression by the normal equations —
     // "training as ONE aggregation": the whole fit is a single
     // partial-aggregated shuffle of O(d^2) exact decimal moments (the Gram

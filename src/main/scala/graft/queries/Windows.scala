@@ -230,5 +230,54 @@ object Windows extends QueryPack {
             dense_rank().over(wv).cast("int").as("drnk"),
             row_number().over(wr).cast("int").as("rn"))
           .orderBy("n_name", "rn")
+      }),
+
+    // Batch sessionization by inactivity gap (30 min) — the lag-flag-cumsum
+    // idiom: a session break is "previous event more than the gap ago", the
+    // session id is the running sum of breaks. The batch twin of
+    // stream_session_windows: same event stream, same gap semantics,
+    // computed as two window passes over (user_id, ts) — partitioned by
+    // user, so no global sort; durations are exact integer microseconds.
+    Q(
+      "window_sessionize_gap",
+      Some("""WITH e AS (SELECT user_id, event_id, ts FROM events
+             |           WHERE user_id < 300),
+             |l AS (SELECT user_id, event_id, ts,
+             |        lag(ts) OVER (PARTITION BY user_id
+             |                      ORDER BY ts, event_id) AS pts
+             |      FROM e),
+             |f AS (SELECT user_id, event_id, ts,
+             |        CASE WHEN pts IS NULL
+             |               OR ts > pts + INTERVAL 30 MINUTE
+             |             THEN 1 ELSE 0 END AS brk
+             |      FROM l),
+             |s AS (SELECT user_id, ts,
+             |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                       ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM f)
+             |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS dur_us
+             |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin),
+      (s, dir) => {
+        val wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "events")
+          .filter(col("user_id") < 300)
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .withColumn("pts", lag("ts", 1).over(wo))
+          .withColumn(
+            "brk",
+            when(
+              col("pts").isNull ||
+                col("ts") > col("pts") + expr("INTERVAL 30 MINUTES"),
+              1).otherwise(0))
+          .withColumn("sid", sum("brk").over(wr))
+          .groupBy(col("user_id"), col("sid").cast("long").as("session_id"))
+          .agg(
+            cnt.as("n_events"),
+            (unix_micros(max("ts")) - unix_micros(min("ts")))
+              .cast("long").as("dur_us"))
+          .orderBy("user_id", "session_id")
       }))
 }

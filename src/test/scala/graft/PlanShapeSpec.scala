@@ -200,6 +200,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("pagerank iterations broadcast deg/ranks — no product, no SMJ") {
+    // Each unrolled iteration must be map-side enrich (broadcast deg +
+    // rank) feeding ONE shuffle (the dst aggregation); an SMJ or product
+    // here re-shuffles the full edge list per iteration.
+    val p = plan("graph_pagerank_unrolled")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("BFS frontier expansion and visited exclusion are broadcast joins") {
+    val p = plan("graph_bfs_frontier")
+    // Frontier equi-join + left-anti visited joins all broadcast; the edge
+    // table itself never shuffles for the traversal.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("triangle enumeration stays equi-joined after the kNN product") {
+    // The 200x200 kNN block is an intentional broadcast product (the exact
+    // cosine baseline dialect); the triangle joins on the sparse edge set
+    // must be hash equi-joins, never nested-loop.
+    val p = plan("graph_knn_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("flagship whole-stage codegen covers the aggregation") {
     // AQE only shows the final (codegen'd) plan after execution.
     val df = Registry.byId("join_star_multiway").run(spark, sf)
