@@ -416,6 +416,28 @@ object Aggregations extends QueryPack {
           .agg(cnt.as("n"), round(dsum(col("v")), 4).as("s"))
           .orderBy("metric")),
 
+    // Fixed-width histogram — the engine staple behind every distribution
+    // dashboard and the scale path for order statistics (AUC, quantile
+    // sketches verify against it). Bin id = floor(x / width) is one
+    // identical double division both engines; the whole histogram is a
+    // map-side partial agg collapsing to |bins| rows regardless of input
+    // size.
+    Q(
+      "agg_histogram_bins",
+      Some("""SELECT CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bin,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy(
+            floor(col("l_extendedprice") / 5000).cast("long").as("bin"))
+          .agg(
+            cnt.as("n"),
+            min("l_extendedprice").as("lo"),
+            max("l_extendedprice").as("hi"))
+          .orderBy("bin")),
+
     // Per-bucket Shannon entropy + Gini impurity of the event-type mix —
     // the class-balance diagnostics of feature selection / data drift
     // monitoring. Class probabilities are identical bigint/bigint double

@@ -180,6 +180,34 @@ object Joins extends QueryPack {
           .orderBy("event_id")
       }),
 
+    // Forward as-of join — the label-join direction of the as-of family:
+    // for every event, the FIRST strictly-later purchase of the same user
+    // ("what did this interaction lead to"), the join every
+    // feature-at-time-t → outcome-after-t training-set build runs. Same
+    // partition-local window dialect as join_asof_latest_before, mirrored
+    // frame (1 FOLLOWING → UNBOUNDED FOLLOWING).
+    Q(
+      "join_asof_forward",
+      Some("""SELECT event_id, strftime(next_ts, '%Y-%m-%d %H:%M:%S.%f') AS next_purchase_ts FROM (
+             |  SELECT event_id,
+             |    first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ts
+             |  FROM events)
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(1, Window.unboundedFollowing)
+        Tables(s, dir, "events")
+          .select(
+            col("event_id"),
+            date_format(
+              first(when(col("event_type") === "purchase", col("ts")),
+                ignoreNulls = true).over(w),
+              "yyyy-MM-dd HH:mm:ss.SSSSSS").as("next_purchase_ts"))
+          .orderBy("event_id")
+      }),
+
     // Bucketed co-located join: both sides pre-bucketed on the join key into
     // external tables, so the SortMergeJoin needs NO exchange (the plan-shape
     // test asserts it). This is the 100 TB big-big join strategy: pay the

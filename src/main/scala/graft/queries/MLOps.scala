@@ -240,6 +240,54 @@ object MLOps extends QueryPack {
           .orderBy("o_orderkey")
       }),
 
+    // ROC-AUC as the Mann-Whitney rank statistic with midrank tie handling
+    // — the other standard eval metric next to ml_confusion_matrix.
+    // Midranks are exact half-integers (rank + (ties-1)/2), summed as
+    // DECIMAL(18,1) so the statistic is order-free; ONE double division at
+    // the end. The global ORDER BY score window is fine at dimension scale;
+    // at corpus scale the documented path is the same formula over
+    // agg_histogram_bins' per-bin counts (rank sums from cumulative bin
+    // totals — no global sort).
+    Q(
+      "ml_roc_auc",
+      Some("""WITH s AS (SELECT vec_id, label % 2 AS y,
+             |    CAST(embedding[1] AS DOUBLE) AS score FROM embeddings),
+             |r AS (SELECT y,
+             |    rank() OVER (ORDER BY score)
+             |      + CAST(COUNT(*) OVER (PARTITION BY score) - 1 AS DOUBLE) / 2
+             |      AS rm
+             |  FROM s),
+             |a AS (SELECT
+             |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             |    CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+             |    CAST(SUM(CASE WHEN y = 1 THEN CAST(rm AS DECIMAL(18,1))
+             |             ELSE CAST(0 AS DECIMAL(18,1)) END) AS DOUBLE) AS sr
+             |  FROM r)
+             |SELECT n_pos, n_neg,
+             |  ROUND((sr - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)
+             |        / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+             |FROM a""".stripMargin),
+      (s, dir) => {
+        val sc = Tables(s, dir, "embeddings")
+          .select(
+            (col("label") % 2).as("y"),
+            element_at(col("embedding"), 1).cast("double").as("score"))
+        val rm = rank().over(Window.orderBy("score")) +
+          (count(lit(1)).over(Window.partitionBy("score")) - 1)
+            .cast("double") / 2
+        sc.select(col("y"), rm.as("rm"))
+          .agg(
+            sum(when(col("y") === 1, 1).otherwise(0)).cast("long").as("n_pos"),
+            sum(when(col("y") === 0, 1).otherwise(0)).cast("long").as("n_neg"),
+            sum(when(col("y") === 1, col("rm").cast(DecimalType(18, 1)))
+              .otherwise(lit(0).cast(DecimalType(18, 1))))
+              .cast("double").as("sr"))
+          .select(
+            col("n_pos"), col("n_neg"),
+            round((col("sr") - col("n_pos").cast("double") * (col("n_pos") + 1) / 2)
+              / (col("n_pos").cast("double") * col("n_neg")), 6).as("auc"))
+      }),
+
     // Confusion matrix of the argmax "classifier head" against the stored
     // labels — the eval counterpart of ml_softmax_argmax_infer (same
     // argmax-over-first-10-dims dialect, same deterministic logit
