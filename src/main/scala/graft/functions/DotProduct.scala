@@ -106,6 +106,14 @@ object Native {
     // bounded-model-state class as k-means centroids), and prune map-side
     // (`dedup_incremental_bloom`). No custom sketch code: both sides are
     // the stock codegen'd Catalyst expressions.
+    "graft_gram_hashes" -> { args =>
+      require(args.length == 2, "graft_gram_hashes expects (str, n)")
+      GramHashes(args(0), args(1))
+    },
+    "graft_grams" -> { args =>
+      require(args.length == 2, "graft_grams expects (str, n)")
+      Grams(args(0), args(1))
+    },
     "graft_might_contain" -> { args =>
       require(args.length == 2, "graft_might_contain expects 2 arguments")
       org.apache.spark.sql.catalyst.expressions
@@ -141,6 +149,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifierHelper("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifierHelper("graft_gram_hashes"),
+      new ExpressionInfo(classOf[GramHashes].getName, "graft_gram_hashes"),
+      (args: Seq[Expression]) => GramHashes(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifierHelper("graft_grams"),
+      new ExpressionInfo(classOf[Grams].getName, "graft_grams"),
+      (args: Seq[Expression]) => Grams(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifierHelper("graft_might_contain"),
       new ExpressionInfo(

@@ -2,7 +2,7 @@ package graft.ml
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -66,4 +66,38 @@ object Quantizers {
     * exact, so both engines see the identical IEEE value.
     */
   def sqlFloat(f: Float): String = java.lang.Double.toString(f.toDouble)
+
+  // ---- SemDeDup coarse quantizer (k grows with n) ----
+
+  /** Target mean cluster population for the SemDeDup quantizer. */
+  val SemClusterSize = 64
+
+  /** SemDeDup cluster count: k = max(IvfK, ceil(n/64)) — the paper's scale
+    * contract (Abbas et al. 2023 use ~50k clusters at web scale) made
+    * concrete: k grows LINEARLY with the corpus so the mean within-cluster
+    * population stays ~[[SemClusterSize]] and the quadratic pair scan stays
+    * bounded per cluster at any scale factor. At sf0.01 (n=500) this floors
+    * to [[IvfK]]=8, so the trained centroids coincide with [[ivf]]'s
+    * (same init + iteration count) and the sf0.01 oracle is unchanged.
+    */
+  def semK(n: Long): Int =
+    math.max(IvfK.toLong, (n + SemClusterSize - 1) / SemClusterSize).toInt
+
+  private val semCache = TrieMap.empty[String, Array[Array[Float]]]
+
+  /** k-means-trained SemDeDup centroids over `embeddings`, k = [[semK]](n),
+    * memoized per dir (one training pass shared by the query, its generated
+    * oracle, and the scale spec).
+    */
+  def sem(s: SparkSession, dir: String): Array[Array[Float]] =
+    semCache.getOrElseUpdate(dir,
+      semTrain(Tables(s, dir, "embeddings").select("vec_id", "embedding")))
+
+  /** DataFrame-form training body, so specs can probe synthetic scales
+    * (replicated frames) without staging a parquet dir.
+    */
+  def semTrain(e: DataFrame): Array[Array[Float]] = {
+    val k = semK(e.count())
+    KMeansLloyd.run(e, KMeansLloyd.init(e, k), 0, IvfIters)._1
+  }
 }

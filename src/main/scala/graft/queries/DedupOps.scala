@@ -486,24 +486,30 @@ object DedupOps extends QueryPack {
               |WHERE n_docs >= $spanMinDocs
               |ORDER BY n_docs DESC, gram""".stripMargin),
       (s, dir) => {
+        graft.functions.Native.register(s)
         val d = Tables(s, dir, "documents")
           .select(col("doc_id"), lower(col("text")).as("tx"))
           .filter(length(col("tx")) >= 20)
-        // Recovery-scan gram generator (pass 1 builds its hashes map-side
-        // via the inline transform(...) expression below, not through this).
+        // Recovery-scan gram generator: graft_grams walks the codepoint
+        // boundaries ONCE per doc (the explode(sequence)+substring form
+        // seeks from byte 0 per gram — O(L^2) per doc); xxhash64 over each
+        // gram string is the stock codegen'd expression, so gram_h is
+        // bit-identical to pass 1's hashes by construction.
         def spans(src: DataFrame): DataFrame = src
-          .select(col("doc_id"), col("tx"),
-            explode(sequence(lit(1), length(col("tx")) - 19)).as("i"))
-          .select(col("doc_id"), expr("substring(tx, i, 20)").as("gram"))
+          .select(col("doc_id"),
+            explode(call_function("graft_grams", col("tx"), lit(20))).as("gram"))
           .select(col("doc_id"), col("gram"), xxhash64(col("gram")).as("gram_h"))
         // PASS 1: within-doc gram dedup happens MAP-SIDE inside the row
-        // (array_distinct over the doc's own hash array — a doc is one row,
-        // so no shuffle can be needed to dedup within it), leaving a single
-        // partially-aggregated shuffle for the cross-doc count. The naive
-        // distinct().groupBy() form shuffles twice for the same answer.
+        // (graft_gram_hashes emits each doc's DISTINCT gram hashes in one
+        // O(doc) pass — a doc is one row, so no shuffle can be needed to
+        // dedup within it), leaving a single partially-aggregated shuffle
+        // for the cross-doc count. The naive distinct().groupBy() form
+        // shuffles twice for the same answer; the declarative
+        // array_distinct(transform(...)) form is the O(L^2) seek +
+        // CodegenFallback boxing GramHashes.scala documents.
         val hot = d
-          .select(col("doc_id"), explode(array_distinct(expr(
-            "transform(sequence(1, length(tx)-19), i -> xxhash64(substring(tx, i, 20)))")))
+          .select(col("doc_id"),
+            explode(call_function("graft_gram_hashes", col("tx"), lit(20)))
             .as("gram_h"))
           .groupBy("gram_h")
           .agg(cnt.as("n_docs"), min(col("doc_id")).cast("long").as("rep_doc"))

@@ -51,12 +51,19 @@ object GraphOps extends QueryPack {
     * re-running the fact join. PageRank/BFS timings then measure the
     * iterations, not the edge build.
     */
+  // Keyed by the session OBJECT (WeakHashMap): a stopped session's entry
+  // becomes collectable instead of pinning dead localCheckpoint blocks, and
+  // no identity-hash reuse by a later session can resurrect one. Guarded by
+  // its own monitor — WeakHashMap is not thread-safe and queries can race.
   private val edgeCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]()
 
   private def tradeEdges(s: SparkSession, dir: String): DataFrame =
-    edgeCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir), {
+    edgeCache.synchronized {
+      edgeCache
+        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir, {
         val eds = Tables(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"))
           .join(
@@ -68,7 +75,8 @@ object GraphOps extends QueryPack {
           .distinct()
         eds.union(eds.select(col("dst").as("src"), col("src").as("dst")))
           .localCheckpoint()
-      })
+        })
+    }
 
   /** The shared edge derivation as SQL, for the DuckDB oracles. */
   private val edgesSql =
@@ -95,14 +103,14 @@ object GraphOps extends QueryPack {
               |r1 AS (
               |  SELECT e.dst AS node,
               |    CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
-              |      CAST(SUM(CAST((CAST(1.0 AS DOUBLE) / nn.n) / dg.d
+              |      CAST(SUM(CAST(ROUND((CAST(1.0 AS DOUBLE) / nn.n) / dg.d, 15)
               |                    AS DECIMAL(28,18))) AS DOUBLE) AS r
               |  FROM edges e JOIN deg dg ON e.src = dg.src CROSS JOIN nn
               |  GROUP BY e.dst, nn.n),
               |r2 AS (
               |  SELECT e.dst AS node,
               |    CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
-              |      CAST(SUM(CAST(r1.r / dg.d AS DECIMAL(28,18)))
+              |      CAST(SUM(CAST(ROUND(r1.r / dg.d, 15) AS DECIMAL(28,18)))
               |           AS DOUBLE) AS r
               |  FROM edges e JOIN deg dg ON e.src = dg.src
               |  JOIN r1 ON r1.node = e.src CROSS JOIN nn
@@ -115,14 +123,25 @@ object GraphOps extends QueryPack {
         val n = deg.count() // one scalar to the driver, like the k-means k
         val r0 = 1.0 / n
         val tp = 0.15 / n
-        // deg and rank are |nodes|-sized (dimension scale): broadcast both,
-        // so one iteration = map-side enrich + ONE shuffle (the dst agg).
+        // deg and rank are |nodes|-sized. At the test scales that side fits
+        // a broadcast comfortably, making one iteration = map-side enrich +
+        // ONE shuffle (the dst agg); but |nodes| grows with the scale
+        // factor, so on a corpus where it outgrows the driver these hints
+        // must go and AQE falls back to a src-keyed shuffle join — same
+        // semantics, one extra exchange per iteration (the edge table is
+        // already src-bucketed at scale, so only deg/rank move).
         def step(rank: DataFrame): DataFrame = edges
           .join(broadcast(deg), "src")
           .join(broadcast(rank.withColumnRenamed("node", "src")), "src")
           .select(
             col("dst"),
-            (col("r") / col("d")).cast(DecimalType(28, 18)).as("w"))
+            // Round-before-decimal-cast (the agg_entropy_gini /
+            // corpus_perplexity_filter policy): Spark casts double→Decimal
+            // via the shortest string form while DuckDB rounds the exact
+            // binary value, so the raw quotient's 18th fractional digit
+            // can diverge; a fixed 15dp round first makes both engines sum
+            // identical decimals.
+            round(col("r") / col("d"), 15).cast(DecimalType(28, 18)).as("w"))
           .groupBy("dst")
           .agg(sum("w").as("sw"))
           .select(
@@ -140,6 +159,11 @@ object GraphOps extends QueryPack {
     // non-empty at every scale factor). Frontier expansion is an equi-join
     // per hop; visited-set exclusion is a left-anti join of node ids. The
     // per-hop report (count + min/max/sum checksum) is integer-exact.
+    // Broadcast scope: frontiers/visited sets here are node-id scalars and
+    // tiny at the test scales; on a graph whose frontier outgrows the
+    // driver the hints below must be dropped so the anti/inner joins fall
+    // back to src-keyed shuffles (the left-anti stays a scalar-id
+    // exchange — still no driver-side set either way).
     Q(
       "graph_bfs_frontier",
       Some(s"""WITH $edgesSql,

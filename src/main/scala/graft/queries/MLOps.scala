@@ -750,14 +750,18 @@ object MLOps extends QueryPack {
     // MLlib interop — MinHashLSH over hashed token sets: the platform's own
     // implementation of the dedup_minhash_lsh pipeline (HashingTF sparse
     // vectors -> signature -> approxSimilarityJoin). Seeded => repeatable,
-    // but signature internals are engine-specific => no SQL oracle.
+    // but signature internals are engine-specific => no SQL oracle. Slice
+    // is deliberately small (interop SMOKE, graded as such in SURVEY §2.J;
+    // the scale path is dedup_minhash_lsh's banded join): 120 docs bounds
+    // the approxSimilarityJoin's candidate explode so an interop check
+    // stops costing whole percents of the bench total (VERDICT r11).
     Q(
       "dedup_minhash_mllib",
       None,
       (s, dir) => {
         import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, Tokenizer}
         val docs = Tables(s, dir, "documents")
-          .filter(col("doc_id") < 200)
+          .filter(col("doc_id") < 120)
           .select("doc_id", "text")
         val toks = new Tokenizer().setInputCol("text").setOutputCol("toks")
           .transform(docs)

@@ -473,7 +473,11 @@ object Scans extends QueryPack {
     // pushdown and column pruning work the same as parquet's). Values must
     // survive the write→read hop bit-for-bit; the oracle aggregates the
     // original table, so any ORC encode/decode drift is a hash mismatch.
-    // Sink path is keyed by the input dir (concurrent runs don't clobber).
+    // Sink path is keyed by (pid, input dir): the pid isolates concurrent
+    // JVMs over the same dir (Verify and Bench can overlap on the driver
+    // box), the dir hex separates in-process runs over different dirs —
+    // and a cross-dir String.hashCode collision would only co-locate two
+    // overwrite-then-read round-trips, never corrupt one.
     Q(
       "scan_orc_roundtrip",
       Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
@@ -481,7 +485,7 @@ object Scans extends QueryPack {
              |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin),
       (s, dir) => {
         val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_customer_" +
-          Integer.toHexString(dir.hashCode)
+          s"${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
         Tables(s, dir, "customer")
           .select("c_custkey", "c_mktsegment", "c_acctbal")
           .write.mode("overwrite").orc(tmp)

@@ -55,6 +55,33 @@ object SimOps extends QueryPack {
   private def native(s: org.apache.spark.sql.SparkSession): Unit =
     graft.functions.Native.register(s)
 
+  /** SemDeDup cluster assignment: nearest centroid (first-minimal, ties by
+    * cid) plus the cosine to it. Shared by `dedup_semantic_embcluster` and
+    * SemScaleSpec's pair-work probe, so the spec measures exactly the
+    * clustering the query runs. Centroids enter as a broadcast k-row frame;
+    * vectors never shuffle for the assignment itself (the window is keyed
+    * by vec_id — at scale this is the same argmin-over-k map-side fold the
+    * IVF assignment uses).
+    */
+  private[graft] def semAssign(
+      s: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame,
+      cs: Array[Array[Float]]): org.apache.spark.sql.DataFrame = {
+    native(s)
+    val cents = s.createDataFrame(
+      cs.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toIndexedSeq) })
+      .toDF("cid", "ce")
+    val dists = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        (ndot(col("ce"), col("ce")) - lit(2.0) * ndot(col("embedding"), col("ce")))
+          .as("dist"),
+        ncos(col("embedding"), col("ce")).as("centsim"))
+    val wd = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+    dists.withColumn("rn", row_number().over(wd))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("embedding"), col("centsim"))
+  }
+
   /** Deterministic pseudo-random hyperplanes for LSH bucketing: 32 planes x
     * 64 dims of small integers in [-18, 18] (8 hash tables x 4 planes).
     * Public knowledge (Charikar random-projection LSH); fixed integers keep
@@ -740,32 +767,24 @@ object SimOps extends QueryPack {
     // cosine ONLY within each cluster, and for every pair above the
     // threshold keep the member with the LOWER cosine to its cluster
     // centroid (the paper's keep-the-outlier rule; ties by vec_id). The
-    // whole point of clustering first is the scale shape: at 100 TB k grows
-    // with n (the paper uses ~50k clusters), cluster id is the partition
-    // key, and the quadratic pair join is bounded per cluster — no global
-    // all-pairs ever forms. Toy k=8 here (the shared IVF coarse quantizer,
-    // one training pass memoized with the ANN queries); removal decisions
-    // compare UNROUNDED doubles — identical left-to-right folds both
-    // engines, the invariant the whole SimOps file is built on.
+    // whole point of clustering first is the scale shape, and the quantizer
+    // honors it: k = max(8, ceil(n/64)) GROWS with the corpus
+    // (Quantizers.semK — the paper's ~50k clusters at web scale), so the
+    // mean within-cluster population stays ~64 and the quadratic pair join
+    // stays bounded per cluster at ANY scale factor — no global all-pairs
+    // ever forms, and cluster id is the partition key. At sf0.01 the floor
+    // k=8 coincides with the IVF quantizer; at sf0.1 k=32 (SemScaleSpec
+    // asserts the pair-work bound at 5x replicated and on the real sf0.1,
+    // including the adversarial all-duplicates case). Removal decisions
+    // compare UNROUNDED doubles —
+    // identical left-to-right folds both engines, the invariant the whole
+    // SimOps file is built on.
     Q(
       "dedup_semantic_embcluster",
       None,
       (s, dir) => {
-        native(s)
-        val e = Tables(s, dir, "embeddings")
-        val cents = s.createDataFrame(
-          graft.ml.Quantizers.ivf(s, dir).toIndexedSeq.zipWithIndex
-            .map { case (c, i) => (i, c.toIndexedSeq) })
-          .toDF("cid", "ce")
-        val dists = e.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("embedding"), col("cid"),
-            (ndot(col("ce"), col("ce")) - lit(2.0) * ndot(col("embedding"), col("ce")))
-              .as("dist"),
-            ncos(col("embedding"), col("ce")).as("centsim"))
-        val wd = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-        val a = dists.withColumn("rn", row_number().over(wd))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("cid"), col("embedding"), col("centsim"))
+        val a = semAssign(s, Tables(s, dir, "embeddings"),
+          graft.ml.Quantizers.sem(s, dir))
         val x = a.select(col("cid"), col("vec_id").as("va"),
           col("embedding").as("ea"), col("centsim").as("csa"))
         val y = a.select(col("cid"), col("vec_id").as("vb"),
@@ -783,7 +802,7 @@ object SimOps extends QueryPack {
           .orderBy("vec_id")
       },
       oracleGen = Some((s, dir) =>
-        semdedupOracle(graft.ml.Quantizers.ivf(s, dir), SemTau))),
+        semdedupOracle(graft.ml.Quantizers.sem(s, dir), SemTau))),
 
     // Temporal frame sampling — the `frame-sample` stage of the multimodal
     // north-star list: a video blob explodes into its frames and a stride-4
