@@ -601,6 +601,34 @@ object MLOps extends QueryPack {
           "bit_equal")
       }),
 
+    // LEARNED convolution weights — the reference's defining act
+    // (`nn.Conv(features=32, kernel_size=(5,5))` is TRAINED by the
+    // flax_model.py:229-260 loop; every other conv query here runs fixed
+    // binomial kernels). Because conv output is linear in the kernel, the
+    // quadratic loss folds to exact integer sufficient statistics — the
+    // 9-tap patch Gram A = Σ x xᵀ, b = Σ y·x, C = Σ y² — in ONE
+    // distributed pass over the same broadcast-offsets conv-as-join as
+    // ml_conv2d_join_agg (the gradient of conv-as-join is itself a
+    // conv-as-join); each GD step is then pure driver arithmetic on 9
+    // doubles. Target = the binomial-kernel conv output, so training must
+    // RECOVER [1,2,1]⊗[1,2,1]/16 — dist_true falling toward 0 is the
+    // end-to-end learning check. Step size is data-adaptive
+    // (1 / (trace(A)/n) ≥ 1/λmax — guaranteed monotone loss, no hand-tuned
+    // constant). Iterative => no SQL oracle; ConvTrainSpec asserts monotone
+    // mse, kernel recovery via the normal-equation solve of the same
+    // statistics, and bit-for-bit checkpoint resume.
+    Q(
+      "ml_conv_train_gd",
+      None,
+      (s, dir) => {
+        import graft.ml.ConvTrain
+        val st = ConvTrain.stats(Tables(s, dir, "events"))
+        val (_, hist) = ConvTrain.run(
+          st, ConvTrain.State(0, new Array[Double](ConvTrain.Taps)),
+          5, ConvTrain.stableLr(st))
+        s.createDataFrame(hist).toDF("iter", "mse", "dist_true")
+      }),
+
     // Lloyd's k-means over the embeddings (k=8, 3 iterations, deterministic
     // init = vectors 0..7), via graft.ml.KMeansLloyd. Model state (8 x 64
     // centroids) lives on the driver and enters each iteration as broadcast

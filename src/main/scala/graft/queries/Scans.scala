@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
   */
 object Scans extends QueryPack {
 
+  /** Once-per-JVM spill registry for `scan_binary_blobs` (value = path). */
+  private val binarySpilled =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** The 2-D box predicate served by the z-ordered layout. Plain column
     * comparisons on the MATERIALIZED dims (`ck`, `dy`): parquet stats
     * pushdown only sees raw-column predicates — a filter on
@@ -91,24 +95,33 @@ object Scans extends QueryPack {
              |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         import org.apache.hadoop.fs.Path
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_binary_docs"
-        val root = new Path(tmp)
-        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.delete(root, true)
-        fs.mkdirs(root)
-        Tables(s, dir, "documents")
-          .filter(col("doc_id") < 500)
-          .select(col("doc_id"), col("text"))
-          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-            val pfs = new Path(tmp)
-              .getFileSystem(new org.apache.hadoop.conf.Configuration())
-            pfs.setWriteChecksum(false)
-            rows.foreach { r =>
-              val out = pfs.create(new Path(tmp, s"doc_${r.get(0)}.bin"), true)
-              try out.write(r.getString(1).getBytes("UTF-8"))
-              finally out.close()
+        // Path keyed by (pid, input dir) — same policy as the ORC sink:
+        // concurrent JVMs (Verify ∥ Bench) each own their spill. The spill
+        // is immutable once written, so it is staged ONCE per JVM+dir
+        // (memoized): repeated runs measure the binary SOURCE under test,
+        // not the local filesystem's 500-file re-spill.
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_binary_docs_" +
+          s"${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+        binarySpilled.getOrElseUpdate(tmp, {
+          val root = new Path(tmp)
+          val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(root, true)
+          fs.mkdirs(root)
+          Tables(s, dir, "documents")
+            .filter(col("doc_id") < 500)
+            .select(col("doc_id"), col("text"))
+            .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+              val pfs = new Path(tmp)
+                .getFileSystem(new org.apache.hadoop.conf.Configuration())
+              pfs.setWriteChecksum(false)
+              rows.foreach { r =>
+                val out = pfs.create(new Path(tmp, s"doc_${r.get(0)}.bin"), true)
+                try out.write(r.getString(1).getBytes("UTF-8"))
+                finally out.close()
+              }
             }
-          }
+          tmp
+        })
         s.read.format("binaryFile").load(tmp)
           .select(
             regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
@@ -495,5 +508,40 @@ object Scans extends QueryPack {
           .groupBy("c_mktsegment")
           .agg(cnt.as("n"), dsum(col("c_acctbal")).as("bal"))
           .orderBy("c_mktsegment")
+      }),
+
+    // Native npy/npz ingestion — the reference's actual landing format
+    // (`read_example` decodes npz blobs of npy arrays,
+    // trainer/flax_model.py:53-66) parsed with ZERO native dependencies:
+    // npy v1.0 is magic + padded header + raw C-order IEEE bits, npz a zip
+    // of them (graft.sources.Npz). Round-trip: embeddings staged as npz
+    // files (one per 50-id group, executor-side writes via the Hadoop FS
+    // API), re-ingested as `binaryFile` blobs + a mapPartitions decode.
+    // float32 bits cross the format verbatim, so the oracle is the
+    // original table itself — any header/endianness/offset mistake is a
+    // hash mismatch against DuckDB reading the source parquet. Scale
+    // shape: blobs bin-pack into splits via normal file-scan sizing, the
+    // decode is map-side (zero shuffle before the oracle-determinism
+    // sort), and one zip per GROUP (not per vector) keeps the file count
+    // 50x below the row count — the small-files discipline a real landing
+    // zone needs.
+    Q(
+      "scan_npz_roundtrip",
+      Some("SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"),
+      (s, dir) => {
+        import s.implicits._
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_npz_" +
+          s"${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+        graft.sources.Npz.stageEmbeddings(
+          s, Tables(s, dir, "embeddings").select("vec_id", "embedding"), tmp)
+        s.read.format("binaryFile").load(tmp)
+          .select(col("content"))
+          .as[Array[Byte]]
+          .mapPartitions(_.flatMap(bytes =>
+            graft.sources.Npz.readNpz(bytes).map { case (name, a) =>
+              (name.stripPrefix("vec_").toLong, a)
+            }))
+          .toDF("vec_id", "embedding")
+          .orderBy("vec_id")
       }))
 }

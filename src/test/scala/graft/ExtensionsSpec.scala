@@ -13,11 +13,15 @@ class ExtensionsSpec extends SparkSpec {
     val reg = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
     val before = reg.listFunction().size
     org.apache.spark.sql.GraftTestHooks.registerFunctions(ext, reg)
-    assert(reg.listFunction().size == before + 4)
+    assert(reg.listFunction().size == before + 6)
     assert(reg.functionExists(
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
     assert(reg.functionExists(
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine")))
+    assert(reg.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_gram_hashes")))
+    assert(reg.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_grams")))
     assert(reg.functionExists(
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_might_contain")))
     assert(reg.functionExists(
