@@ -25,6 +25,25 @@ final case class Q(
 
 trait QueryPack {
   def queries: Seq[Q]
+
+  /** Terminal presentation sort for the driver's order-sensitive hash
+    * compare. NOT part of any operator's scale story: the distributed work
+    * (joins/aggs/windows) finishes above this call; the sort only fixes the
+    * row order the oracle diff reads. `orderBy` would pay RangePartitioning's
+    * extra sampling job (which re-executes the upstream map stage) plus a
+    * range shuffle — for a result the driver consumes serially anyway, a
+    * single-partition local sort is strictly cheaper and gives the same
+    * total order. Operators whose OUTPUT is genuinely unbounded at 100 TB
+    * would drop this line entirely in production (results stay
+    * partition-local); operators where the sort IS the semantics
+    * (sort_multi_key, limit_head) keep a true `orderBy`.
+    */
+  implicit final class OracleOrder(private val df: org.apache.spark.sql.DataFrame) {
+    def oracleOrder(sortCol: String, rest: String*): org.apache.spark.sql.DataFrame =
+      df.repartition(1).sortWithinPartitions(sortCol, rest: _*)
+    def oracleOrder(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
+      df.repartition(1).sortWithinPartitions(cols: _*)
+  }
 }
 
 /** Flat registry of every implemented operator, in SURVEY.md §2 order. */

@@ -58,7 +58,7 @@ object Aggregations extends QueryPack {
               .cast(DecimalType(18, 6))).cast("double").as("sum_disc"),
             round(davg(col("l_quantity")), 6).as("avg_qty"),
             cnt.as("n"))
-          .orderBy("l_returnflag", "l_linestatus")),
+          .oracleOrder("l_returnflag", "l_linestatus")),
 
     Q(
       "agg_count_distinct",
@@ -223,7 +223,7 @@ object Aggregations extends QueryPack {
         Tables(s, dir, "events")
           .groupBy("user_id")
           .agg(aggs.head, aggs.tail: _*)
-          .orderBy("user_id")
+          .oracleOrder("user_id")
       }),
 
     // argmax with a total tie-break (never max_by: its tie order is
@@ -244,7 +244,7 @@ object Aggregations extends QueryPack {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select("n_nationkey", "c_custkey", "c_name", "c_acctbal")
-          .orderBy("n_nationkey")
+          .oracleOrder("n_nationkey")
       }),
 
     Q(
@@ -261,7 +261,7 @@ object Aggregations extends QueryPack {
             round(sum(when(col("l_returnflag") === "N", 1L).otherwise(0L))
               .cast("double") / cnt, 6).as("n_rate"),
             cnt.as("n"))
-          .orderBy("l_linestatus")),
+          .oracleOrder("l_linestatus")),
 
     // MSE between observed price and a "prediction" (retailprice * qty).
     Q(
@@ -341,7 +341,7 @@ object Aggregations extends QueryPack {
               col("rn") === ceil((col("cnt") + 1) / 2.0).cast("long"))
           .groupBy("priority")
           .agg(round(davg(col("v")), 2).as("median"))
-          .orderBy("priority")
+          .oracleOrder("priority")
       }),
 
     // Salted two-stage aggregation — the skew-mitigation pattern: a hot
@@ -367,7 +367,7 @@ object Aggregations extends QueryPack {
           .agg(
             sum("pn").cast("long").as("n"),
             sum("ps").cast("double").as("sum_v"))
-          .orderBy("event_type")
+          .oracleOrder("event_type")
       }),
 
     // Full CUBE lattice with GROUPING flags (extends the rollup query to
@@ -392,7 +392,7 @@ object Aggregations extends QueryPack {
             grouping(col("o_orderstatus")).cast("int").as("g2"),
             cnt.as("n"), dsum(col("o_totalprice")).as("s"))
           .select("o_orderpriority", "o_orderstatus", "g1", "g2", "n", "s")
-          .orderBy("g1", "g2", "o_orderpriority", "o_orderstatus")),
+          .oracleOrder("g1", "g2", "o_orderpriority", "o_orderstatus")),
 
     // Unpivot (melt) wide measures to long (metric, value) rows — the
     // reshape dual of the pivot query; stack() stays whole-stage-codegen.
@@ -414,7 +414,7 @@ object Aggregations extends QueryPack {
               |  'discount', l_discount) AS (metric, v)""".stripMargin))
           .groupBy("metric")
           .agg(cnt.as("n"), round(dsum(col("v")), 4).as("s"))
-          .orderBy("metric")),
+          .oracleOrder("metric")),
 
     // Fixed-width histogram — the engine staple behind every distribution
     // dashboard and the scale path for order statistics (AUC, quantile
@@ -436,7 +436,7 @@ object Aggregations extends QueryPack {
             cnt.as("n"),
             min("l_extendedprice").as("lo"),
             max("l_extendedprice").as("hi"))
-          .orderBy("bin")),
+          .oracleOrder("bin")),
 
     // Per-bucket Shannon entropy + Gini impurity of the event-type mix —
     // the class-balance diagnostics of feature selection / data drift
@@ -487,7 +487,7 @@ object Aggregations extends QueryPack {
             col("bucket"),
             round(-col("se"), 6).as("entropy"),
             round(lit(1) - col("sp"), 6).as("gini"))
-          .orderBy("bucket")
+          .oracleOrder("bucket")
       }),
 
     // Pearson correlation + sample covariance from closed-form decimal sums
@@ -526,6 +526,6 @@ object Aggregations extends QueryPack {
               (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
                 sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
               .as("corr"))
-          .orderBy("flag")
+          .oracleOrder("flag")
       }))
 }

@@ -23,7 +23,7 @@ object Cleaning extends QueryPack {
       (s, dir) =>
         Tables(s, dir, "part")
           .select("p_partkey", "p_brand", "p_retailprice")
-          .orderBy("p_partkey")),
+          .oracleOrder("p_partkey")),
 
     Q(
       "filter_range_validity",
@@ -32,7 +32,7 @@ object Cleaning extends QueryPack {
       (s, dir) =>
         Tables(s, dir, "lineitem")
           .filter(col("l_quantity").between(10, 20))
-          .orderBy("l_orderkey", "l_linenumber")),
+          .oracleOrder("l_orderkey", "l_linenumber")),
 
     Q(
       "filter_compound_or",
@@ -42,7 +42,7 @@ object Cleaning extends QueryPack {
         Tables(s, dir, "events")
           .filter(col("value") < 10 || col("value") > 180)
           .select("event_id", "value")
-          .orderBy("event_id")),
+          .oracleOrder("event_id")),
 
     Q(
       "clip_least_greatest",
@@ -55,7 +55,7 @@ object Cleaning extends QueryPack {
             col("o_orderkey"),
             round(greatest(lit(1000.0), least(lit(50000.0), col("o_totalprice"))), 2)
               .as("clipped"))
-          .orderBy("o_orderkey")),
+          .oracleOrder("o_orderkey")),
 
     // np.where(invalid, smoothed, original): replace outliers by the exact
     // per-group mean (decimal-sum window, order-independent at any scale).
@@ -78,7 +78,7 @@ object Cleaning extends QueryPack {
             col("event_type"),
             round(when(col("value") > 190, mean).otherwise(col("value")), 6)
               .as("imputed"))
-          .orderBy("event_id")
+          .oracleOrder("event_id")
       }),
 
     // The reference's actual cleaning pipeline composed end-to-end
@@ -149,7 +149,7 @@ object Cleaning extends QueryPack {
           greatest(lit(10.0), least(lit(180.0),
             when(col("v") < 10 || col("v") > 180, col("smoothed"))
               .otherwise(col("v")))).as("cleaned"))
-          .orderBy("u", "d")
+          .oracleOrder("u", "d")
       }),
 
     Q(
@@ -161,5 +161,5 @@ object Cleaning extends QueryPack {
           .na.drop(Seq("lang"))
           .filter(col("n_chars") > 50)
           .select("doc_id", "lang")
-          .orderBy("doc_id")))
+          .oracleOrder("doc_id")))
 }

@@ -80,7 +80,7 @@ object CurationOps extends QueryPack {
                 regexp_replace(col("text"), emailPat, "[EMAIL]"),
                 phonePat, "[PHONE]"),
               termPat, "[NAME]").as("redacted"))
-          .orderBy("doc_id")),
+          .oracleOrder("doc_id")),
 
     // Repetition quality filter (Gopher rules): top-2-gram fraction and
     // duplicate-token fraction, thresholded. The gram mode is computed the
@@ -142,7 +142,7 @@ object CurationOps extends QueryPack {
             round(col("dup_raw"), 6).as("dup_tok_frac"),
             (col("top2_raw") <= maxTop2Frac && col("dup_raw") <= maxDupTokFrac)
               .as("keep"))
-          .orderBy("doc_id")
+          .oracleOrder("doc_id")
       }),
 
     // Weighted mixture sampling: per-source keep rates (upsampled "high
@@ -179,7 +179,7 @@ object CurationOps extends QueryPack {
             cnt.as("n_total"),
             sum(col("kept")).cast("long").as("n_kept"),
             round(sum(col("kept")) / cnt.cast("double"), 6).as("kept_rate"))
-          .orderBy("source")
+          .oracleOrder("source")
       }),
 
     // Concat-and-chunk sequence packing (the GPT-style batch builder):
@@ -223,7 +223,7 @@ object CurationOps extends QueryPack {
             sum("n_tok").cast("long").as("n_tokens"),
             sum(when(startPack =!= endPack, 1).otherwise(0)).cast("long")
               .as("n_split"))
-          .orderBy("lang", "pack_id")
+          .oracleOrder("lang", "pack_id")
       }),
 
     // Greedy document-boundary-preserving packing — the OTHER packing
@@ -265,7 +265,7 @@ object CurationOps extends QueryPack {
           .packed(t, packBudget, Seq("lang"), Seq("doc_id"), "n_tok")
           .groupBy("lang", "pack_id")
           .agg(cnt.as("n_docs"), sum("n_tok").cast("long").as("n_tokens"))
-          .orderBy("lang", "pack_id")
+          .oracleOrder("lang", "pack_id")
       }),
 
     // Count-min sketch frequency estimation: the token stream folds into a
@@ -325,7 +325,7 @@ object CurationOps extends QueryPack {
           .select(
             col("tok"), col("exact"), col("cms_est"),
             (col("cms_est") - col("exact")).as("overcount"))
-          .orderBy(col("exact").desc, col("tok"))
+          .oracleOrder(col("exact").desc, col("tok"))
       }),
 
     // Vocabulary build + OOV accounting: global top-k tokens by
@@ -366,7 +366,7 @@ object CurationOps extends QueryPack {
             round(
               sum(when(col("in_vocab").isNull, 1).otherwise(0))
                 / cnt.cast("double"), 6).as("oov_rate"))
-          .orderBy("lang")
+          .oracleOrder("lang")
       }),
 
     // Benchmark decontamination — the eval-overlap scrub every serious
@@ -441,7 +441,7 @@ object CurationOps extends QueryPack {
             cnt.as("n_train"),
             count(col("hit")).cast("long").as("n_contam"),
             (count(col("hit")).cast("double") / count(lit(1))).as("contam_rate"))
-          .orderBy("lang")
+          .oracleOrder("lang")
       }),
 
     // Per-source document cap — the "max N docs per domain" step every
@@ -477,7 +477,7 @@ object CurationOps extends QueryPack {
           .withColumn("smp_rank", row_number().over(w).cast("int"))
           .select(col("doc_id"), col("source"), col("smp_rank"),
             (col("smp_rank") <= capPerSource).as("kept"))
-          .orderBy("doc_id")
+          .oracleOrder("doc_id")
       }),
 
     // Per-language quality-quantile filtering (CCNet/RefinedWeb-style):
@@ -531,7 +531,7 @@ object CurationOps extends QueryPack {
             round(col("score"), 6).as("q_score"),
             round(col("thr"), 6).as("lang_thr"),
             (col("score") >= col("thr")).as("kept"))
-          .orderBy("doc_id")
+          .oracleOrder("doc_id")
       }),
 
     // Perplexity-based quality gating (CCNet-style): train a unigram LM
@@ -592,6 +592,10 @@ object CurationOps extends QueryPack {
             explode(split(lower(col("text")), " ")).as("tok"))
         val ref = tok.filter(col("doc_id") % 10 === 0).select("tok")
         val nv = ref.agg(cnt.as("n"))
+        // Mid-query top-k, not presentation: orderBy+limit fuses into
+        // TakeOrderedAndProject (per-partition partial top-k, merge of k
+        // rows) — keep the true orderBy rather than oracleOrder's
+        // single-partition funnel.
         val vocab = ref.groupBy("tok").agg(cnt.as("c"))
           .orderBy(col("c").desc, col("tok")).limit(vocabTop)
         val vv = vocab.agg(cnt.as("v"))
@@ -614,7 +618,7 @@ object CurationOps extends QueryPack {
           .select(col("doc_id"), col("n_tok"),
             round(ce, 6).as("ce"),
             (ce <= ceThreshold).as("kept"))
-          .orderBy("doc_id")
+          .oracleOrder("doc_id")
       }),
 
     // Token-budget source mixing (the Llama/GPT data-mixing recipe): each
@@ -684,7 +688,7 @@ object CurationOps extends QueryPack {
             .otherwise(0L)).cast("long").as("tok_kept"))
           .select(col("source"), col("n_docs"), col("t_src").as("tok_total"),
             col("tok_kept"), col("rate_pm"))
-          .orderBy("source")
+          .oracleOrder("source")
       }))
 
   /** Per-source cap + its sampling seed for `corpus_cap_per_source`. */

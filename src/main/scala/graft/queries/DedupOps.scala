@@ -259,7 +259,7 @@ object DedupOps extends QueryPack {
             cnt.as("n_docs"),
             sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("long").as("n_kept"),
             sum(when(col("rn") > 1, 1L).otherwise(0L)).cast("long").as("n_removed"))
-          .orderBy("lang")
+          .oracleOrder("lang")
       }),
 
     // The WHOLE curation pipeline a training-data build runs, composed in
@@ -326,7 +326,7 @@ object DedupOps extends QueryPack {
             cnt.as("n_docs"),
             round(dsum(col("quality")) / cnt, 6).as("avg_quality"),
             sum("n_tok").cast("long").as("total_tokens"))
-          .orderBy("split")
+          .oracleOrder("split")
       }),
 
     // The transitive-closure step a real corpus dedup ends with: near-dup
@@ -436,7 +436,7 @@ object DedupOps extends QueryPack {
           rounds += 1
         }
         labels.groupBy(col("lbl").as("rep_doc")).agg(cnt.as("csize"))
-          .orderBy("rep_doc")
+          .oracleOrder("rep_doc")
       }),
 
     // Typed-Aggregator variant (SURVEY.md §4.3 custom piece): same signature
@@ -454,7 +454,7 @@ object DedupOps extends QueryPack {
           .select(col("doc_id"),
             element_at(col("sig"), 1).as("m0"),
             element_at(col("sig"), NumHashes).as(s"m${NumHashes - 1}"))
-          .orderBy("doc_id")
+          .oracleOrder("doc_id")
       }),
 
     // Cross-document repeated spans (ExactSubstr flavor — Lee et al. 2021,
@@ -528,7 +528,7 @@ object DedupOps extends QueryPack {
           .groupBy(col("hot_h"), col("n_docs"), col("rep_doc"))
           .agg(min(col("gram")).as("gram"))
           .select(col("gram"), col("n_docs"), col("rep_doc"))
-          .orderBy(col("n_docs").desc, col("gram"))
+          .oracleOrder(col("n_docs").desc, col("gram"))
       }),
 
     // Incremental-crawl dedup: drop new-batch docs whose content fingerprint
@@ -590,7 +590,7 @@ object DedupOps extends QueryPack {
       .agg(cnt.as("n_new"),
         sum(when(col("dup"), 1L).otherwise(0L)).cast("long").as("n_dup"),
         sum(when(col("dup"), 0L).otherwise(1L)).cast("long").as("n_kept"))
-      .orderBy("lang")
+      .oracleOrder("lang")
   }
 
   /** Serialized bloom over the snapshot fingerprints (bounded: `bloomBits`

@@ -209,7 +209,7 @@ object GraphOps extends QueryPack {
             min("node").cast("long").as("min_node"),
             max("node").cast("long").as("max_node"),
             sum("node").cast("long").as("sum_node"))
-          .orderBy("hop")
+          .oracleOrder("hop")
       }),
 
     // Triangle participation on the embedding kNN graph (top-3 cosine

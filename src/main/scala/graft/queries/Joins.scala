@@ -49,7 +49,7 @@ object Joins extends QueryPack {
           .join(broadcast(Tables(s, dir, "region")),
             col("n_regionkey") === col("r_regionkey"))
           .select("n_nationkey", "n_name", "r_name")
-          .orderBy("n_nationkey")),
+          .oracleOrder("n_nationkey")),
 
     // Flagship: star-schema multiway join + decimal-exact revenue rollup.
     Q(
@@ -71,7 +71,7 @@ object Joins extends QueryPack {
           .join(broadcast(Tables(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), year(col("o_orderdate")).cast("int").as("o_year"))
           .agg(revenue.as("revenue"), cnt.as("n"))
-          .orderBy("r_name", "o_year")),
+          .oracleOrder("r_name", "o_year")),
 
     // The SQL-API surface of the engine: the flagship expressed as literal
     // spark.sql(...) text over per-session temp views. Same Catalyst plan
@@ -116,7 +116,7 @@ object Joins extends QueryPack {
           .agg(
             cnt.as("n_rows"),
             sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).cast("long").as("n_null"))
-          .orderBy("o_orderstatus")),
+          .oracleOrder("o_orderstatus")),
 
     Q(
       "join_semi",
@@ -127,7 +127,7 @@ object Joins extends QueryPack {
         Tables(s, dir, "customer")
           .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
           .select("c_custkey", "c_name")
-          .orderBy("c_custkey")),
+          .oracleOrder("c_custkey")),
 
     Q(
       "join_anti",
@@ -138,7 +138,7 @@ object Joins extends QueryPack {
         Tables(s, dir, "customer")
           .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
           .select("c_custkey", "c_name")
-          .orderBy("c_custkey")),
+          .oracleOrder("c_custkey")),
 
     Q(
       "join_theta_range",
@@ -153,7 +153,7 @@ object Joins extends QueryPack {
             col("l_partkey") === col("p_partkey") && col("l_quantity") > col("p_size"))
           .groupBy("p_brand")
           .agg(cnt.as("n"), dsum(col("l_quantity")).as("sum_qty"))
-          .orderBy("p_brand")),
+          .oracleOrder("p_brand")),
 
     // As-of join: latest strictly-earlier signup of the same user, expressed
     // as a partition-local running last_value over (ts, event_id) — identical
@@ -177,7 +177,7 @@ object Joins extends QueryPack {
               last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true)
                 .over(w),
               "yyyy-MM-dd HH:mm:ss.SSSSSS").as("asof_signup_ts"))
-          .orderBy("event_id")
+          .oracleOrder("event_id")
       }),
 
     // Forward as-of join — the label-join direction of the as-of family:
@@ -205,7 +205,7 @@ object Joins extends QueryPack {
               first(when(col("event_type") === "purchase", col("ts")),
                 ignoreNulls = true).over(w),
               "yyyy-MM-dd HH:mm:ss.SSSSSS").as("next_purchase_ts"))
-          .orderBy("event_id")
+          .oracleOrder("event_id")
       }),
 
     // Bucketed co-located join: both sides pre-bucketed on the join key into
@@ -269,7 +269,7 @@ object Joins extends QueryPack {
           .join(s.table(o), col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderpriority")
           .agg(cnt.as("n"), revenue.as("rev"))
-          .orderBy("o_orderpriority")
+          .oracleOrder("o_orderpriority")
       }),
 
     // AQE skew-join: the join-side twin of agg_salted_skew. 75% of lineitem
@@ -332,7 +332,7 @@ object Joins extends QueryPack {
               cnt.as("n"),
               dsum(col("l_extendedprice")).as("s"),
               max("n_orders").cast("long").as("max_orders"))
-            .orderBy("is_hot")
+            .oracleOrder("is_hot")
           // Pin the skew-enabled execution in the cache: count() runs the
           // join eagerly while the lowered thresholds are in force, and the
           // returned (lazy) DataFrame re-reads the cached 2-row aggregate
@@ -386,7 +386,7 @@ object Joins extends QueryPack {
             .join(dim, col("l_partkey") === col("p_partkey"))
             .groupBy("p_brand")
             .agg(cnt.as("n"), dsum(col("l_extendedprice")).as("revenue"))
-            .orderBy("p_brand")
+            .oracleOrder("p_brand")
           // Pin the bloom-enabled execution in the cache (count() runs the
           // join eagerly under the lowered thresholds; the returned lazy
           // DataFrame re-reads the tiny cached aggregate).
@@ -438,7 +438,7 @@ object Joins extends QueryPack {
           .agg(cnt.as("n"))
         err.join(near, Seq("err_id"), "left_outer")
           .select(col("err_id"), coalesce(col("n"), lit(0L)).as("n_near"))
-          .orderBy("err_id")
+          .oracleOrder("err_id")
       }),
 
     // Interval-overlap join: lineitems shipped within 90 days of their
@@ -459,5 +459,5 @@ object Joins extends QueryPack {
               col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 90 DAY"))
           .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("month"))
           .agg(cnt.as("n"))
-          .orderBy("month")))
+          .oracleOrder("month")))
 }

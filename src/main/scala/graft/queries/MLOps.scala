@@ -103,7 +103,7 @@ object MLOps extends QueryPack {
           .groupBy("u", "d")
           .agg(sum(col("w") * col("nc")).as("s"))
           .select(col("u"), col("d"), round(col("s").cast("double") / 16.0, 6).as("conv"))
-          .orderBy("u", "d")
+          .oracleOrder("u", "d")
       }),
 
     // Multi-channel 5×5 convolution — the literal shape of the reference's
@@ -158,7 +158,7 @@ object MLOps extends QueryPack {
           .groupBy("u", "d")
           .agg(sum(col("w") * (col("n0") + lit(2) * col("n1") + lit(3) * col("n2"))).as("s"))
           .select(col("u"), col("d"), round(col("s").cast("double") / 1536.0, 6).as("conv5"))
-          .orderBy("u", "d")
+          .oracleOrder("u", "d")
       }),
 
     // Transposed convolution — the reference's upsampling layer,
@@ -205,7 +205,7 @@ object MLOps extends QueryPack {
             (col("d") + col("dx")).as("d"))
           .agg(sum(col("w") * col("c")).as("s"))
           .select(col("u"), col("d"), round(col("s").cast("double") / 256.0, 6).as("convt"))
-          .orderBy("u", "d")
+          .oracleOrder("u", "d")
       }),
 
     // Per-group standardize: exact decimal moments per segment, broadcast
@@ -237,7 +237,7 @@ object MLOps extends QueryPack {
             round((col("v") - col("s1") / col("n")) /
               sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 6)
               .as("z"))
-          .orderBy("o_orderkey")
+          .oracleOrder("o_orderkey")
       }),
 
     // ROC-AUC as the Mann-Whitney rank statistic with midrank tie handling
@@ -320,7 +320,7 @@ object MLOps extends QueryPack {
           .filter(col("rn") === 1)
           .groupBy(col("label"), (col("i") - 1).cast("int").as("pred_class"))
           .agg(cnt.as("n"))
-          .orderBy("label", "pred_class")
+          .oracleOrder("label", "pred_class")
       }),
 
     // Closed-form multivariate linear regression by the normal equations —
@@ -408,7 +408,7 @@ object MLOps extends QueryPack {
                 (acc, i) =>
                   acc + element_at(col("embedding"), i.cast("int")).cast("double") *
                     when(i % 2 === 1, 1.0).otherwise(-1.0)), 4).as("dot"))
-          .orderBy("vec_id")),
+          .oracleOrder("vec_id")),
 
     // Inference head: argmax over the first 10 dims with a deterministic
     // first-max tie-break (position ascending).
@@ -434,7 +434,7 @@ object MLOps extends QueryPack {
           .select(
             col("vec_id"), (col("i") - 1).cast("int").as("pred_class"),
             round(col("v"), 6).as("logit"))
-          .orderBy("vec_id")
+          .oracleOrder("vec_id")
       }),
 
     // jax.nn.one_hot(labels, NUM_CLASSES=9) (flax_model.py:184): class id
@@ -471,7 +471,7 @@ object MLOps extends QueryPack {
           .select(
             col("event_id"), col("cls"),
             col("idx").cast("int").as("idx"), col("bit").cast("int").as("bit"))
-          .orderBy("event_id", "idx")),
+          .oracleOrder("event_id", "idx")),
 
     // The training loop: 3 fixed gradient-descent steps for
     // l_extendedprice ~ l_quantity. Sufficient statistics: for a quadratic
@@ -554,7 +554,7 @@ object MLOps extends QueryPack {
             s"${System.getProperty("user.name")}_${Integer.toHexString(dir.hashCode)}"
         s.createDataFrame(hist).toDF("metric", "epoch", "value")
           .write.mode("overwrite").parquet(outDir)
-        s.read.parquet(outDir).orderBy("epoch", "metric")
+        s.read.parquet(outDir).oracleOrder("epoch", "metric")
       }),
 
     // Checkpoint/restore of driver-held model state (reference analog:
@@ -668,7 +668,7 @@ object MLOps extends QueryPack {
           .select(
             col("o_orderkey"),
             graft.ml.SeededSplit.assign(col("o_orderkey"), 42L).as("split"))
-          .orderBy("o_orderkey")),
+          .oracleOrder("o_orderkey")),
 
     // Stratified train/test split over the labeled embeddings: EXACT 90/10
     // within every label stratum, not just in expectation. The hash split
@@ -707,7 +707,7 @@ object MLOps extends QueryPack {
           .select(col("vec_id"), col("label"), col("strat_rank"),
             when(col("strat_rank") <= floor(lit(0.9) * col("n")).cast("long"),
               "train").otherwise("test").as("split"))
-          .orderBy("vec_id")
+          .oracleOrder("vec_id")
       }),
 
     // The reference's inference render path composed end-to-end
@@ -772,7 +772,7 @@ object MLOps extends QueryPack {
             floor(col("lr") + col("frac") * (col("hr") - col("lr"))).cast("int").as("red"),
             floor(col("lg") + col("frac") * (col("hg") - col("lg"))).cast("int").as("green"),
             floor(col("lb") + col("frac") * (col("hb") - col("lb"))).cast("int").as("blue"))
-          .orderBy("event_id")
+          .oracleOrder("event_id")
       }),
 
     // MLlib interop — MinHashLSH over hashed token sets: the platform's own
@@ -843,7 +843,7 @@ object MLOps extends QueryPack {
           // rounding (shortest-repr vs exact-expansion).
           .groupBy(col("label"), (col("pos") + 1).cast("int").as("dim"))
           .agg((dsum(col("v").cast("double")) / cnt).as("mv"))
-          .orderBy("label", "dim")),
+          .oracleOrder("label", "dim")),
 
     // Spatial resize as a relation — 2x average-pool downsample of the
     // (user, day) raster (the `resize` of the multimodal north-star list and
@@ -883,7 +883,7 @@ object MLOps extends QueryPack {
           .agg(sum(col("c")).as("s"), cnt.as("n_cells"))
           .select(col("u2"), col("d2"), col("n_cells"),
             round(col("s").cast("double") / 4.0, 6).as("resized"))
-          .orderBy("u2", "d2")
+          .oracleOrder("u2", "d2")
       }),
 
     // MLlib interop — the platform KMeans (k-means|| init, seeded) over the
@@ -904,7 +904,7 @@ object MLOps extends QueryPack {
           .groupBy(col("prediction"))
           .agg(cnt.as("n"))
           .select(col("n"))
-          .orderBy(col("n").desc)
+          .oracleOrder(col("n").desc)
           .withColumn("size_rank",
             row_number().over(
               org.apache.spark.sql.expressions.Window
@@ -947,7 +947,7 @@ object MLOps extends QueryPack {
           array_max(denseLogits).as("max_logit"),
           round(greatest(lit(0L), lit(2L) * col("h2") - 64L).cast("double")
             / 1024.0, 6).as("lst"))
-          .orderBy("u", "d")
+          .oracleOrder("u", "d")
       }),
 
     // Reference entry point 2 END-TO-END (SURVEY §3.2, flax_inference
@@ -1018,7 +1018,7 @@ object MLOps extends QueryPack {
             floor(col("lr") + col("frac") * (col("hr") - col("lr"))).cast("int").as("red"),
             floor(col("lg") + col("frac") * (col("hg") - col("lg"))).cast("int").as("green"),
             floor(col("lb") + col("frac") * (col("hb") - col("lb"))).cast("int").as("blue"))
-          .orderBy("u", "d")
+          .oracleOrder("u", "d")
       }))
 
   /** Forward-pass trunk shared by `ml_cnn_forward_compose` and

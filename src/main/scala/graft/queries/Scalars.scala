@@ -31,7 +31,7 @@ object Scalars extends QueryPack {
             col("o_orderkey"),
             round((col("o_totalprice") - col("mn")) / (col("mx") - col("mn")), 6)
               .as("norm"))
-          .orderBy("o_orderkey")
+          .oracleOrder("o_orderkey")
       }),
 
     // Bitwise function family (hash/sketch building blocks; DuckDB: xor()
@@ -57,7 +57,7 @@ object Scalars extends QueryPack {
             expr("event_id << 3").as("b_shl"),
             expr("event_id >> 2").as("b_shr"),
             bit_count(col("event_id")).cast("int").as("b_pop"))
-          .orderBy("event_id")),
+          .oracleOrder("event_id")),
 
     Q(
       "scalar_string_funcs",
@@ -75,7 +75,7 @@ object Scalars extends QueryPack {
             upper(col("lang")).as("lang_u"),
             concat(col("lang"), lit("-"), col("source")).as("tag"),
             expr("replace(source, 'src', 'S')").as("src_code"))
-          .orderBy("doc_id")),
+          .oracleOrder("doc_id")),
 
     Q(
       "scalar_date_funcs",
@@ -98,7 +98,7 @@ object Scalars extends QueryPack {
             month(col("bucket")).cast("int").as("m"),
             add_months(col("bucket"), 6).as("bucket_plus6"))
           .agg(dsum(col("o_totalprice")).as("rev"), cnt.as("n"))
-          .orderBy("bucket")),
+          .oracleOrder("bucket")),
 
     // Array ops over the 64-dim embedding column; the element sum folds
     // left-to-right in both engines (Spark aggregate() vs DuckDB list_sum).
@@ -117,7 +117,7 @@ object Scalars extends QueryPack {
             round(
               aggregate(col("embedding"), lit(0.0),
                 (acc, x) => acc + x.cast("double")), 4).as("total"))
-          .orderBy("vec_id")),
+          .oracleOrder("vec_id")),
 
     Q(
       "scalar_map_json",
@@ -131,7 +131,7 @@ object Scalars extends QueryPack {
           .agg(
             sum(get_json_object(col("props"), "$.k").cast("int")).cast("long").as("sum_k"),
             cnt.as("n"))
-          .orderBy("event_type")),
+          .oracleOrder("event_type")),
 
     // np.interp over breakpoints (0,0)-(100,50)-(200,250) as pure arithmetic.
     Q(
@@ -149,5 +149,5 @@ object Scalars extends QueryPack {
             round(
               when(col("value") <= 100, col("value") * 0.5)
                 .otherwise(lit(50) + (col("value") - 100) * 2.0), 6).as("interp"))
-          .orderBy("event_id")))
+          .oracleOrder("event_id")))
 }

@@ -60,7 +60,7 @@ object Scans extends QueryPack {
     Q(
       "scan_parquet_full",
       Some("SELECT * FROM region ORDER BY r_regionkey"),
-      (s, dir) => Tables(s, dir, "region").orderBy("r_regionkey")),
+      (s, dir) => Tables(s, dir, "region").oracleOrder("r_regionkey")),
 
     // Column pruning + predicate pushdown reach the scan (verified by the
     // plan-shape test: PushedFilters + 2-column ReadSchema).
@@ -72,7 +72,7 @@ object Scans extends QueryPack {
         Tables(s, dir, "lineitem")
           .filter(col("l_linenumber") === 1)
           .select("l_orderkey", "l_quantity")
-          .orderBy("l_orderkey")),
+          .oracleOrder("l_orderkey")),
 
     // Opaque-payload decode path over the REAL binary source (reference:
     // file bytes -> arrays in read_example, trainer/flax_model.py:53-66).
@@ -127,7 +127,7 @@ object Scans extends QueryPack {
             regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
               .cast("long").as("doc_id"),
             length(decode(col("content"), "UTF-8")).cast("long").as("n"))
-          .orderBy("doc_id")
+          .oracleOrder("doc_id")
       }),
 
     // Overwrite-mode parquet sink exercised for real: write to a scratch dir,
@@ -138,7 +138,7 @@ object Scans extends QueryPack {
       (s, dir) => {
         val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_sink_parquet"
         Tables(s, dir, "part").write.mode("overwrite").parquet(tmp)
-        s.read.parquet(tmp).orderBy("p_partkey")
+        s.read.parquet(tmp).oracleOrder("p_partkey")
       }),
 
     // CSV round-trip: write a projection to CSV with header, read it back
@@ -159,7 +159,7 @@ object Scans extends QueryPack {
           .option("header", "true").csv(tmp)
           .groupBy("n_regionkey")
           .agg(cnt.as("n"))
-          .orderBy("n_regionkey")
+          .oracleOrder("n_regionkey")
       }),
 
     // JSON-lines round-trip: schema re-inferred from the JSON on read (text
@@ -176,7 +176,7 @@ object Scans extends QueryPack {
         s.read.json(tmp)
           .groupBy("lang")
           .agg(cnt.as("n"), sum("n_chars").cast("long").as("chars"))
-          .orderBy("lang")
+          .oracleOrder("lang")
       }),
 
     // Compressed corpus interchange: jsonl.gz round-trip (the format text
@@ -202,7 +202,7 @@ object Scans extends QueryPack {
             cnt.as("n"),
             sum("n_chars").cast("long").as("chars"),
             max("n_chars").cast("long").as("max_chars"))
-          .orderBy("lang")
+          .oracleOrder("lang")
       }),
 
     // Raw text-lines round-trip (the corpus interchange format LLM
@@ -251,7 +251,7 @@ object Scans extends QueryPack {
           .filter(col("o_year") === 1995)
           .groupBy(month(col("o_orderdate")).cast("int").as("m"))
           .agg(cnt.as("n"), dsum(col("o_totalprice")).as("s"))
-          .orderBy("m")
+          .oracleOrder("m")
       }),
 
     // Metrics SERVING read path (reference: TensorBoard reading the scalar
@@ -294,7 +294,7 @@ object Scans extends QueryPack {
           .withColumn("n_versions", count(lit(1)).over(w).cast("int"))
           .filter(col("epoch") === col("latest"))
           .select("name", "bucket", "value", "n_versions")
-          .orderBy("name", "bucket")
+          .oracleOrder("name", "bucket")
       }),
 
     // Z-order clustered layout (the Delta/Iceberg OPTIMIZE ZORDER BY move,
@@ -423,7 +423,7 @@ object Scans extends QueryPack {
         s.read.parquet(tmp)
           .groupBy("o_orderstatus")
           .agg(cnt.as("n"), round(dsum(col("o_totalprice")), 4).as("s"))
-          .orderBy("o_orderstatus")
+          .oracleOrder("o_orderstatus")
       }),
 
     // Schema evolution: two generations of the corpus land with different
@@ -462,7 +462,7 @@ object Scans extends QueryPack {
             cnt.as("n"),
             sum(coalesce(col("n_chars"), lit(0L))).cast("long")
               .as("sum_chars"))
-          .orderBy("lang", "source")
+          .oracleOrder("lang", "source")
       }),
 
     // Append-style metrics sink shape: (name, bucket, value) rows, the batch
@@ -479,7 +479,7 @@ object Scans extends QueryPack {
             col("event_type").as("name"),
             date_trunc("month", col("ts")).cast("date").as("bucket"))
           .agg(cnt.cast("double").as("value"))
-          .orderBy("name", "bucket")),
+          .oracleOrder("name", "bucket")),
 
     // ORC round-trip: the third columnar interchange format next to parquet
     // and the text formats above (Spark's built-in ORC source — predicate
@@ -507,7 +507,7 @@ object Scans extends QueryPack {
           .orc(tmp)
           .groupBy("c_mktsegment")
           .agg(cnt.as("n"), dsum(col("c_acctbal")).as("bal"))
-          .orderBy("c_mktsegment")
+          .oracleOrder("c_mktsegment")
       }),
 
     // Native npy/npz ingestion — the reference's actual landing format
@@ -542,6 +542,6 @@ object Scans extends QueryPack {
               (name.stripPrefix("vec_").toLong, a)
             }))
           .toDF("vec_id", "embedding")
-          .orderBy("vec_id")
+          .oracleOrder("vec_id")
       }))
 }

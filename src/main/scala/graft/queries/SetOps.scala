@@ -32,7 +32,7 @@ object SetOps extends QueryPack {
             date_trunc("month", col("ts")).cast("date").as("month"),
             col("event_type"))
           .agg(cnt.as("n"))
-          .orderBy("month", "event_type")
+          .oracleOrder("month", "event_type")
       }),
 
     Q(
@@ -44,7 +44,7 @@ object SetOps extends QueryPack {
       (s, dir) =>
         Tables(s, dir, "customer").select("c_custkey")
           .except(Tables(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
-          .orderBy("c_custkey")),
+          .oracleOrder("c_custkey")),
 
     Q(
       "intersect_common",
@@ -55,5 +55,5 @@ object SetOps extends QueryPack {
       (s, dir) =>
         Tables(s, dir, "lineitem").select(col("l_partkey").as("p_partkey"))
           .intersect(Tables(s, dir, "part").filter(col("p_size") > 25).select("p_partkey"))
-          .orderBy("p_partkey")))
+          .oracleOrder("p_partkey")))
 }

@@ -443,7 +443,7 @@ object SimOps extends QueryPack {
               .as("cos"))
           .withColumn("rn", row_number().over(w).cast("int"))
           .filter(col("rn") <= 5)
-          .orderBy("qa", "rn")
+          .oracleOrder("qa", "rn")
       }),
 
     // Near-duplicate pairs by embedding cosine (the dense-vector twin of the
@@ -537,7 +537,7 @@ object SimOps extends QueryPack {
               .as("cos"))
           .withColumn("rn", row_number().over(w).cast("int"))
           .filter(col("rn") <= 3)
-          .orderBy("qa", "rn")
+          .oracleOrder("qa", "rn")
       }),
 
     // Multimodal binary-column plumbing: text re-encoded as an opaque blob
@@ -565,7 +565,7 @@ object SimOps extends QueryPack {
             (nBytes % 640).cast("int").as("frame_w"),
             ((nBytes * 7) % 480).cast("int").as("frame_h"),
             (nBytes % 30 + 1).cast("int").as("n_frames"))
-          .orderBy("doc_id")
+          .oracleOrder("doc_id")
       }),
 
     // ANN via IVF (inverted-file index): coarse quantizer = 8 centroids
@@ -611,7 +611,7 @@ object SimOps extends QueryPack {
               .as("cos"))
           .withColumn("rn", row_number().over(ws).cast("int"))
           .filter(col("rn") <= 3)
-          .orderBy("qa", "rn")
+          .oracleOrder("qa", "rn")
       },
       oracleGen = Some((s, dir) => ivfOracle(graft.ml.Quantizers.ivf(s, dir)))),
 
@@ -658,7 +658,7 @@ object SimOps extends QueryPack {
             round(ncos(col("ea"), col("eb2")), 6).as("cos"))
           .withColumn("rn", row_number().over(wc).cast("int"))
           .filter(col("rn") <= 3)
-          .orderBy("qa", "rn")
+          .oracleOrder("qa", "rn")
       },
       oracleGen = Some((s, dir) => pqOracle(graft.ml.Quantizers.pq(s, dir)))),
 
@@ -697,7 +697,7 @@ object SimOps extends QueryPack {
             }
           }
           .toDF()
-          .orderBy("doc_id")
+          .oracleOrder("doc_id")
       }),
 
     // The composed production ANN index — IVF list pruning + PQ codes
@@ -757,7 +757,7 @@ object SimOps extends QueryPack {
             round(ncos(col("ea"), col("eb2")), 6).as("cos"))
           .withColumn("rn", row_number().over(wc).cast("int"))
           .filter(col("rn") <= 3)
-          .orderBy("qa", "rn")
+          .oracleOrder("qa", "rn")
       },
       oracleGen = Some((s, dir) =>
         ivfpqOracle(graft.ml.Quantizers.ivf(s, dir), graft.ml.Quantizers.pq(s, dir)))),
@@ -799,7 +799,7 @@ object SimOps extends QueryPack {
           .select(col("vec_id"), col("cid"),
             round(col("centsim"), 6).as("centsim"),
             col("rid").isNotNull.as("removed"))
-          .orderBy("vec_id")
+          .oracleOrder("vec_id")
       },
       oracleGen = Some((s, dir) =>
         semdedupOracle(graft.ml.Quantizers.sem(s, dir), SemTau))),
@@ -838,7 +838,7 @@ object SimOps extends QueryPack {
           .select(col("doc_id"), col("f").cast("int").as("frame_idx"),
             md5(concat(col("content_md5"), lit(":"), col("f").cast("string")))
               .as("frame_hash"))
-          .orderBy("doc_id", "frame_idx")
+          .oracleOrder("doc_id", "frame_idx")
       }),
 
     // Multimodal columns: text features joined with the vector modality.
@@ -858,6 +858,6 @@ object SimOps extends QueryPack {
             col("doc_id"), col("n_chars"),
             size(split(col("text"), " ")).cast("int").as("n_tokens"),
             round(nnorm(col("embedding")), 4).as("l2"))
-          .orderBy("doc_id")
+          .oracleOrder("doc_id")
       }))
 }

@@ -90,7 +90,7 @@ object StreamingQueries extends QueryPack {
           .select(
             date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
             col("event_type"), col("n"), col("sum_v"))
-          .orderBy("ws", "event_type")),
+          .oracleOrder("ws", "event_type")),
 
     // Sliding 1h/30min windows == union of two phase-shifted 30-min grids.
     Q(
@@ -112,7 +112,7 @@ object StreamingQueries extends QueryPack {
           .select(
             date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
             col("n"))
-          .orderBy("ws")),
+          .oracleOrder("ws")),
 
     // Session windows (30-min gap) as gaps-and-islands — the same lag +
     // cumulative-flag SQL in both engines; keyed by user_id so state is
@@ -154,7 +154,7 @@ object StreamingQueries extends QueryPack {
             date_format(min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_start"),
             date_format(max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_end"),
             cnt.as("n"))
-          .orderBy("user_id", "sid")
+          .oracleOrder("user_id", "sid")
       }),
 
     // Exactly-once re-emission guard: dropDuplicates over a doubled input
@@ -175,7 +175,7 @@ object StreamingQueries extends QueryPack {
             col("event_id"),
             date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
             col("user_id"), col("event_type"), col("value"))
-          .orderBy("event_id")
+          .oracleOrder("event_id")
       }),
 
     // session_window() native batch form of the sessionization — same
@@ -211,7 +211,7 @@ object StreamingQueries extends QueryPack {
             date_format(max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_end"),
             cnt.as("n"))
           .select("user_id", "s_start", "s_end", "n")
-          .orderBy("user_id", "s_start")),
+          .oracleOrder("user_id", "s_start")),
 
     // Custom-state sessionization: flatMapGroupsWithState with event-time
     // timeout (graft.streaming.Sessionize) over the AvailableNow stream —
@@ -247,7 +247,7 @@ object StreamingQueries extends QueryPack {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.table(sink).orderBy("user_id", "s_start")
+        s.table(sink).oracleOrder("user_id", "s_start")
       }),
 
     // foreachBatch sink: the production escape hatch for sinks Structured
@@ -279,7 +279,7 @@ object StreamingQueries extends QueryPack {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.read.parquet(out).orderBy("ws")
+        s.read.parquet(out).oracleOrder("ws")
       }),
 
     // The TensorBoard LIVE reader (trainer/tensorboard.ipynb:36-55) as a
@@ -339,7 +339,7 @@ object StreamingQueries extends QueryPack {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.table(sink).orderBy("name", "bucket")
+        s.table(sink).oracleOrder("name", "bucket")
       }),
 
     // Restart/recovery across process generations — THE operational
@@ -411,7 +411,7 @@ object StreamingQueries extends QueryPack {
         val run2Rows = leg2.recentProgress.map(_.numInputRows).sum
         s.table(s"restart2_$uid")
           .withColumn("run2_input_rows", lit(run2Rows).cast("long"))
-          .orderBy("name", "bucket")
+          .oracleOrder("name", "bucket")
       }),
 
     // Stream-static enrichment: the live event stream joins the slowly
@@ -444,7 +444,7 @@ object StreamingQueries extends QueryPack {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.table(sink).orderBy("c_mktsegment")
+        s.table(sink).oracleOrder("c_mktsegment")
       }),
 
     // Stream-stream inner join — the hardest stateful operator Structured
@@ -501,7 +501,7 @@ object StreamingQueries extends QueryPack {
             col("view_id"), col("click_id"), col("user_id"),
             (unix_micros(col("c_ts")) - unix_micros(col("v_ts")))
               .as("delta_us"))
-          .orderBy("view_id", "click_id")
+          .oracleOrder("view_id", "click_id")
       }),
 
     // True Structured Streaming run: AvailableNow over the events parquet,
@@ -528,7 +528,7 @@ object StreamingQueries extends QueryPack {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.table(sink).orderBy("ws", "event_type")
+        s.table(sink).oracleOrder("ws", "event_type")
       }),
 
     // Streaming DISTINCT counting — the composition the two families imply:
@@ -562,6 +562,6 @@ object StreamingQueries extends QueryPack {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.table(sink).orderBy("ws")
+        s.table(sink).oracleOrder("ws")
       }))
 }

@@ -54,7 +54,7 @@ object TextAnalysis extends QueryPack {
             col("doc_id"), col("lang"),
             round(col("n_stop") / col("n_tok"), 6).as("en_score"),
             (col("n_stop") / col("n_tok") >= 0.05).as("pred_en"))
-          .orderBy("doc_id")
+          .oracleOrder("doc_id")
       }),
 
     // Quality score from length / punctuation / stopword ratios — pure array
@@ -91,7 +91,7 @@ object TextAnalysis extends QueryPack {
               lit(0.3) * least(lit(1.0), nTok / 100.0) +
                 lit(0.4) * stopRatio +
                 lit(0.3) * (lit(1) - punctRatio), 6).as("quality"))
-          .orderBy("doc_id")
+          .oracleOrder("doc_id")
       }),
 
     // Tokenizer-style counting: whitespace tokens vs BPE-ish regex tokens
@@ -113,7 +113,7 @@ object TextAnalysis extends QueryPack {
             sum(size(split(col("text"), " ")).cast("long")).cast("long").as("total_ws"),
             sum(nBpe).cast("long").as("total_bpe"),
             round(sum(nBpe) / cnt, 6).as("avg_bpe"))
-          .orderBy("lang")
+          .oracleOrder("lang")
       }),
 
     // Polynomial rolling hash over the character stream (Rabin-Karp shape:
@@ -138,7 +138,7 @@ object TextAnalysis extends QueryPack {
         Tables(s, dir, "documents")
           .filter(col("doc_id") < 300)
           .select(col("doc_id"), rhash.as("rhash"))
-          .orderBy("doc_id")
+          .oracleOrder("doc_id")
       }),
 
     // Document fingerprint (OpenRefine-style key collision): md5 of the

@@ -67,7 +67,7 @@ object TextOps extends QueryPack {
           .withColumn("rn", row_number().over(w).cast("int"))
           .filter(col("rn") <= 3)
           .select("doc_id", "term", "tfidf", "rn")
-          .orderBy("doc_id", "rn")
+          .oracleOrder("doc_id", "rn")
       }),
 
     // Exact dedup by normalized content hash; representative = min doc_id.
@@ -83,7 +83,7 @@ object TextOps extends QueryPack {
           .groupBy(md5(lower(trim(col("text")))).as("content_hash"))
           .agg(min("doc_id").cast("long").as("rep_doc"), cnt.as("n_dups"))
           .filter(col("n_dups") > 1)
-          .orderBy("content_hash")),
+          .oracleOrder("content_hash")),
 
     // Exact near-dup pairs: token-key self-join computes |A n B| without a
     // doc x doc cross product — the same inverted-index shape LSH banding
@@ -135,6 +135,6 @@ object TextOps extends QueryPack {
           .join(sz.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
           .filter(jac >= 0.8)
           .select(col("da"), col("db"), round(jac, 6).as("jaccard"))
-          .orderBy("da", "db")
+          .oracleOrder("da", "db")
       }))
 }

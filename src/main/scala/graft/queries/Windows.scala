@@ -38,7 +38,7 @@ object Windows extends QueryPack {
             col("o_custkey").as("c_custkey"), col("o_orderkey"), col("o_totalprice"),
             row_number().over(w).cast("int").as("rn"))
           .filter(col("rn") <= 3)
-          .orderBy("c_custkey", "rn")
+          .oracleOrder("c_custkey", "rn")
       }),
 
     Q(
@@ -56,7 +56,7 @@ object Windows extends QueryPack {
             col("o_custkey"), col("o_orderkey"),
             sum(col("o_totalprice").cast(DecimalType(18, 6))).over(w)
               .cast("double").as("running"))
-          .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+          .oracleOrder(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
           .select("o_custkey", "o_orderkey", "running")
       }),
 
@@ -72,7 +72,7 @@ object Windows extends QueryPack {
           .select(
             col("user_id"), col("event_id"),
             round(col("value") - lag(col("value"), 1).over(w), 6).as("delta"))
-          .orderBy("user_id", "event_id")
+          .oracleOrder("user_id", "event_id")
       }),
 
     // Time-interval RANGE frame: per event, how many events the same user
@@ -96,7 +96,7 @@ object Windows extends QueryPack {
           .select(
             col("event_id"),
             count(lit(1)).over(w).cast("long").as("n_last_hour"))
-          .orderBy("event_id")
+          .oracleOrder("event_id")
       }),
 
     // Centered 3-row moving average of exact daily revenue (the 1-D
@@ -133,7 +133,7 @@ object Windows extends QueryPack {
             round((coalesce(lg, lit(0.0)) + col("rev") + coalesce(ld, lit(0.0))) /
               (when(lg.isNull, 0).otherwise(1) + lit(1) +
                 when(ld.isNull, 0).otherwise(1)), 4).as("ma3"))
-          .orderBy("day")
+          .oracleOrder("day")
       }),
 
     // ntile(10) over a TOTAL order — but computed distributed: Spark's
@@ -186,7 +186,7 @@ object Windows extends QueryPack {
           .select(col("o_totalprice"), bucket.cast("int").as("bucket"))
           .groupBy("bucket")
           .agg(cnt.as("n"), dsum(col("o_totalprice")).as("s"))
-          .orderBy("bucket")
+          .oracleOrder("bucket")
       }),
 
     // Relative-position windows: percent_rank (SQL-standard (rank-1)/(n-1))
@@ -206,7 +206,7 @@ object Windows extends QueryPack {
             col("s_nationkey"), col("s_suppkey"),
             round(percent_rank().over(w), 6).as("pr"),
             round(cume_dist().over(w), 6).as("cd"))
-          .orderBy("s_nationkey", "s_suppkey")
+          .oracleOrder("s_nationkey", "s_suppkey")
       }),
 
     Q(
@@ -229,7 +229,7 @@ object Windows extends QueryPack {
             rank().over(wv).cast("int").as("rnk"),
             dense_rank().over(wv).cast("int").as("drnk"),
             row_number().over(wr).cast("int").as("rn"))
-          .orderBy("n_name", "rn")
+          .oracleOrder("n_name", "rn")
       }),
 
     // Batch sessionization by inactivity gap (30 min) — the lag-flag-cumsum
@@ -278,6 +278,6 @@ object Windows extends QueryPack {
             cnt.as("n_events"),
             (unix_micros(max("ts")) - unix_micros(min("ts")))
               .cast("long").as("dur_us"))
-          .orderBy("user_id", "session_id")
+          .oracleOrder("user_id", "session_id")
       }))
 }
