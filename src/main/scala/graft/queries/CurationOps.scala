@@ -305,14 +305,23 @@ object CurationOps extends QueryPack {
           conv(
             substring(md5(concat(tok, lit(":"), r.cast("string"))), 1, 15),
             16, 10).cast("long") % cmsW
-        val tk = Tables(s, dir, "documents")
+        // Count tokens FIRST, then hash: the sketch cell for (tok, r) gets
+        // tok's full occurrence count in one increment, so the d md5
+        // probes run once per DISTINCT token, not once per occurrence —
+        // same cells, same counts, ~occurrence/vocabulary-fold less
+        // hashing. Both the sketch and the top-k candidates read the same
+        // token-frequency aggregate, so the tokenize+count exchange is
+        // planned once and reused (ReuseExchange), not re-scanned.
+        val tokFreq = Tables(s, dir, "documents")
           .select(explode(split(lower(col("text")), " ")).as("tok"))
+          .groupBy("tok").agg(cnt.as("exact"))
         val rows = explode(sequence(lit(0), lit(cmsD - 1))).as("r")
-        val sk = tk.select(col("tok"), rows)
-          .select(col("r"), bucket(col("tok"), col("r")).as("bucket"))
+        val sk = tokFreq.select(col("tok"), col("exact"), rows)
+          .select(col("r"), bucket(col("tok"), col("r")).as("bucket"),
+            col("exact"))
           .groupBy("r", "bucket")
-          .agg(cnt.as("c"))
-        val top = tk.groupBy("tok").agg(cnt.as("exact"))
+          .agg(sum("exact").cast("long").as("c"))
+        val top = tokFreq
           .orderBy(col("exact").desc, col("tok"))
           .limit(vocabK)
         val probes = top.select(col("tok"), col("exact"), rows)
@@ -407,26 +416,29 @@ object CurationOps extends QueryPack {
              |FROM t LEFT JOIN c ON t.doc_id = c.doc_id
              |GROUP BY 1 ORDER BY 1""".stripMargin),
       (s, dir) => {
+        graft.functions.Native.register(s)
         val d = Tables(s, dir, "documents")
           .select(col("doc_id"), coalesce(col("lang"), lit("??")).as("lang"),
             lower(col("text")).as("tx"))
-        // No per-doc gram distinct: the semi-join only needs EXISTENCE, and
-        // a distinct here would shuffle every 20-char gram string — the one
-        // thing this plan exists to avoid. Grams are xxhash64'd to longs
-        // BEFORE the join, so the broadcast relation is a long set (8 bytes
-        // per eval gram instead of a ~60-byte string), the probe is a long
-        // hash lookup, and the training side stays map-side; only matched
-        // doc_ids shuffle (for the distinct), a set bounded by the doc
-        // count, not the gram count. Collision risk is the same negligible
-        // class dedup_exact_hash accepts for md5 keys (~1e-8 at 1M grams);
-        // the DuckDB oracle joins raw grams, so a collision that changed
-        // the outcome would surface as a red row.
+        // Grams are xxhash64'd to longs BEFORE the join, so the broadcast
+        // relation is a long set (8 bytes per eval gram instead of a
+        // ~60-byte string), the probe is a long hash lookup, and the
+        // training side stays map-side; only matched doc_ids shuffle (for
+        // the distinct), a set bounded by the doc count, not the gram
+        // count. graft_gram_hashes walks each doc's codepoint boundaries
+        // once and emits the doc's DISTINCT gram hashes (the declarative
+        // substring(tx, i, 20) form seeks from byte 0 per position —
+        // O(L^2) byte scans per doc); the per-doc dedup it adds for free
+        // changes nothing here, since both consumers only need existence.
+        // Hash-compatible with stock xxhash64 by construction
+        // (GramHashesSpec). Collision risk is the same negligible class
+        // dedup_exact_hash accepts for md5 keys (~1e-8 at 1M grams); the
+        // DuckDB oracle joins raw grams, so a collision that changed the
+        // outcome would surface as a red row.
         def grams(df: org.apache.spark.sql.DataFrame) = df
-          .filter(length(col("tx")) >= 20)
-          .select(col("doc_id"), col("tx"),
-            explode(sequence(lit(1), length(col("tx")) - 19)).as("i"))
           .select(col("doc_id"),
-            xxhash64(expr("substring(tx, i, 20)")).as("gram_h"))
+            explode(call_function("graft_gram_hashes", col("tx"), lit(20)))
+              .as("gram_h"))
         val evalGrams = grams(d.filter(col("doc_id") % 10 === 0))
           .select("gram_h").distinct()
         val contam = grams(d.filter(col("doc_id") % 10 =!= 0))

