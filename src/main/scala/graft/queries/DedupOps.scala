@@ -210,6 +210,64 @@ object DedupOps extends QueryPack {
           .limit(20)
       }),
 
+    // Asymmetric gram CONTAINMENT |G(a) ∩ G(b)| / |G(a)| — the near-dup
+    // signal Jaccard dilutes: a short doc pasted inside a much longer one
+    // scores ~1 here but near 0 on Jaccard (union is dominated by the big
+    // doc). The production pair of this exact baseline is the same
+    // banded-MinHash candidate generation as dedup_minhash_lsh (containment
+    // needs only |G(a)| and the intersection, both available on candidate
+    // pairs); the exact form is id-capped like dedup_ngram_jaccard and
+    // shares its one-pass gram generator and inverted-index self-join —
+    // both DIRECTED pairs (a→b and b→a) emerge from one undirected join
+    // probe since the intersection is symmetric and only the denominator
+    // differs.
+    Q(
+      "dedup_gram_containment",
+      Some("""WITH d AS (SELECT doc_id, lower(text) AS tx FROM documents WHERE doc_id < 100),
+             |g AS (SELECT DISTINCT doc_id, substr(tx, CAST(i AS INT), 5) AS gram
+             |      FROM d, unnest(range(1, len(tx)-3)) AS r(i)),
+             |sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
+             |inter AS (SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS i
+             |          FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+             |          GROUP BY 1, 2),
+             |directed AS (
+             |  SELECT da, db, CAST(i AS DOUBLE) / sa.sz AS containment
+             |  FROM inter JOIN sz sa ON da = sa.doc_id
+             |  UNION ALL
+             |  SELECT db AS da, da AS db, CAST(i AS DOUBLE) / sb.sz AS containment
+             |  FROM inter JOIN sz sb ON db = sb.doc_id)
+             |SELECT da, db, ROUND(containment, 6) AS containment
+             |FROM directed
+             |ORDER BY containment DESC, da, db LIMIT 20""".stripMargin),
+      (s, dir) => {
+        graft.functions.Native.register(s)
+        val d = Tables(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), lower(col("text")).as("tx"))
+        val g = d
+          .select(col("doc_id"),
+            explode(call_function("graft_grams", col("tx"), lit(5))).as("gram"))
+          .distinct()
+        val sz = g.groupBy("doc_id").agg(cnt.as("sz"))
+        val inter = g.as("x")
+          .join(g.as("y"),
+            col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .agg(cnt.as("i"))
+        val fromA = inter
+          .join(sz.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
+          .select(col("da"), col("db"),
+            (col("i").cast("double") / col("sa")).as("containment"))
+        val fromB = inter
+          .join(sz.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
+          .select(col("db").as("da"), col("da").as("db"),
+            (col("i").cast("double") / col("sb")).as("containment"))
+        fromA.union(fromB)
+          .select(col("da"), col("db"), round(col("containment"), 6).as("containment"))
+          .orderBy(col("containment").desc, col("da"), col("db"))
+          .limit(20)
+      }),
+
     // End-to-end curation: cluster by content fingerprint, KEEP the
     // highest-quality doc per cluster (quality = the text_quality_score
     // formula), drop the rest — the actual corpus-dedup step a training
@@ -602,7 +660,7 @@ object DedupOps extends QueryPack {
       .filter(col("doc_id") % 5 < 4)
       .select(fp.as("h"))
       .agg(expr(s"graft_bloom_agg(xxhash64(h), ${bloomItems}L, ${bloomBits}L)"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
   }
 
   /** Repeat threshold for `dedup_repeated_spans` (>= 5 docs: 47 spans at

@@ -208,6 +208,57 @@ object Joins extends QueryPack {
           .oracleOrder("event_id")
       }),
 
+    // Nearest as-of join — the third direction of the as-of family: per
+    // event, the temporally CLOSEST click of the same user in either
+    // direction (sensor-alignment semantics: pandas merge_asof
+    // direction='nearest'). Composes the backward and forward frames of
+    // the two siblings and picks the smaller |Δt| (tie → the earlier,
+    // i.e. the backward match, matching pandas). Same partition-local
+    // window dialect — one shuffle on user_id at any scale, integer
+    // microsecond deltas so both engines compare exactly.
+    Q(
+      "join_asof_nearest",
+      Some("""SELECT event_id,
+             |  strftime(CASE
+             |    WHEN prev_ts IS NULL THEN next_ts
+             |    WHEN next_ts IS NULL THEN prev_ts
+             |    WHEN epoch_us(ts) - epoch_us(prev_ts)
+             |         <= epoch_us(next_ts) - epoch_us(ts) THEN prev_ts
+             |    ELSE next_ts END, '%Y-%m-%d %H:%M:%S.%f') AS nearest_click_ts
+             |FROM (
+             |  SELECT event_id, ts,
+             |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ts,
+             |    first_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ts
+             |  FROM events)
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val back = ord.rowsBetween(Window.unboundedPreceding, -1)
+        val fwd = ord.rowsBetween(1, Window.unboundedFollowing)
+        val clickTs = when(col("event_type") === "click", col("ts"))
+        val prevTs = last(clickTs, ignoreNulls = true).over(back)
+        val nextTs = first(clickTs, ignoreNulls = true).over(fwd)
+        Tables(s, dir, "events")
+          .select(col("event_id"), col("ts"),
+            prevTs.as("prev_ts"), nextTs.as("next_ts"))
+          .select(
+            col("event_id"),
+            date_format(
+              when(col("prev_ts").isNull, col("next_ts"))
+                .when(col("next_ts").isNull, col("prev_ts"))
+                .when(
+                  unix_micros(col("ts")) - unix_micros(col("prev_ts")) <=
+                    unix_micros(col("next_ts")) - unix_micros(col("ts")),
+                  col("prev_ts"))
+                .otherwise(col("next_ts")),
+              "yyyy-MM-dd HH:mm:ss.SSSSSS").as("nearest_click_ts"))
+          .oracleOrder("event_id")
+      }),
+
     // Bucketed co-located join: both sides pre-bucketed on the join key into
     // external tables, so the SortMergeJoin needs NO exchange (the plan-shape
     // test asserts it). This is the 100 TB big-big join strategy: pay the

@@ -71,15 +71,34 @@ object SimOps extends QueryPack {
     val cents = s.createDataFrame(
       cs.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toIndexedSeq) })
       .toDF("cid", "ce")
-    val dists = e.crossJoin(broadcast(cents))
+    // The n·k candidate product carries ONE dot product per row: ce·ce is
+    // a per-centroid scalar precomputed on the broadcast side (same ndot
+    // expression on the same floats → bit-identical double), and centsim
+    // is only computed for the winning assignment below — n evaluations,
+    // not n·k. The previous form evaluated ~5 64-dim folds per candidate.
+    val cents2 = cents.select(col("cid"), col("ce"),
+      ndot(col("ce"), col("ce")).as("cc"))
+    val dists = e.crossJoin(broadcast(cents2))
       .select(col("vec_id"), col("embedding"), col("cid"),
-        (ndot(col("ce"), col("ce")) - lit(2.0) * ndot(col("embedding"), col("ce")))
-          .as("dist"),
+        (col("cc") - lit(2.0) * ndot(col("embedding"), col("ce"))).as("dist"))
+    // argmin as a partial-aggregating min_by, NOT a row_number window: the
+    // window form shuffles and SORTS the full n·k distance table (the
+    // dominant cost once k grows with the corpus — the 10x scale probe
+    // measured slope ~21 on it), while min_by folds each vec_id's k
+    // candidates map-side and shuffles one row per vector. The ordering
+    // struct (dist, cid) is duplicate-free within a group (cid is unique),
+    // so the pick is deterministic on any partitioning — same tie-break
+    // the window's ORDER BY dist, cid applied, and the oracle's window SQL
+    // still mirrors it exactly. first(embedding) is order-safe: every
+    // candidate row of a vec_id carries the identical array.
+    dists
+      .groupBy("vec_id")
+      .agg(
+        min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"),
+        first(col("embedding")).as("embedding"))
+      .join(broadcast(cents), "cid")
+      .select(col("vec_id"), col("cid"), col("embedding"),
         ncos(col("embedding"), col("ce")).as("centsim"))
-    val wd = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-    dists.withColumn("rn", row_number().over(wd))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"), col("embedding"), col("centsim"))
   }
 
   /** Deterministic pseudo-random hyperplanes for LSH bucketing: 32 planes x
