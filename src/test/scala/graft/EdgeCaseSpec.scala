@@ -195,4 +195,44 @@ class EdgeCaseSpec extends SparkSpec {
       .write.parquet(s"$dir/events.parquet")
     assert(Registry.byId("ml_cnn_forward_compose").run(spark, dir).count() == 0)
   }
+
+  test("nearest as-of: equidistant tie takes the earlier click; edges fall back") {
+    // One user, clicks at t-10s and t+10s around a view: the tie must
+    // resolve to the EARLIER click (pandas direction='nearest' semantics),
+    // and events before the first / after the last click must fall back to
+    // the only available side.
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge_asof").toString
+    val us = 1000000L
+    def ev(id: Long, t: Long, ty: String) = (id, t * 1000, 7L, ty, 0.0, "{}")
+    Seq(
+      ev(1, 0L * us, "view"), // before any click -> nearest is click@10
+      ev(2, 10L * us, "click"),
+      ev(3, 20L * us, "view"), // tie: click@10 vs click@30 -> earlier (10)
+      ev(4, 30L * us, "click"),
+      ev(5, 41L * us, "view")) // after last click -> click@30
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Registry.byId("join_asof_nearest").run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L).endsWith("00:00:10.000000"), out(1L))
+    assert(out(3L).endsWith("00:00:10.000000"), out(3L)) // tie -> earlier
+    assert(out(5L).endsWith("00:00:30.000000"), out(5L))
+    // A click's own nearest ignores itself only via the 1 PRECEDING /
+    // 1 FOLLOWING frames: click@10's nearest is click@30, not itself.
+    assert(out(2L).endsWith("00:00:30.000000"), out(2L))
+  }
+
+  test("gram containment: a short doc inside a long one scores 1.0 one-way") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge_cont").toString
+    val short = "abcdefgh" // 4 distinct 5-grams
+    val long = "XX" + short + "YY" // contains all of short's grams
+    Seq((1L, short, "en", "s", 8L), (2L, long, "en", "s", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Registry.byId("dedup_gram_containment").run(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 1.0, out) // all of short's grams are in long
+    assert(out((2L, 1L)) < 1.0, out) // long has grams short lacks
+  }
 }
