@@ -527,5 +527,51 @@ object Aggregations extends QueryPack {
                 sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
               .as("corr"))
           .oracleOrder("flag")
+      }),
+
+    // Weighted median (lower weighted median: the smallest value whose
+    // cumulative weight reaches half the total) — the robust location
+    // statistic a quantity-weighted price summary needs; plain median
+    // treats a 1-unit and a 50-unit line item identically. Shape is built
+    // for scale: pass 1 compresses (flag, price) → SUM(qty) by hash
+    // aggregation (partial map-side combine; cardinality is |distinct
+    // price| per flag, not |rows|), and only that compressed table enters
+    // the cumulative window — the running sum never sees raw rows. The
+    // default RANGE frame makes tied prices share one cumulative value on
+    // both engines, so the 2·cw ≥ tot cut is tie-order-free. All sums are
+    // exact DECIMAL (Fns policy); outputs cast to double only at the edge.
+    Q(
+      "agg_weighted_median",
+      Some("""WITH w AS (
+             |  SELECT l_returnflag AS flag,
+             |    CAST(ROUND(l_extendedprice, 2) AS DECIMAL(14,2)) AS v,
+             |    SUM(CAST(ROUND(l_quantity, 2) AS DECIMAL(12,2))) AS q
+             |  FROM lineitem GROUP BY 1, 2),
+             |c AS (
+             |  SELECT flag, v, q,
+             |    SUM(q) OVER (PARTITION BY flag ORDER BY v) AS cw,
+             |    SUM(q) OVER (PARTITION BY flag) AS tot
+             |  FROM w)
+             |SELECT flag, CAST(MIN(v) AS DOUBLE) AS wmedian,
+             |  CAST(MIN(tot) AS DOUBLE) AS total_qty
+             |FROM c WHERE 2 * cw >= tot GROUP BY flag
+             |ORDER BY flag""".stripMargin),
+      (s, dir) => {
+        val byV = Window.partitionBy("flag").orderBy("v")
+        val whole = Window.partitionBy("flag")
+        Tables(s, dir, "lineitem")
+          .groupBy(
+            col("l_returnflag").as("flag"),
+            round(col("l_extendedprice"), 2).cast(DecimalType(14, 2)).as("v"))
+          .agg(sum(round(col("l_quantity"), 2).cast(DecimalType(12, 2))).as("q"))
+          .select(col("flag"), col("v"), col("q"),
+            sum("q").over(byV).as("cw"),
+            sum("q").over(whole).as("tot"))
+          .filter(col("cw") * 2 >= col("tot"))
+          .groupBy("flag")
+          .agg(
+            min("v").cast("double").as("wmedian"),
+            min("tot").cast("double").as("total_qty"))
+          .oracleOrder("flag")
       }))
 }

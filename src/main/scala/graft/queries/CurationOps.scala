@@ -701,6 +701,104 @@ object CurationOps extends QueryPack {
           .select(col("source"), col("n_docs"), col("t_src").as("tok_total"),
             col("tok_kept"), col("rate_pm"))
           .oracleOrder("source")
+      }),
+
+    // Weighted reservoir sampling (Efraimidis–Spirakis A-ES): keep the
+    // top-3 docs per source by the key ln(u)/w with u ~ U(0,1] and
+    // w = n_chars, which draws each doc with probability proportional to
+    // its weight — the quality/length-weighted subsample every mixture
+    // build wants, in ONE distributed pass with no global sort and no
+    // sequential reservoir. u is the SeededSplit md5 family at ppm
+    // granularity, so the "random" draw is a pure per-row map: any two
+    // runs, partitionings, or engines agree row for row, and the oracle
+    // can replay it. Per-source top-3 is a rank window over (key, doc_id)
+    // scalars — the text never shuffles. Cross-engine float policy: the
+    // ranking key is ROUND(·,12) with doc_id tie-break (ln ulp skew is
+    // ~1e-16 relative, far below the 1e-12 grid), per the perplexity
+    // filter's round-before-compare precedent.
+    Q(
+      "sample_weighted_reservoir",
+      Some("""WITH k AS (
+             |  SELECT source, doc_id,
+             |    ROUND(ln((CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':77'),1,15)) AS BIGINT)
+             |              % 1000000 + 1) / 1000001.0) / n_chars, 12) AS r
+             |  FROM documents),
+             |rk AS (
+             |  SELECT source, doc_id, r,
+             |    row_number() OVER (PARTITION BY source ORDER BY r DESC, doc_id) AS rnk
+             |  FROM k)
+             |SELECT source, rnk, doc_id, r FROM rk WHERE rnk <= 3
+             |ORDER BY source, rnk""".stripMargin),
+      (s, dir) => {
+        // ppm-granularity uniform from the md5 bucket family
+        // (SeededSplit.bucket is the %100 coarse twin): first 60 bits of
+        // md5("doc_id:77") → [0, 1e6) → u ∈ (0, 1).
+        val h = conv(
+          substring(md5(concat(col("doc_id").cast("string"), lit(":77"))), 1, 15),
+          16, 10).cast("long") % 1000000L
+        val u = (h + 1) / lit(1000001.0)
+        val rnk = Window.partitionBy("source")
+          .orderBy(col("r").desc, col("doc_id"))
+        Tables(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            round(log(u) / col("n_chars"), 12).as("r"))
+          .withColumn("rnk", row_number().over(rnk))
+          .filter(col("rnk") <= 3)
+          .select(col("source"), col("rnk"), col("doc_id"), col("r"))
+          .oracleOrder("source", "rnk")
+      }),
+
+    // Semantic decontamination — the embedding-space sibling of
+    // `decontaminate_ngram_overlap`: flag any corpus vector whose cosine
+    // to SOME held-out eval vector reaches 0.30 (paraphrases and
+    // translations that n-gram overlap misses). The eval set is
+    // fixed-size by construction (vec_id < 20 — benchmarks don't grow
+    // with the corpus), so it broadcasts at any scale and the corpus side
+    // is a map-only argmax-over-20 fold: the only shuffle is the
+    // per-vector (cos, eid) scalar pair into the max_by groupBy — same
+    // shape as semAssign/IVF assignment. Cosine is the native fused
+    // expression (`functions/CosineSim.scala`), ROUND 6 per the
+    // sim-family float policy; ties on max_cos resolve to the smallest
+    // eval id on both engines.
+    Q(
+      "decontaminate_semantic_embed",
+      Some(s"""WITH ev AS (SELECT vec_id AS eid, embedding AS ee
+              |           FROM embeddings WHERE vec_id < 20),
+              |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+              |p AS (
+              |  SELECT c.vec_id, ev.eid,
+              |    ROUND(list_sum(list_transform(list_zip(c.embedding, ev.ee),
+              |            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+              |      / (sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+              |       * sqrt(list_sum(list_transform(ev.ee, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS cos
+              |  FROM c, ev),
+              |m AS (SELECT vec_id, MAX(cos) AS max_cos FROM p GROUP BY vec_id)
+              |SELECT m.vec_id, MIN(p.eid) AS eval_id, m.max_cos,
+              |  m.max_cos >= $semThreshold AS contaminated
+              |FROM m JOIN p ON p.vec_id = m.vec_id AND p.cos = m.max_cos
+              |GROUP BY m.vec_id, m.max_cos
+              |ORDER BY m.vec_id""".stripMargin),
+      (s, dir) => {
+        graft.functions.Native.register(s)
+        val e = Tables(s, dir, "embeddings")
+        val ev = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("eid"), col("embedding").as("ee"))
+        val c = e.filter(col("vec_id") >= 20)
+          .select(col("vec_id"), col("embedding"))
+        // argmax as a partial-aggregating struct-max (cos asc, then
+        // SMALLEST eid on ties via the negated id), never a window: each
+        // vector's 20 candidates fold map-side, one scalar row shuffles.
+        c.crossJoin(broadcast(ev))
+          .select(col("vec_id"), col("eid"),
+            round(call_function("graft_cosine", col("embedding"), col("ee")), 6)
+              .as("cos"))
+          .groupBy("vec_id")
+          .agg(max(struct(col("cos"), (-col("eid")).as("nid"))).as("b"))
+          .select(col("vec_id"),
+            (-col("b.nid")).cast("long").as("eval_id"),
+            col("b.cos").as("max_cos"),
+            (col("b.cos") >= semThreshold).as("contaminated"))
+          .oracleOrder("vec_id")
       }))
 
   /** Per-source cap + its sampling seed for `corpus_cap_per_source`. */
@@ -719,6 +817,11 @@ object CurationOps extends QueryPack {
 
   /** Sampling seed for `corpus_token_budget_mix` (md5-bucket family). */
   private val mixSeed = 21
+
+  /** Cosine gate for `decontaminate_semantic_embed` (~p90 of the corpus's
+    * max-eval-cosine at sf0.01, so both outcomes occur at every scale).
+    */
+  private val semThreshold = 0.30
 
   private def stops = TextAnalysis.stops
   private def stopsSql = TextAnalysis.stopsSql

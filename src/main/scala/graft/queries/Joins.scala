@@ -259,6 +259,49 @@ object Joins extends QueryPack {
           .oracleOrder("event_id")
       }),
 
+    // Tolerance-bounded as-of join — the fourth knob of the as-of family
+    // (pandas merge_asof `tolerance=`): the latest prior click of the same
+    // user, but only if it happened within the last 24 h; staler matches
+    // are rejected to NULL rather than silently joined. This is the
+    // feature-freshness guard every point-in-time feature join needs (a
+    // week-old "last click" is not a feature, it's leakage of a different
+    // regime). Identical scale shape to join_asof_latest_before — one
+    // user_id shuffle, partition-local window — plus a free post-window
+    // integer-microsecond comparison; the 86400e6 µs bound splits the
+    // sf0.01 events 671 no-match / 3563 fresh / 5766 stale, so all three
+    // outcomes are exercised at every scale.
+    Q(
+      "join_asof_tolerance",
+      Some("""SELECT event_id,
+             |  strftime(CASE WHEN epoch_us(ts) - epoch_us(prev_ts) <= 86400000000
+             |                THEN prev_ts END, '%Y-%m-%d %H:%M:%S.%f') AS fresh_click_ts
+             |FROM (
+             |  SELECT event_id, ts,
+             |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ts
+             |  FROM events)
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val back = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables(s, dir, "events")
+          .select(col("event_id"), col("ts"),
+            last(when(col("event_type") === "click", col("ts")),
+              ignoreNulls = true).over(back).as("prev_ts"))
+          .select(
+            col("event_id"),
+            date_format(
+              // NULL prev_ts fails the <= predicate, so the no-prior-click
+              // case folds into the same WHEN arm as the stale case.
+              when(
+                unix_micros(col("ts")) - unix_micros(col("prev_ts")) <=
+                  86400000000L,
+                col("prev_ts")),
+              "yyyy-MM-dd HH:mm:ss.SSSSSS").as("fresh_click_ts"))
+          .oracleOrder("event_id")
+      }),
+
     // Bucketed co-located join: both sides pre-bucketed on the join key into
     // external tables, so the SortMergeJoin needs NO exchange (the plan-shape
     // test asserts it). This is the 100 TB big-big join strategy: pay the
