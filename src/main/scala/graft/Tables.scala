@@ -33,22 +33,37 @@ object Tables {
 
   /** Cached DataFrame for one table of one scale-factor directory.
     *
-    * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses to read natively; we read it as a raw nano-of-epoch LONG
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a µs timestamp.
-    * The driver data is µs-aligned (verified: `epoch_ns(ts) % 1000 == 0` at
-    * every sf), so `timestamp_micros(ts div 1000)` is lossless and matches
-    * DuckDB's native nanos read bit-for-bit.
+    * `events.parquet` has shipped with three `ts` physical encodings across
+    * driver generations, so normalization branches on the SCANNED dtype
+    * rather than assuming one:
+    *   - parquet TIMESTAMP(NANOS): Spark 4 refuses to read it natively; with
+    *     `spark.sql.legacy.parquet.nanosAsLong` it scans as a nano-of-epoch
+    *     LONG. The driver data is µs-aligned (`epoch_ns(ts) % 1000 == 0` at
+    *     every sf), so `timestamp_micros(ts div 1000)` is lossless and
+    *     matches DuckDB's native nanos read bit-for-bit.
+    *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): scans as
+    *     TIMESTAMP_NTZ. The session is pinned UTC, so a cast to TimestampType
+    *     is a lossless relabel and keeps every downstream `window()` /
+    *     watermark / unix_micros use (which want TimestampType) working.
+    *   - TimestampType already: pass through.
     */
   private def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      raw.withColumn(
-        "ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    if (name == "events") {
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType => raw
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts: unsupported parquet dtype $other (expected LONG nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+      }
+    } else raw
   }
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =

@@ -25,7 +25,18 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // Fail LOUDLY: a broken query must surface as a red driver row, never
+        // a silently-missing one (round 12 lost 47 rows that way). Emit a
+        // one-row parquet whose schema can never match the oracle, carrying
+        // the exception so the red row is self-diagnosing.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        import spark.implicits._
+        val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}"
+        try Seq(msg).toDF("_error").coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+        catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name error-marker write failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

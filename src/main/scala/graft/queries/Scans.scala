@@ -519,15 +519,26 @@ object Scans extends QueryPack {
     // API), re-ingested as `binaryFile` blobs + a mapPartitions decode.
     // float32 bits cross the format verbatim, so the oracle is the
     // original table itself — any header/endianness/offset mistake is a
-    // hash mismatch against DuckDB reading the source parquet. Scale
-    // shape: blobs bin-pack into splits via normal file-scan sizing, the
-    // decode is map-side (zero shuffle before the oracle-determinism
-    // sort), and one zip per GROUP (not per vector) keeps the file count
-    // 50x below the row count — the small-files discipline a real landing
-    // zone needs.
+    // hash mismatch against DuckDB reading the source parquet. Output is
+    // posexploded to (vec_id, dim, v) SCALARS per SURVEY §7.3 rule 6 (the
+    // oracle comparator cannot sort/hash array cells); float32→double is
+    // exact widening, so bit-exactness of the round-trip is still what the
+    // hash proves, cell by cell. Scale shape: blobs bin-pack into splits
+    // via normal file-scan sizing, the decode is map-side (zero shuffle
+    // before the oracle-determinism sort), and one zip per GROUP (not per
+    // vector) keeps the file count 50x below the row count — the
+    // small-files discipline a real landing zone needs.
     Q(
       "scan_npz_roundtrip",
-      Some("SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"),
+      // Zipped unnest + generate_subscripts = DuckDB's WITH ORDINALITY
+      // idiom (the ml_embedding_avg_pool precedent); 1-based dim on both
+      // sides, CAST to INT / DOUBLE on both sides.
+      Some("""WITH c AS (
+             |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             |    unnest(embedding) AS v
+             |  FROM embeddings)
+             |SELECT vec_id, CAST(dim AS INT) AS dim, CAST(v AS DOUBLE) AS v
+             |FROM c ORDER BY vec_id, dim""".stripMargin),
       (s, dir) => {
         import s.implicits._
         val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_npz_" +
@@ -542,6 +553,11 @@ object Scans extends QueryPack {
               (name.stripPrefix("vec_").toLong, a)
             }))
           .toDF("vec_id", "embedding")
-          .oracleOrder("vec_id")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(
+            col("vec_id"),
+            (col("pos") + 1).cast("int").as("dim"),
+            col("v").cast("double").as("v"))
+          .oracleOrder("vec_id", "dim")
       }))
 }

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Regression guard for the events `ts` load normalization
+  * (`Tables.load`). The driver has shipped events.parquet with three
+  * physical encodings across generations — nanos-as-LONG, TIMESTAMP_NTZ
+  * (micros, isAdjustedToUTC=false) and TIMESTAMP (micros, UTC) — and round
+  * 12 lost 47 registry queries to an unconditional nanos-LONG assumption.
+  * Each encoding is written in-test and must load to the identical
+  * TimestampType instants.
+  */
+class TablesSpec extends SparkSpec {
+
+  private val micros: Seq[Long] =
+    Seq(0L, 1700000000000000L, 1700000123456789L)
+
+  private def loadTs(dir: String): Seq[Long] = {
+    Tables.noCache = true
+    try Tables(spark, dir, "events")
+      .select(unix_micros(col("ts")))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    finally Tables.noCache = false
+  }
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_tables_spec").toString
+
+  test("events ts: nanos-as-LONG encoding loads to µs timestamps") {
+    import spark.implicits._
+    val dir = freshDir()
+    micros.map(us => (1L, us * 1000L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(loadTs(dir) === micros)
+    assert(Tables(spark, dir, "events").schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+  }
+
+  test("events ts: TIMESTAMP_NTZ encoding loads to µs timestamps") {
+    import spark.implicits._
+    val dir = freshDir()
+    micros.map(us => (1L, us)).toDF("event_id", "us")
+      .select(col("event_id"),
+        timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(loadTs(dir) === micros)
+    assert(Tables(spark, dir, "events").schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+  }
+
+  test("events ts: native TIMESTAMP encoding passes through") {
+    import spark.implicits._
+    val dir = freshDir()
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try micros.map(us => (1L, us)).toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    finally prev.foreach(spark.conf.set("spark.sql.parquet.outputTimestampType", _))
+    assert(loadTs(dir) === micros)
+  }
+
+  test("events ts: the driver's actual sf0.001 events table loads") {
+    val df = Tables(spark, sf, "events")
+    assert(df.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    assert(df.filter(col("ts").isNotNull).limit(1).count() === 1L)
+  }
+}
