@@ -41,17 +41,31 @@ object Tables {
     *     LONG. The driver data is µs-aligned (`epoch_ns(ts) % 1000 == 0` at
     *     every sf), so `timestamp_micros(ts div 1000)` is lossless and
     *     matches DuckDB's native nanos read bit-for-bit.
-    *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): scans as
-    *     TIMESTAMP_NTZ. The session is pinned UTC, so a cast to TimestampType
-    *     is a lossless relabel and keeps every downstream `window()` /
-    *     watermark / unix_micros use (which want TimestampType) working.
+    *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): with NTZ
+    *     inference DISABLED (set below) the scan itself produces
+    *     TimestampType — the session is pinned UTC, so that relabel is
+    *     lossless, and doing it AT THE SCAN (rather than a cast on top)
+    *     keeps `ts` predicates eligible for parquet row-group pushdown:
+    *     `cast(ts)` over the attribute would block PushedFilters, which at
+    *     100 TB is the difference between pruning row groups and reading
+    *     the whole fact table. A TimestampNTZType branch remains as a
+    *     belt-and-braces fallback should the conf ever not apply.
     *   - TimestampType already: pass through.
     */
   private def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    // Scope NTZ-off to the events read: other tables (lineitem dates) must
+    // keep their naive NTZ reading — the oracle compares them naive-to-naive.
+    // The schema is resolved eagerly at spark.read time, so restoring the
+    // conf right after does not affect the returned DataFrame.
+    val ntzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val prevNtz = spark.conf.get(ntzKey, "true")
+    if (name == "events") spark.conf.set(ntzKey, "false")
+    val raw =
+      try spark.read.parquet(s"$sfDir/$name.parquet")
+      finally spark.conf.set(ntzKey, prevNtz)
     if (name == "events") {
       raw.schema("ts").dataType match {
         case LongType =>

@@ -23,11 +23,11 @@ object StreamingQueries extends QueryPack {
 
   /** True streaming read of the events table. The file stream source needs a
     * directory (the driver's `events.parquet` is a single file) and an
-    * explicit schema, and Spark can't stream the driver's TIMESTAMP(NANOS)
-    * column natively — so we materialize the normalized batch table (µs
-    * timestamps, see [[Tables]]) into a temp spool dir once per session and
-    * stream from that. At scale the spool is the landing zone a real
-    * pipeline would already have.
+    * explicit schema, and the driver's `ts` physical encoding has varied
+    * across generations (nanos-LONG, TIMESTAMP_NTZ — see [[Tables]]) — so we
+    * materialize the normalized batch table (µs TimestampType) into a temp
+    * spool dir once per session and stream from that. At scale the spool is
+    * the landing zone a real pipeline would already have.
     */
   private val spools =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]

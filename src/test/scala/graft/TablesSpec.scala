@@ -67,4 +67,23 @@ class TablesSpec extends SparkSpec {
       org.apache.spark.sql.types.TimestampType)
     assert(df.filter(col("ts").isNotNull).limit(1).count() === 1L)
   }
+
+  test("events ts predicates push down to the parquet scan") {
+    // NTZ inference is disabled at load, so the scan yields TimestampType
+    // directly and a ts range predicate must reach PushedFilters — a cast
+    // on top of an NTZ scan would silently drop row-group pruning.
+    // clearCache: an events cache from a previous test would substitute an
+    // InMemoryRelation for the scan and hide the PushedFilters line.
+    spark.catalog.clearCache()
+    Tables.noCache = true
+    try {
+      val plan = Tables(spark, sf, "events")
+        .filter(col("ts") >= lit("2024-01-02").cast("timestamp"))
+        .queryExecution.executedPlan.toString
+      val pushed = plan.linesIterator
+        .filter(_.contains("PushedFilters")).mkString
+      assert(pushed.contains("ts"), s"no ts in PushedFilters: $pushed")
+      assert(!pushed.contains("PushedFilters: []"), pushed)
+    } finally Tables.noCache = false
+  }
 }
