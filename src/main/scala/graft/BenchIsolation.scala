@@ -33,7 +33,11 @@ object BenchIsolation {
     "agg_corr_covar",
     // round 11: the new heaviest bench row — profile it up front rather
     // than leaving "is 3.8s real work or session noise" to a later round.
-    "dedup_repeated_spans")
+    "dedup_repeated_spans",
+    // round 13: the current >2s tail after the events-ts restore.
+    "sim_ann_pq_topk",
+    "ml_linreg_normal_eq",
+    "agg_weighted_median")
 
   private def newSession(cpus: String): SparkSession = {
     val s = SparkSession.builder()
