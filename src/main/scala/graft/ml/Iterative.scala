@@ -118,6 +118,17 @@ object GradientDescent {
     * never touched; moments live in [[State]] so a checkpointed resume
     * replays the identical trajectory bit-for-bit.
     */
+  /** x^k by left-to-right repeated multiplication (1.0·x·x·…): unlike
+    * `math.pow` (libm-dependent, may differ from a multiply chain in the
+    * last ulp), this is a fixed IEEE multiply sequence any engine — and a
+    * SQL oracle writing the same literal product — reproduces bit-for-bit.
+    */
+  private def ipow(x: Double, k: Int): Double = {
+    var p = 1.0; var i = 0
+    while (i < k) { p *= x; i += 1 }
+    p
+  }
+
   def stepAdam(m: Moments, st: State, lr: Double,
       b1: Double = 0.9, b2: Double = 0.999, eps: Double = 1e-8)
       : (State, Double) = {
@@ -131,8 +142,8 @@ object GradientDescent {
     val mb = b1 * st.mb + (1 - b1) * gb
     val vw = b2 * st.vw + (1 - b2) * gw * gw
     val vb = b2 * st.vb + (1 - b2) * gb * gb
-    val bc1 = 1 - math.pow(b1, t)
-    val bc2 = 1 - math.pow(b2, t)
+    val bc1 = 1 - ipow(b1, t)
+    val bc2 = 1 - ipow(b2, t)
     val w2 = st.w - lr * (mw / bc1) / (math.sqrt(vw / bc2) + eps)
     val b2n = st.b - lr * (mb / bc1) / (math.sqrt(vb / bc2) + eps)
     (State(t, w2, b2n, mw, mb, vw, vb), sse / n)

@@ -496,12 +496,22 @@ object DedupOps extends QueryPack {
 
     // Typed-Aggregator variant (SURVEY.md §4.3 custom piece): same signature
     // as dedup_minhash_lsh's declarative form, computed by the MinHashAgg
-    // UDAF (partial-aggregating, k longs per doc over the shuffle). No SQL
-    // oracle (UDAF not expressible in DuckDB) — equivalence with the
-    // declarative signature is asserted by MinHashSpec.
+    // UDAF (partial-aggregating, k longs per doc over the shuffle). The
+    // UDAF itself isn't expressible in DuckDB, but its CONTRACT is: the
+    // signature minima are plain MIN aggregates of the same md5-hash
+    // permutations, so the oracle recomputes m0/m15 declaratively —
+    // a drifted UDAF (hash scheme, mod order, buffer merge) is a hash
+    // mismatch. Full 16-lane equivalence is additionally spec-asserted
+    // (MinHashSpec).
     Q(
       "dedup_minhash_udaf",
-      None,
+      Some(s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+              |t AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS tok FROM d),
+              |h AS (SELECT doc_id, $duckTokHash % $P AS hm FROM t)
+              |SELECT doc_id,
+              |  MIN((${a(0)}*hm + ${b(0)}) % $P) AS m0,
+              |  MIN((${a(NumHashes - 1)}*hm + ${b(NumHashes - 1)}) % $P) AS m${NumHashes - 1}
+              |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         val h = tokens(s, dir, 200)
           .select(col("doc_id"), tokHash(col("tok")).as("hm"))

@@ -479,10 +479,13 @@ object MLOps extends QueryPack {
     // Syy) — ONE distributed pass gathers exact decimal moments
     // (graft.ml.GradientDescent), then every GD iteration is pure driver
     // arithmetic. At 100 TB this is the difference between one scan and one
-    // scan per epoch. Iterative => no single-SQL oracle.
+    // scan per epoch. Oracle: the fixed 3-step loop unrolls into a CTE
+    // chain mirroring GradientDescent.step token for token (TrainOracles)
+    // — bit-reproducible because the stats are exact-decimal and each step
+    // is a fixed IEEE scalar-op sequence.
     Q(
       "ml_train_gd_iterations",
-      None,
+      Some(TrainOracles.gdSql(3)),
       (s, dir) => {
         import graft.ml.GradientDescent
         val m = GradientDescent.moments(
@@ -497,11 +500,13 @@ object MLOps extends QueryPack {
     // optimizer — optax.adam(lr), flax_model.py:275 — with first/second
     // moment state (m/v per parameter) carried in GradientDescent.State
     // and therefore in every checkpoint. One distributed moments pass,
-    // then 3 Adam steps of pure driver arithmetic. Iterative => no SQL
-    // oracle; CheckpointSpec asserts bit-for-bit Adam resume.
+    // then 3 Adam steps of pure driver arithmetic. Oracle: unrolled Adam
+    // CTE chain (TrainOracles.adamSql) — portable because the bias
+    // corrections are repeated-multiplication chains (ipow), not libm pow.
+    // CheckpointSpec asserts bit-for-bit Adam resume.
     Q(
       "ml_train_adam_iterations",
-      None,
+      Some(TrainOracles.adamSql(3)),
       (s, dir) => {
         import graft.ml.GradientDescent
         // Shared sufficient statistics (see GradientDescent.cached):
@@ -526,12 +531,13 @@ object MLOps extends QueryPack {
     // epochs of pure driver arithmetic, and the metric rows flow through
     // a parquet metrics sink in the (metric, epoch, value) shape of
     // sink_append_metrics. At 100 TB: exactly ONE data scan total,
-    // independent of epoch count. Iterative + filesystem state => no SQL
-    // oracle; CheckpointSpec asserts the (train_loss, eval_loss) series
-    // is replayed bit-for-bit on checkpoint resume.
+    // independent of epoch count. Oracle: md5-seeded split + grouped
+    // moments + unrolled Adam/probe chain (TrainOracles.trainEvalSql);
+    // CheckpointSpec asserts the (train_loss, eval_loss) series is
+    // replayed bit-for-bit on checkpoint resume.
     Q(
       "ml_train_eval_epochs",
-      None,
+      Some(TrainOracles.trainEvalSql(5)),
       (s, dir) => {
         import graft.ml.{GradientDescent => GD, SeededSplit, TrainEval}
         // Split-wise shared stats, cached like the plain moments (GD.cached
@@ -572,10 +578,13 @@ object MLOps extends QueryPack {
     // newest checkpoint — simulating a driver restart — then 1 continued
     // step. Output compares the histories bit-for-bit per step; `bit_equal`
     // must be true on every row (also spec-asserted in CheckpointSpec).
-    // Iterative + filesystem state => no SQL oracle.
+    // Oracle: the independently-computed GD trace with the resumed leg
+    // pinned equal and bit_equal=TRUE (TrainOracles.resumeSql) — a resume
+    // that diverged would fail BOTH the engine's internal raw-bits compare
+    // and the oracle hash.
     Q(
       "ml_train_checkpoint_resume",
-      None,
+      Some(TrainOracles.resumeSql(3)),
       (s, dir) => {
         import graft.ml.{GradientDescent => GD, ModelCheckpoint}
         // Same shared stats as ml_train_adam_iterations (GD.cached doc).
