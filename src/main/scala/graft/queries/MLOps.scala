@@ -633,12 +633,15 @@ object MLOps extends QueryPack {
     // RECOVER [1,2,1]⊗[1,2,1]/16 — dist_true falling toward 0 is the
     // end-to-end learning check. Step size is data-adaptive
     // (1 / (trace(A)/n) ≥ 1/λmax — guaranteed monotone loss, no hand-tuned
-    // constant). Iterative => no SQL oracle; ConvTrainSpec asserts monotone
-    // mse, kernel recovery via the normal-equation solve of the same
-    // statistics, and bit-for-bit checkpoint resume.
+    // constant). Oracle: the stats are exact integers and every step a
+    // fixed IEEE op sequence, so the 5-step trace unrolls into a CTE chain
+    // like the scalar trainers (TrainOracles.convTrainSql). ConvTrainSpec
+    // additionally asserts monotone mse, kernel recovery via the
+    // normal-equation solve of the same statistics, and bit-for-bit
+    // checkpoint resume.
     Q(
       "ml_conv_train_gd",
-      None,
+      Some(TrainOracles.convTrainSql(5)),
       (s, dir) => {
         import graft.ml.ConvTrain
         val st = ConvTrain.stats(Tables(s, dir, "events"))
@@ -654,11 +657,13 @@ object MLOps extends QueryPack {
     // literals — the data never leaves the cluster, each iteration is one
     // scan + one shuffle of (cluster, dim) exact-decimal partial sums;
     // assignment distance uses the native graft_dot codegen expression.
-    // Iterative => no single-SQL oracle; KMeansSpec asserts WCSS
-    // monotonicity and assignment optimality.
+    // Oracle: the 3 Lloyd iterations unroll into assignment/recompute CTE
+    // rounds (TrainOracles.kmeansSql) — discrete argmins are ulp-robust,
+    // continuous sums exact-decimal or ROUND(4); KMeansSpec additionally
+    // asserts WCSS monotonicity and assignment optimality.
     Q(
       "ml_kmeans_iterations",
-      None,
+      Some(TrainOracles.kmeansSql(3)),
       (s, dir) => {
         import graft.ml.KMeansLloyd
         val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")

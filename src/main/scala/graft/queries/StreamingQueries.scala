@@ -225,11 +225,40 @@ object StreamingQueries extends QueryPack {
     // closes them in-batch or when the watermark (maxTs after the data
     // batch; processed by the trailing no-data micro-batch) passes end+gap.
     // Deterministic emitted set: every session except a user's final one
-    // ending within the gap of stream end. Streaming semantics => no SQL
-    // oracle; CustomStateSpec asserts the exact set against the batch twin.
+    // ending within the gap of stream end — which IS SQL-expressible: the
+    // gaps-and-islands batch sessions minus each user's last session when
+    // `s_end > max(ts) - gap` (the CustomStateSpec rule, now also the
+    // DuckDB oracle, so the engine's state machine is hash-checked against
+    // an independent engine, not just its own batch twin).
     Q(
       "stream_custom_state_sessions",
-      None,
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |              >= INTERVAL 30 MINUTE
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM o),
+             |agg AS (
+             |  SELECT user_id, min(ts) AS t_start, max(ts) AS t_end,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM s GROUP BY user_id, sid),
+             |mx AS (SELECT max(ts) AS mts FROM events),
+             |r AS (
+             |  SELECT user_id, t_start, t_end, n,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY t_end DESC) AS rn
+             |  FROM agg)
+             |SELECT user_id,
+             |  strftime(t_start, '%Y-%m-%d %H:%M:%S.%f') AS s_start,
+             |  strftime(t_end, '%Y-%m-%d %H:%M:%S.%f') AS s_end, n
+             |FROM r, mx
+             |WHERE NOT (rn = 1 AND t_end > mts - INTERVAL 30 MINUTE)
+             |ORDER BY user_id, s_start""".stripMargin),
       (s, dir) => withStreamPartitions(s, 8) {
         import s.implicits._
         import graft.streaming.Sessionize

@@ -126,6 +126,163 @@ private[queries] object TrainOracles {
     s"WITH $ctes\n$rows\nORDER BY iter"
   }
 
+  /** `ml_conv_train_gd`: the learned-conv-kernel loop (ConvTrain). All
+    * sufficient statistics are INTEGER-valued (patch counts, binomial
+    * weights) summed as DECIMAL(38,0) and well under 2^53, so the
+    * decimal→double conversion is exact on both engines (no VARCHAR route
+    * needed); b/16 and C/256 are exact binary divisions. Each GD step and
+    * the MSE/dist probes mirror ConvTrain.step/mse/distToTrue loop order
+    * exactly: ak accumulates j=0..8 left-assoc, quad k-major over 81
+    * terms, lr = n / trace(A) with the k=0..8 trace fold.
+    */
+  def convTrainSql(iters: Int): String = {
+    val T = 9
+    def bw(o: Int): Int = if (o == 0) 2 else 1
+    val binW = for { dy <- -1 to 1; dx <- -1 to 1 } yield bw(dy) * bw(dx)
+    // a(k)(j) column name for any (k,j): stats emit the upper triangle.
+    def aN(k: Int, j: Int): String =
+      if (k <= j) s"a_${k}_$j" else s"a_${j}_$k"
+    val offsRows = (for { dy <- -1 to 1; dx <- -1 to 1 }
+      yield s"($dy,$dx,${(dy + 1) * 3 + (dx + 1)})").mkString(",")
+    val taps = (0 until T)
+      .map(k => s"SUM(CASE WHEN o.k = $k THEN n.c ELSE 0 END) AS x$k")
+      .mkString(",\n    ")
+    val ynum = (0 until T).map(k => s"${binW(k)}*x$k").mkString(" + ")
+    val gram = (for { k <- 0 until T; j <- k until T }
+      yield s"SUM(CAST(x$k*x$j AS DECIMAL(38,0))) AS a_${k}_$j").mkString(",\n    ")
+    val cross = (0 until T)
+      .map(k => s"SUM(CAST(yn*x$k AS DECIMAL(38,0))) AS by_$k").mkString(",\n    ")
+    val statCols =
+      (for { k <- 0 until T; j <- k until T }
+        yield s"CAST(a_${k}_$j AS DOUBLE) AS a_${k}_$j") ++
+        (0 until T).map(k => s"CAST(by_$k AS DOUBLE)/16e0 AS b$k") :+
+        "CAST(cy AS DOUBLE)/256e0 AS cy" :+ "CAST(n AS DOUBLE) AS n"
+    val allStatNames =
+      (for { k <- 0 until T; j <- k until T } yield s"a_${k}_$j") ++
+        (0 until T).map(k => s"b$k") ++ Seq("cy", "n", "lr")
+    val trace = (0 until T).map(k => aN(k, k)).mkString(" + ")
+    val carry = allStatNames.mkString(", ")
+    def ws(i: Int) = (0 until T).map(k => s"w${i}_$k")
+    def quad(i: Int): String = (for { k <- 0 until T; j <- 0 until T }
+      yield s"w${i}_$k*${aN(k, j)}*w${i}_$j").mkString(" + ")
+    def lin(i: Int): String =
+      (0 until T).map(k => s"w${i}_$k*b$k").mkString(" + ")
+    val trueK = Seq("625e-4", "125e-3", "625e-4", "125e-3", "25e-2",
+      "125e-3", "625e-4", "125e-3", "625e-4")
+    def dist(i: Int): String = "sqrt(" + (0 until T)
+      .map(k => s"(w${i}_$k - ${trueK(k)})*(w${i}_$k - ${trueK(k)})")
+      .mkString(" + ") + ")"
+    val iterCtes = (1 to iters).map { i =>
+      val gs = (0 until T).map { k =>
+        val ak = (0 until T).map(j => s"${aN(k, j)}*w${i - 1}_$j").mkString(" + ")
+        s"2e0*(($ak) - b$k)/n AS g$k"
+      }.mkString(",\n  ")
+      val upd = (0 until T)
+        .map(k => s"w${i - 1}_$k - lr*g$k AS w${i}_$k").mkString(",\n  ")
+      s"""gg$i AS (SELECT $carry, ${ws(i - 1).mkString(", ")},
+         |  $gs,
+         |  ((${quad(i - 1)}) - 2e0*(${lin(i - 1)}) + cy)/n AS mse
+         |  FROM cst${i - 1}),
+         |cst$i AS (SELECT $carry, mse,
+         |  $upd
+         |  FROM gg$i)""".stripMargin
+    }
+    val rows = (1 to iters)
+      .map(i => s"SELECT CAST($i AS INT) AS iter, mse, ${dist(i)} AS dist_true FROM cst$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH grid AS (
+       |  SELECT user_id AS u,
+       |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS d,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |offs AS (SELECT * FROM (VALUES $offsRows) t(dy, dx, k)),
+       |patch AS (
+       |  SELECT g.u, g.d,
+       |    $taps
+       |  FROM grid g JOIN offs o ON TRUE
+       |  JOIN grid n ON n.u = g.u + o.dy AND n.d = g.d + o.dx
+       |  GROUP BY 1, 2),
+       |py AS (SELECT *, $ynum AS yn FROM patch),
+       |statrow AS (
+       |  SELECT COUNT(*) AS n,
+       |    $gram,
+       |    $cross,
+       |    SUM(CAST(yn*yn AS DECIMAL(38,0))) AS cy
+       |  FROM py),
+       |sd AS (SELECT ${statCols.mkString(",\n  ")} FROM statrow),
+       |sl AS (SELECT *, n/($trace) AS lr FROM sd),
+       |cst0 AS (SELECT *, ${(0 until T).map(k => s"0e0 AS w0_$k").mkString(", ")} FROM sl),
+       |${iterCtes.mkString(",\n")}
+       |$rows
+       |ORDER BY iter""".stripMargin
+  }
+
+  /** `ml_kmeans_iterations`: Lloyd's with driver-held centroids
+    * (KMeansLloyd). Portable because every DISCRETE quantity is robust and
+    * every continuous output is rounded: assignments are argmins over
+    * distances whose cross-engine difference is O(ulp) (summation order of
+    * the 64-term dots differs from graft_dot's sequential fold — a flip
+    * would need two centroids within ~1e-12 of equidistant, measure-zero
+    * on real embeddings); per-cluster sums are exact DECIMAL (VARCHAR
+    * route, see d2d); new centroids round to FLOAT on both sides; WCSS is
+    * ROUND(·,4), absorbing the ulp-level fold-order noise. First-minimal
+    * argmin tie-break (array_position of array_min) maps to
+    * `ORDER BY dist, cl`. Empty clusters keep the previous centroid on
+    * both sides.
+    */
+  def kmeansSql(iters: Int, k: Int = 8): String = {
+    val preCtes =
+      s"""ex AS (
+         |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+         |    CAST(unnest(embedding) AS DOUBLE) AS xv
+         |  FROM embeddings),
+         |rx AS (SELECT vec_id, SUM(xv*xv) AS xx FROM ex GROUP BY 1),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cl, dim, xv AS cv
+         |       FROM ex WHERE vec_id < $k)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      val p = i - 1
+      val next =
+        if (i == iters) "" // last iteration's updated centroids are unused
+        else
+          s""",
+             |c$i AS (
+             |  SELECT cl, dim, CAST(CAST(sj/nC AS FLOAT) AS DOUBLE) AS cv FROM cs$i
+             |  UNION ALL
+             |  SELECT pc.cl, pc.dim, pc.cv FROM c$p pc
+             |  WHERE pc.cl NOT IN (SELECT DISTINCT cl FROM asg$i))""".stripMargin
+      s"""d$i AS (
+         |  SELECT x.vec_id, c.cl,
+         |    SUM(c.cv*c.cv) - 2e0*SUM(x.xv*c.cv) AS dist
+         |  FROM ex x JOIN c$p c ON x.dim = c.dim GROUP BY 1, 2),
+         |asg$i AS (
+         |  SELECT vec_id, cl FROM (
+         |    SELECT vec_id, cl,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+         |    FROM d$i) WHERE rn = 1),
+         |cs$i AS (
+         |  SELECT a.cl, x.dim,
+         |    ${d2d("SUM(CAST(x.xv AS DECIMAL(30,10)))")} AS sj,
+         |    COUNT(*) AS nC
+         |  FROM asg$i a JOIN ex x ON x.vec_id = a.vec_id GROUP BY 1, 2),
+         |wc$i AS (
+         |  SELECT a.cl, ${d2d("SUM(CAST(r.xx AS DECIMAL(30,10)))")} AS sxx,
+         |    COUNT(*) AS nC
+         |  FROM asg$i a JOIN rx r ON r.vec_id = a.vec_id GROUP BY 1),
+         |dc$i AS (
+         |  SELECT c.cl, SUM(c.cv*s.sj) AS dotcs, SUM(c.cv*c.cv) AS cc2
+         |  FROM c$p c JOIN cs$i s ON s.cl = c.cl AND s.dim = c.dim GROUP BY 1),
+         |it$i AS (
+         |  SELECT SUM(w.sxx - 2e0*d.dotcs + w.nC*d.cc2) AS wcss,
+         |    CAST(COUNT(*) AS INT) AS nonempty
+         |  FROM wc$i w JOIN dc$i d ON d.cl = w.cl)$next""".stripMargin
+    }
+    val rows = (1 to iters)
+      .map(i => s"SELECT CAST($i AS INT) AS iter, ROUND(wcss, 4) AS wcss, " +
+        s"nonempty AS nonempty_clusters FROM it$i")
+      .mkString("\nUNION ALL ")
+    s"WITH ${(preCtes +: iterCtes).mkString(",\n")}\n$rows\nORDER BY iter"
+  }
+
   /** `ml_train_eval_epochs`: the seeded 90/10 split (SeededSplit's md5
     * bucket, the `ml_train_test_split` idiom) feeds ONE grouped moments
     * pass; each epoch is an Adam step on the train stats plus an MSE probe
