@@ -567,7 +567,23 @@ object StreamingQueries extends QueryPack {
     // (drop-beyond-watermark, bounded state) demonstrated for real.
     Q(
       "stream_late_data_policy",
-      None,
+      // The emitted set is deterministic: append mode finalizes exactly the
+      // windows the final watermark passed. Watermark = max event time
+      // floored to MILLIS minus the 1-day delay (Spark tracks event-time
+      // stats in ms); a window is emitted iff window_end <= watermark.
+      // Whole-hour window ends are ms-aligned, so the µs→ms floor only
+      // matters through maxTs itself — modeled with epoch_us // 1000.
+      Some("""WITH mx AS (
+             |  SELECT (max(epoch_us(ts)) // 1000) * 1000 - 86400000000 AS wm_us
+             |  FROM events),
+             |agg AS (
+             |  SELECT date_trunc('hour', ts) AS w_start, event_type,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS ws, event_type, n
+             |FROM agg, mx
+             |WHERE epoch_us(w_start) + 3600000000 <= wm_us
+             |ORDER BY ws, event_type""".stripMargin),
       (s, dir) => withStreamPartitions(s, 8) {
         val sink = s"mem_${java.util.UUID.randomUUID.toString.replace("-", "")}"
         val ckpt = java.nio.file.Files
@@ -585,7 +601,11 @@ object StreamingQueries extends QueryPack {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.table(sink).oracleOrder("ws", "event_type")
+        s.table(sink)
+          .select(
+            date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+            col("event_type"), col("n"))
+          .oracleOrder("ws", "event_type")
       }),
 
     // Streaming DISTINCT counting — the composition the two families imply:
