@@ -78,13 +78,46 @@ object SimOps extends QueryPack {
     // not n·k. The previous form evaluated ~5 64-dim folds per candidate.
     val cents2 = cents.select(col("cid"), col("ce"),
       ndot(col("ce"), col("ce")).as("cc"))
-    val dists = e.crossJoin(broadcast(cents2))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        (col("cc") - lit(2.0) * ndot(col("embedding"), col("ce"))).as("dist"))
+    // Candidate set per vector: ALL k centroids while k is small; above
+    // CoarseThreshold, a two-level (coarse→fine) probe. With the SemDeDup
+    // contract k ∝ n, the flat n·k product is O(n²/64) — the r13 10x scale
+    // probe measured slope 12 on it — while coarse cells of ~√k fine
+    // centroids cut the per-vector work to ~2√k dots (the faiss-IVF
+    // assignment shape). The coarse centroids AND the fine→cell map are
+    // computed once on the driver and embedded as literals in BOTH the
+    // plan and the generated DuckDB oracle, so the two-level rule itself
+    // cannot drift between engines.
+    val dists = coarseCellsOf(cs) match {
+      case None =>
+        e.crossJoin(broadcast(cents2))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            (col("cc") - lit(2.0) * ndot(col("embedding"), col("ce"))).as("dist"))
+      case Some((coarse, gidOf)) =>
+        val coarseDf = s.createDataFrame(
+          coarse.toIndexedSeq.zipWithIndex.map { case (g, i) => (i, g.toIndexedSeq) })
+          .toDF("gid", "ge")
+          .select(col("gid"), col("ge"), ndot(col("ge"), col("ge")).as("gcc"))
+        val picked = e.crossJoin(broadcast(coarseDf))
+          .select(col("vec_id"), col("embedding"), col("gid"),
+            (col("gcc") - lit(2.0) * ndot(col("embedding"), col("ge"))).as("gdist"))
+          .groupBy("vec_id")
+          .agg(
+            min_by(col("gid"), struct(col("gdist"), col("gid"))).as("gid"),
+            first(col("embedding")).as("embedding"))
+        val fineWithGid = s.createDataFrame(
+          cs.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+            (i, gidOf(i), c.toIndexedSeq) })
+          .toDF("cid", "gid", "ce")
+          .select(col("cid"), col("gid"), col("ce"),
+            ndot(col("ce"), col("ce")).as("cc"))
+        picked.join(broadcast(fineWithGid), "gid")
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            (col("cc") - lit(2.0) * ndot(col("embedding"), col("ce"))).as("dist"))
+    }
     // argmin as a partial-aggregating min_by, NOT a row_number window: the
-    // window form shuffles and SORTS the full n·k distance table (the
+    // window form shuffles and SORTS the full candidate distance table (the
     // dominant cost once k grows with the corpus — the 10x scale probe
-    // measured slope ~21 on it), while min_by folds each vec_id's k
+    // measured slope ~21 on it), while min_by folds each vec_id's
     // candidates map-side and shuffles one row per vector. The ordering
     // struct (dist, cid) is duplicate-free within a group (cid is unique),
     // so the pick is deterministic on any partitioning — same tie-break
@@ -99,6 +132,59 @@ object SimOps extends QueryPack {
       .join(broadcast(cents), "cid")
       .select(col("vec_id"), col("cid"), col("embedding"),
         ncos(col("embedding"), col("ce")).as("centsim"))
+  }
+
+  /** Fine-centroid count above which the assignment goes two-level. At the
+    * driver correctness scales (sf0.001/0.01/0.1 → k ≤ 32) the flat exact
+    * path runs unchanged, so the gate behavior and the small-scale oracles
+    * are untouched; the synthetic 10x+ probes (k in the hundreds) take the
+    * coarse probe.
+    */
+  private[graft] val CoarseThreshold = 64
+
+  /** Coarse cells over the fine centroids for the two-level assignment:
+    * a small driver-side Lloyd (k_c = ⌈√k⌉, init = first k_c fine
+    * centroids, 3 iterations, plain double arithmetic — deterministic),
+    * centroids rounded to FLOAT (what both engines see as literals), the
+    * fine→cell map then computed against those float centroids and empty
+    * cells dropped. Returns None below [[CoarseThreshold]].
+    */
+  private[graft] def coarseCellsOf(cs: Array[Array[Float]])
+      : Option[(Array[Array[Float]], Array[Int])] = {
+    val k = cs.length
+    if (k <= CoarseThreshold) return None
+    val d = cs(0).length
+    val kc = math.ceil(math.sqrt(k.toDouble)).toInt
+    def nearest(v: Array[Float], cen: Array[Array[Double]]): Int = {
+      var best = 0; var bd = Double.MaxValue
+      var g = 0
+      while (g < cen.length) {
+        val ce = cen(g); var cc = 0.0; var xc = 0.0; var j = 0
+        while (j < d) { cc += ce(j) * ce(j); xc += v(j).toDouble * ce(j); j += 1 }
+        val dist = cc - 2.0 * xc
+        if (dist < bd) { bd = dist; best = g } // first-minimal tie-break
+        g += 1
+      }
+      best
+    }
+    var cents = Array.tabulate(kc)(i => cs(i).map(_.toDouble))
+    for (_ <- 0 until 3) {
+      val asg = cs.map(nearest(_, cents))
+      val sums = Array.fill(kc, d)(0.0)
+      val n = Array.fill(kc)(0L)
+      for (i <- cs.indices) {
+        val g = asg(i); n(g) += 1
+        var j = 0
+        while (j < d) { sums(g)(j) += cs(i)(j).toDouble; j += 1 }
+      }
+      cents = Array.tabulate(kc)(g =>
+        if (n(g) == 0) cents(g) else Array.tabulate(d)(j => sums(g)(j) / n(g)))
+    }
+    val coarseF = cents.map(_.map(_.toFloat))
+    val map = cs.map(nearest(_, coarseF.map(_.map(_.toDouble))))
+    val used = map.distinct.sorted
+    val renum = used.zipWithIndex.toMap
+    Some((used.map(coarseF(_)), map.map(renum)))
   }
 
   /** Deterministic pseudo-random hyperplanes for LSH bucketing: 32 planes x
@@ -336,8 +422,39 @@ object SimOps extends QueryPack {
     val dotQC =
       """list_sum(list_transform(list_zip(e.embedding, c.embedding),
         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))""".stripMargin
-    s"""WITH cents AS (SELECT * FROM (VALUES
-       |  ${centsSql(cents)}) t(cid, embedding)),
+    // Mirror of the engine's candidate set (semAssign): flat n·k below
+    // CoarseThreshold; above it, the SAME driver-computed coarse cells and
+    // fine→cell map inline as literals, so both engines probe identical
+    // candidate lists and only the per-candidate float dots are recomputed.
+    val (centsCte, distsFrom) = coarseCellsOf(cents) match {
+      case None =>
+        (s"""cents AS (SELECT * FROM (VALUES
+            |  ${centsSql(cents)}) t(cid, embedding))""".stripMargin,
+          "FROM embeddings e, cents c")
+      case Some((coarse, gidOf)) =>
+        val dotQG =
+          """list_sum(list_transform(list_zip(e.embedding, g.embedding),
+            |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))""".stripMargin
+        val fineRows = cents.zipWithIndex
+          .map { case (c, i) =>
+            s"($i, ${gidOf(i)}, ${c.map(graft.ml.Quantizers.sqlFloat).mkString("[", ", ", "]")}::DOUBLE[])" }
+          .mkString(",\n  ")
+        (s"""coarse AS (SELECT * FROM (VALUES
+            |  ${centsSql(coarse)}) tg(gid, embedding)),
+            |cents AS (SELECT * FROM (VALUES
+            |  $fineRows) t(cid, gid, embedding)),
+            |cd AS (
+            |  SELECT e.vec_id, g.gid,
+            |    list_sum(list_transform(g.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+            |      - 2 * $dotQG AS gdist
+            |  FROM embeddings e, coarse g),
+            |ca AS (
+            |  SELECT vec_id, gid FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY gdist, gid) AS rn
+            |    FROM cd) WHERE rn = 1)""".stripMargin,
+          "FROM embeddings e JOIN ca ON ca.vec_id = e.vec_id JOIN cents c ON c.gid = ca.gid")
+    }
+    s"""WITH $centsCte,
        |dists AS (
        |  SELECT e.vec_id, c.cid,
        |    list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
@@ -345,7 +462,7 @@ object SimOps extends QueryPack {
        |    $dotQC
        |      / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
        |       * sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS centsim
-       |  FROM embeddings e, cents c),
+       |  $distsFrom),
        |a AS (
        |  SELECT vec_id, cid, centsim FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
