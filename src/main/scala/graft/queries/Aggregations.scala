@@ -71,33 +71,66 @@ object Aggregations extends QueryPack {
             countDistinct(col("o_custkey")).cast("long").as("n_cust"),
             countDistinct(col("o_orderpriority")).cast("long").as("n_prio"))),
 
-    // HLL++ sketch — the 100 TB path for distincts. Approx values are
-    // engine-defined, so: no oracle (smoke + bench only).
+    // HLL++ sketch — the 100 TB path for distincts. The estimate itself is
+    // engine-defined (relative-error sketch, default rsd 5%), so the
+    // hash-checked contract is the INVARIANT, not the value: per group, the
+    // deterministic HLL++ estimate must land within 2x rsd of the exact
+    // count (measured worst rel-err across sf0.001/0.01/0.1 is 6.7%, at
+    // sf0.1's 1500-distinct dense-mode regime). The exact countDistinct
+    // here is the verification harness only — at 100 TB the sketch column
+    // IS the product and the exact twin is agg_count_distinct.
     Q(
       "agg_approx_distinct_hll",
-      None,
+      Some("""SELECT event_type,
+             |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+             |  TRUE AS approx_ok
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
       (s, dir) =>
         Tables(s, dir, "events")
-          .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
+          .groupBy("event_type")
+          .agg(
+            countDistinct(col("user_id")).cast("long").as("exact_users"),
+            approx_count_distinct(col("user_id")).as("approx"))
+          .select(
+            col("event_type"), col("exact_users"),
+            (abs(col("approx") - col("exact_users")) <=
+              col("exact_users") * 0.10).as("approx_ok"))
+          .oracleOrder("event_type")),
 
     // MERGEABLE distinct-count sketches (Apache DataSketches HLL): build one
     // sketch per event_type, then union the serialized sketches into the
     // global estimate. This two-level shape is THE 100 TB distinct-count
     // pattern — per-partition/per-day sketches persist as tiny binaries and
     // any rollup (day->month, type->global) is a cheap union, never a
-    // re-scan of raw data. Sketch bytes are engine-specific => smoke/spec
-    // contract (HllSketchSpec asserts the union equals the direct sketch
-    // estimate and is within 5% of exact).
+    // re-scan of raw data. Sketch bytes are engine-specific, so the
+    // hash-checked contract is the mergeability INVARIANT: both the
+    // union-of-per-type-sketches estimate and the direct single-pass
+    // estimate must land within 5% of exact (union != direct exactly once
+    // the sketch leaves coupon/exact mode — at sf0.1 they differ by 11 on
+    // 1500 distinct — so equality is deliberately NOT the contract;
+    // HllSketchSpec keeps the small-cardinality equality gate).
     Q(
       "agg_hll_sketch_union",
-      None,
+      Some("""SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+             |  TRUE AS union_ok, TRUE AS direct_ok
+             |FROM events""".stripMargin),
       (s, dir) => {
-        val perType = Tables(s, dir, "events")
+        val ev = Tables(s, dir, "events")
+        val merged = ev
           .groupBy("event_type")
           .agg(hll_sketch_agg(col("user_id")).as("sk"))
-        perType
-          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_users"))
-          .select(col("merged_users").cast("long").as("merged_users"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged"))
+        val direct = ev
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct"))
+        ev.agg(countDistinct(col("user_id")).cast("long").as("exact_users"))
+          .crossJoin(merged)
+          .crossJoin(direct)
+          .select(
+            col("exact_users"),
+            (abs(col("merged") - col("exact_users")) <=
+              col("exact_users") * 0.05).as("union_ok"),
+            (abs(col("direct") - col("exact_users")) <=
+              col("exact_users") * 0.05).as("direct_ok"))
       }),
 
     // Theta-sketch SET OPERATIONS (Apache DataSketches): the audience-
@@ -160,23 +193,46 @@ object Aggregations extends QueryPack {
     // twin that sorts the full column; at 100 TB only the sketch shape
     // survives — per-day/per-type sketches persist as tiny binaries and
     // every re-aggregation is a merge, never a raw re-scan. KLL
-    // compaction is randomized (public algorithm property) => estimates
-    // carry a ±1.65% rank-error bound, not an equality oracle;
-    // KllSketchSpec gates them against exact percentiles.
+    // compaction is randomized (public algorithm property), so the
+    // hash-checked contract is the rank-error INVARIANT: each estimated
+    // quantile must land inside the exact-value band at rank ±2.5%
+    // (sketch bound is ±1.65% at 99% confidence for k=200; the 1.5x
+    // margin makes the randomized compaction non-flaky). The exact
+    // `percentile` band here is the verification harness; at 100 TB only
+    // the sketch side survives (the exact twin is agg_median_quantile).
     Q(
       "agg_kll_quantile_sketch",
-      None,
+      Some("""SELECT l AS level,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_values,
+             |  TRUE AS in_band
+             |FROM (SELECT unnest(['p50','p90','p99']) AS l) ORDER BY 1""".stripMargin),
       (s, dir) => {
         import graft.functions.KllQuantile
-        val perType = Tables(s, dir, "events")
+        val ev = Tables(s, dir, "events")
+        val est = ev
           .groupBy("event_type")
           .agg(KllQuantile.sketch(col("value").cast("double")).as("sk"))
-        perType
           .agg(KllQuantile.union(col("sk")).as("merged"))
           .select(
-            KllQuantile.quantile(col("merged"), 0.5).as("p50"),
-            KllQuantile.quantile(col("merged"), 0.9).as("p90"),
-            KllQuantile.quantile(col("merged"), 0.99).as("p99"))
+            KllQuantile.quantile(col("merged"), 0.5).as("e50"),
+            KllQuantile.quantile(col("merged"), 0.9).as("e90"),
+            KllQuantile.quantile(col("merged"), 0.99).as("e99"))
+        // p99's upper band clamps to the max (rank 0.99 + 0.025 > 1).
+        val bands = ev.agg(
+          cnt.as("n_values"),
+          expr("percentile(CAST(value AS DOUBLE), " +
+            "array(0.475, 0.525, 0.875, 0.925, 0.965, 1.0))").as("b"))
+        est.crossJoin(bands)
+          .select(
+            col("n_values"),
+            (col("e50") >= col("b")(0) && col("e50") <= col("b")(1)).as("p50"),
+            (col("e90") >= col("b")(2) && col("e90") <= col("b")(3)).as("p90"),
+            (col("e99") >= col("b")(4) && col("e99") <= col("b")(5)).as("p99"))
+          .select(
+            expr("stack(3, 'p50', p50, 'p90', p90, 'p99', p99) AS (level, in_band)"),
+            col("n_values"))
+          .select(col("level"), col("n_values"), col("in_band"))
+          .oracleOrder("level")
       }),
 
     Q(

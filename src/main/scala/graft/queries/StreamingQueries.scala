@@ -614,12 +614,29 @@ object StreamingQueries extends QueryPack {
     // is the mergeable sketch: approx_count_distinct (HLL++) per tumbling
     // window, O(sketch) state per window regardless of user cardinality.
     // True streaming run (AvailableNow, watermark, append). Sketch
-    // estimates are engine-specific => bench/smoke only;
-    // StreamingTwinSpec gates every window against the exact batch
-    // distinct within HLL++'s error band.
+    // estimates are engine-specific, so the hash-checked contract is the
+    // INVARIANT per emitted window: the deterministic HLL++ estimate must
+    // land within max(4, 15% of exact) of the exact batch distinct
+    // (measured worst across sfs: abs 15 on exact 144 at sf0.1 — 3x rsd
+    // absorbs the small-window regime where rel-err spikes on tiny
+    // counts). The emitted-window set itself is exact append-mode
+    // semantics (windows the final watermark passed), same oracle model
+    // as stream_late_data_policy; the exact batch join is the
+    // verification harness only.
     Q(
       "stream_approx_distinct_windows",
-      None,
+      Some("""WITH mx AS (
+             |  SELECT (max(epoch_us(ts)) // 1000) * 1000 - 86400000000 AS wm_us
+             |  FROM events),
+             |agg AS (
+             |  SELECT date_trunc('hour', ts) AS w_start,
+             |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+             |  FROM events GROUP BY 1)
+             |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS ws, exact_users,
+             |  TRUE AS approx_ok
+             |FROM agg, mx
+             |WHERE epoch_us(w_start) + 3600000000 <= wm_us
+             |ORDER BY ws""".stripMargin),
       (s, dir) => withStreamPartitions(s, 8) {
         val sink = s"mem_${java.util.UUID.randomUUID.toString.replace("-", "")}"
         val ckpt = java.nio.file.Files
@@ -639,6 +656,18 @@ object StreamingQueries extends QueryPack {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.table(sink).oracleOrder("ws")
+        val exact = Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(countDistinct(col("user_id")).cast("long").as("exact_users"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+            col("exact_users"))
+        s.table(sink)
+          .join(exact, "ws")
+          .select(
+            col("ws"), col("exact_users"),
+            (abs(col("approx_users") - col("exact_users")) <=
+              greatest(lit(4.0), col("exact_users") * 0.15)).as("approx_ok"))
+          .oracleOrder("ws")
       }))
 }

