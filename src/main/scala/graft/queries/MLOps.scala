@@ -1083,6 +1083,68 @@ object MLOps extends QueryPack {
             floor(col("lg") + col("frac") * (col("hg") - col("lg"))).cast("int").as("green"),
             floor(col("lb") + col("frac") * (col("hb") - col("lb"))).cast("int").as("blue"))
           .oracleOrder("u", "d")
+      }),
+
+    // Distributed PCA: top principal direction of the embedding cloud by
+    // power iteration — the dimensionality-reduction / decorrelation
+    // primitive every embedding pipeline eventually needs (whitening,
+    // drift monitoring, index rotation a la OPQ). The GD/kmeans
+    // sufficient-statistics shape: the 64x64 Gram matrix X'X is the ONLY
+    // data-proportional cost — ONE pass, cells self-join on vec_id
+    // (co-partitioned, map-side decimal partials), so only (i, j) partial
+    // sums ever shuffle and the collected result is 4096 doubles
+    // REGARDLESS of corpus size. The three power steps v <- Gv/|Gv| are
+    // O(d^2) driver arithmetic over that statistic (a 64-row relational
+    // matvec chain would re-execute the Gram lineage per step — measured
+    // plan blowup, no scale benefit for d=64). Every continuous quantity
+    // is an exact decimal sum (same HALF_UP scale-10 per-term rounding as
+    // dsumWide, replicated token-for-token in the unrolled oracle CTEs)
+    // or a fixed IEEE op chain, so the trace is bit-stable at any
+    // parallelism; sign is fixed by the first non-negligible loading.
+    Q(
+      "ml_pca_power_iteration",
+      Some(PcaPowerSql),
+      (s, dir) => {
+        val cells = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "v")))
+          .select(col("vec_id"), (col("p") + 1).cast("int").as("i"),
+            col("v").cast("double").as("v"))
+        val aa = cells.select(col("vec_id"), col("i"), col("v").as("av"))
+        val bb = cells.select(col("vec_id"), col("i").as("j"), col("v").as("bv"))
+        val d = 64
+        val g = Array.ofDim[Double](d, d)
+        aa.join(bb, "vec_id")
+          .groupBy("i", "j")
+          .agg(dsumWide(col("av") * col("bv")).as("g"))
+          .collect()
+          .foreach(r => g(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getDouble(2))
+        // dsumWide twin on the driver: each product rounds to DECIMAL(30,10)
+        // (exact-expansion HALF_UP — what both engines' double->decimal
+        // casts produce on these magnitudes), then sums exactly.
+        def dec10(x: Double): java.math.BigDecimal =
+          new java.math.BigDecimal(x).setScale(10, java.math.RoundingMode.HALF_UP)
+        var v = Array.fill(d)(0.125)
+        var nrm = 0.0
+        for (_ <- 1 to 3) {
+          val w = Array.tabulate(d) { i =>
+            (0 until d).foldLeft(java.math.BigDecimal.ZERO)((acc, j) =>
+              acc.add(dec10(g(i)(j) * v(j)))).doubleValue
+          }
+          nrm = math.sqrt(
+            w.foldLeft(java.math.BigDecimal.ZERO)((acc, x) =>
+              acc.add(dec10(x * x))).doubleValue)
+          v = w.map(_ / nrm)
+        }
+        val sgn = if (v.find(math.abs(_) > 1e-9).exists(_ < 0)) -1.0 else 1.0
+        import s.implicits._
+        v.toIndexedSeq.zipWithIndex
+          .map { case (x, i) => (i + 1, x * sgn, nrm) }
+          .toDF("dim", "loading", "eigval")
+          .select(
+            col("dim").cast("int").as("dim"),
+            round(col("loading"), 6).as("loading"),
+            round(col("eigval"), 4).as("eigval"))
+          .oracleOrder("dim")
       }))
 
   /** Forward-pass trunk shared by `ml_cnn_forward_compose` and
@@ -1159,4 +1221,40 @@ object MLOps extends QueryPack {
 
   /** Sampling seed for `ml_stratified_split` (md5-bucket family). */
   private val stratSeed = 33
+
+  /** DuckDB twin of `ml_pca_power_iteration`: Gram via the unnest
+    * self-join, then the 3 power steps unrolled as relational matvec CTEs.
+    * Every sum is an exact DECIMAL(30,10) routed decimal->VARCHAR->DOUBLE
+    * (the TrainOracles d2d rule — DuckDB's direct DECIMAL->DOUBLE cast is
+    * not correctly rounded); sqrt/divide are single IEEE ops, bit-equal
+    * across engines. `1.25e-1` in e-notation so DuckDB parses DOUBLE, and
+    * 0.125 = 2^-3 is exact in binary anyway.
+    */
+  private lazy val PcaPowerSql: String = {
+    def d2d(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    val iters = (1 to 3).map { k =>
+      val prev = s"v${k - 1}"
+      s"""w$k AS (SELECT g.i,
+         |  ${d2d(s"SUM(CAST(g.g * v.vj AS DECIMAL(30,10)))")} AS w
+         |  FROM gram g JOIN $prev v ON g.j = v.j GROUP BY 1),
+         |n$k AS (SELECT sqrt(${d2d(s"SUM(CAST(w * w AS DECIMAL(30,10)))")}) AS nrm
+         |  FROM w$k),
+         |v$k AS (SELECT i AS j, w / nrm AS vj FROM w$k, n$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings),
+       |gram AS (
+       |  SELECT a.i AS i, b.i AS j,
+       |    ${d2d("SUM(CAST(a.v * b.v AS DECIMAL(30,10)))")} AS g
+       |  FROM t a JOIN t b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |v0 AS (SELECT CAST(r.range AS INT) AS j, 1.25e-1 AS vj FROM range(1, 65) r),
+       |$iters,
+       |sgn AS (SELECT CASE WHEN vj < 0e0 THEN -1e0 ELSE 1e0 END AS s
+       |        FROM v3 WHERE abs(vj) > 1e-9 ORDER BY j LIMIT 1)
+       |SELECT CAST(v3.j AS INT) AS dim, ROUND(v3.vj * sgn.s, 6) AS loading,
+       |  ROUND(n3.nrm, 4) AS eigval
+       |FROM v3, sgn, n3 ORDER BY dim""".stripMargin
+  }
 }

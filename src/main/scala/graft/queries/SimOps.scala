@@ -995,5 +995,65 @@ object SimOps extends QueryPack {
             size(split(col("text"), " ")).cast("int").as("n_tokens"),
             round(nnorm(col("embedding")), 4).as("l2"))
           .oracleOrder("doc_id")
+      }),
+
+    // Late-interaction multi-vector retrieval (ColBERT-style MaxSim,
+    // Khattab & Zaharia 2020, public): a "document" is a BAG of token
+    // vectors, and score(Q, D) = sum over query vectors of the max dot
+    // against any document vector — the relevance model behind modern
+    // multi-vector RAG retrieval. Here the embeddings table is grouped
+    // into 8-vector bags (vec_id div 8); bags 0-2 are the queries.
+    // Shape: the bounded query side (24 vectors) BROADCASTS, the document
+    // side never shuffles raw vectors — dots and the per-(query-vector,
+    // doc) max partial-aggregate map-side, and only (qd, qv, dd, max)
+    // scalars move. The per-bag sum-of-maxes folds 8 exact decimals
+    // (order-free), then top-5 bags per query rank on the unrounded
+    // score. At 100 TB the all-docs scan composes with the ANN family:
+    // sim_ann_* produces the candidate shortlist and this operator
+    // re-ranks it — the exact form here is the oracle baseline, same
+    // policy as sim_cosine_topk.
+    Q(
+      "sim_maxsim_multivector",
+      Some("""WITH e AS (SELECT vec_id // 8 AS gid, vec_id, embedding FROM embeddings),
+             |q AS (SELECT gid AS qd, vec_id AS qv, embedding AS qe FROM e WHERE gid < 3),
+             |d AS (SELECT gid AS dd, vec_id AS dv, embedding AS de FROM e),
+             |dots AS (
+             |  SELECT qd, qv, dd,
+             |    list_sum(list_transform(list_zip(qe, de),
+             |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS dot
+             |  FROM q, d WHERE qd <> dd),
+             |best AS (SELECT qd, qv, dd, MAX(dot) AS m FROM dots GROUP BY 1, 2, 3),
+             |sc AS (SELECT qd, dd,
+             |    CAST(CAST(SUM(CAST(m AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS score
+             |  FROM best GROUP BY 1, 2),
+             |r AS (SELECT qd, dd, ROUND(score, 6) AS maxsim,
+             |        row_number() OVER (PARTITION BY qd
+             |                           ORDER BY score DESC, dd) AS rn
+             |      FROM sc)
+             |SELECT qd, dd, maxsim, CAST(rn AS INT) AS rn
+             |FROM r WHERE rn <= 5 ORDER BY qd, rn""".stripMargin),
+      (s, dir) => {
+        native(s)
+        val e = Tables(s, dir, "embeddings")
+          .select(expr("vec_id div 8").as("gid"), col("vec_id"), col("embedding"))
+        val q = e.filter(col("gid") < 3)
+          .select(col("gid").as("qd"), col("vec_id").as("qv"),
+            col("embedding").as("qe"))
+        val d = e.select(col("gid").as("dd"), col("embedding").as("de"))
+        val best = broadcast(q).crossJoin(d)
+          .filter(col("qd") =!= col("dd"))
+          .select(col("qd"), col("qv"), col("dd"),
+            ndot(col("qe"), col("de")).as("dot"))
+          .groupBy("qd", "qv", "dd")
+          .agg(max(col("dot")).as("m"))
+        val w = Window.partitionBy("qd").orderBy(col("score").desc, col("dd"))
+        best
+          .groupBy("qd", "dd")
+          .agg(dsumWide(col("m")).as("score"))
+          .withColumn("rn", row_number().over(w).cast("int"))
+          .filter(col("rn") <= 5)
+          .select(col("qd"), col("dd"), round(col("score"), 6).as("maxsim"),
+            col("rn"))
+          .oracleOrder("qd", "rn")
       }))
 }
