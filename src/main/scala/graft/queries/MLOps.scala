@@ -1105,47 +1105,51 @@ object MLOps extends QueryPack {
       "ml_pca_power_iteration",
       Some(PcaPowerSql),
       (s, dir) => {
-        val cells = Tables(s, dir, "embeddings")
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "v")))
-          .select(col("vec_id"), (col("p") + 1).cast("int").as("i"),
-            col("v").cast("double").as("v"))
-        val aa = cells.select(col("vec_id"), col("i"), col("v").as("av"))
-        val bb = cells.select(col("vec_id"), col("i").as("j"), col("v").as("bv"))
-        val d = 64
-        val g = Array.ofDim[Double](d, d)
-        aa.join(bb, "vec_id")
-          .groupBy("i", "j")
-          .agg(dsumWide(col("av") * col("bv")).as("g"))
-          .collect()
-          .foreach(r => g(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getDouble(2))
-        // dsumWide twin on the driver: each product rounds to DECIMAL(30,10)
-        // (exact-expansion HALF_UP — what both engines' double->decimal
-        // casts produce on these magnitudes), then sums exactly.
-        def dec10(x: Double): java.math.BigDecimal =
-          new java.math.BigDecimal(x).setScale(10, java.math.RoundingMode.HALF_UP)
-        var v = Array.fill(d)(0.125)
-        var nrm = 0.0
-        for (_ <- 1 to 3) {
-          val w = Array.tabulate(d) { i =>
-            (0 until d).foldLeft(java.math.BigDecimal.ZERO)((acc, j) =>
-              acc.add(dec10(g(i)(j) * v(j)))).doubleValue
-          }
-          nrm = math.sqrt(
-            w.foldLeft(java.math.BigDecimal.ZERO)((acc, x) =>
-              acc.add(dec10(x * x))).doubleValue)
-          v = w.map(_ / nrm)
-        }
-        val sgn = if (v.find(math.abs(_) > 1e-9).exists(_ < 0)) -1.0 else 1.0
+        val (v, nrm) = pcaDirection(s, dir)
         import s.implicits._
         v.toIndexedSeq.zipWithIndex
-          .map { case (x, i) => (i + 1, x * sgn, nrm) }
+          .map { case (x, i) => (i + 1, x, nrm) }
           .toDF("dim", "loading", "eigval")
           .select(
             col("dim").cast("int").as("dim"),
             round(col("loading"), 6).as("loading"),
             round(col("eigval"), 4).as("eigval"))
           .oracleOrder("dim")
-      }))
+      }),
+
+    // Apply the learned direction: project every embedding onto the top
+    // principal component — the "use the statistic" half of the PCA pair
+    // (whitening / decorrelation / drift scoring all start here). Pure
+    // map-side work: the 64-double direction rides the closure, each row
+    // is one fused dot product, nothing shuffles before the
+    // oracle-determinism sort. Oracle is the learned-quantizer pattern
+    // (Q.oracleGen): the driver-computed direction inlines as a DOUBLE[]
+    // literal (shortest round-trip repr, exact) and DuckDB recomputes
+    // every projection itself with the same left-to-right fold.
+    Q(
+      "ml_pca_project",
+      None,
+      (s, dir) => {
+        val (v, _) = pcaDirection(s, dir)
+        val vLit = array(v.toIndexedSeq.map(lit): _*)
+        Tables(s, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            round(
+              aggregate(
+                zip_with(col("embedding"), vLit, (x, y) => x.cast("double") * y),
+                lit(0.0), (acc, x) => acc + x), 6).as("pc1"))
+          .oracleOrder("vec_id")
+      },
+      oracleGen = Some((s, dir) => {
+        val (v, _) = pcaDirection(s, dir)
+        val vSql = v.map(java.lang.Double.toString)
+          .mkString("[", ", ", "]::DOUBLE[]")
+        s"""SELECT vec_id,
+           |  ROUND(list_sum(list_transform(list_zip(embedding, $vSql),
+           |    z -> CAST(z[1] AS DOUBLE) * z[2])), 6) AS pc1
+           |FROM embeddings ORDER BY vec_id""".stripMargin
+      })))
 
   /** Forward-pass trunk shared by `ml_cnn_forward_compose` and
     * `ml_cnn_infer_render`: events grid -> Conv(5x5, signed binomial
@@ -1221,6 +1225,58 @@ object MLOps extends QueryPack {
 
   /** Sampling seed for `ml_stratified_split` (md5-bucket family). */
   private val stratSeed = 33
+
+  /** The PCA sufficient-statistics pass: 64x64 Gram X'X as one map-side
+    * partial-aggregated equi self-join on vec_id (shared with
+    * PlanShapeSpec's shape guard — the spec pins THIS plan).
+    */
+  private[graft] def pcaGram(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val cells = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .select(col("vec_id"), (col("p") + 1).cast("int").as("i"),
+        col("v").cast("double").as("v"))
+    val aa = cells.select(col("vec_id"), col("i"), col("v").as("av"))
+    val bb = cells.select(col("vec_id"), col("i").as("j"), col("v").as("bv"))
+    aa.join(bb, "vec_id")
+      .groupBy("i", "j")
+      .agg(dsumWide(col("av") * col("bv")).as("g"))
+  }
+
+  /** The learned top principal direction: collect the Gram statistic and
+    * run the 3 power steps on the driver (sign-fixed loadings, final |Gv|
+    * as the eigenvalue estimate). Shared by `ml_pca_power_iteration`,
+    * `ml_pca_project`, and its generated oracle — all three must see the
+    * identical doubles. The decimal arithmetic is the dsumWide twin: each
+    * product rounds to DECIMAL(30,10) (exact-expansion HALF_UP — what both
+    * engines' double->decimal casts produce on these magnitudes), then
+    * sums exactly.
+    */
+  private[graft] def pcaDirection(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Array[Double], Double) = {
+    val d = 64
+    val g = Array.ofDim[Double](d, d)
+    pcaGram(s, dir).collect()
+      .foreach(r => g(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getDouble(2))
+    def dec10(x: Double): java.math.BigDecimal =
+      new java.math.BigDecimal(x).setScale(10, java.math.RoundingMode.HALF_UP)
+    var v = Array.fill(d)(0.125)
+    var nrm = 0.0
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(d) { i =>
+        (0 until d).foldLeft(java.math.BigDecimal.ZERO)((acc, j) =>
+          acc.add(dec10(g(i)(j) * v(j)))).doubleValue
+      }
+      nrm = math.sqrt(
+        w.foldLeft(java.math.BigDecimal.ZERO)((acc, x) =>
+          acc.add(dec10(x * x))).doubleValue)
+      v = w.map(_ / nrm)
+    }
+    val sgn = if (v.find(math.abs(_) > 1e-9).exists(_ < 0)) -1.0 else 1.0
+    (v.map(_ * sgn), nrm)
+  }
 
   /** DuckDB twin of `ml_pca_power_iteration`: Gram via the unnest
     * self-join, then the 3 power steps unrolled as relational matvec CTEs.

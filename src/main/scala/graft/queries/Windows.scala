@@ -75,6 +75,58 @@ object Windows extends QueryPack {
           .oracleOrder("user_id", "event_id")
       }),
 
+    // Exponentially-weighted moving average (the decay-smoothing every
+    // time-series/metrics pipeline ships next to the plain moving average):
+    // 5-term truncated EWM per user with half-decay — weights 1, 0.5,
+    // 0.25, 0.125, 0.0625 are exact powers of two, so every product and
+    // the FIXED left-to-right numerator/denominator chains are
+    // deterministic IEEE in both engines; partition heads shorten the
+    // kernel by zeroing absent terms (the adaptive-denominator form).
+    // Partition-local over user_id: one shuffle, bounded per-key state,
+    // same scale shape as the lag/moving-avg family.
+    Q(
+      "window_ewma_decay",
+      Some("""SELECT user_id, event_id,
+             |  ROUND((value
+             |    + CASE WHEN x1 IS NULL THEN 0e0 ELSE 5e-1 * x1 END
+             |    + CASE WHEN x2 IS NULL THEN 0e0 ELSE 2.5e-1 * x2 END
+             |    + CASE WHEN x3 IS NULL THEN 0e0 ELSE 1.25e-1 * x3 END
+             |    + CASE WHEN x4 IS NULL THEN 0e0 ELSE 6.25e-2 * x4 END) /
+             |    (1e0
+             |    + CASE WHEN x1 IS NULL THEN 0e0 ELSE 5e-1 END
+             |    + CASE WHEN x2 IS NULL THEN 0e0 ELSE 2.5e-1 END
+             |    + CASE WHEN x3 IS NULL THEN 0e0 ELSE 1.25e-1 END
+             |    + CASE WHEN x4 IS NULL THEN 0e0 ELSE 6.25e-2 END), 6) AS ewma
+             |FROM (SELECT user_id, event_id, value,
+             |        lag(value, 1) OVER w AS x1, lag(value, 2) OVER w AS x2,
+             |        lag(value, 3) OVER w AS x3, lag(value, 4) OVER w AS x4
+             |      FROM events
+             |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+             |ORDER BY user_id, event_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val lagged = Tables(s, dir, "events")
+          .select(
+            col("user_id"), col("event_id"), col("value"),
+            lag(col("value"), 1).over(w).as("x1"),
+            lag(col("value"), 2).over(w).as("x2"),
+            lag(col("value"), 3).over(w).as("x3"),
+            lag(col("value"), 4).over(w).as("x4"))
+        def num(c: String, wt: Double) =
+          when(col(c).isNull, 0.0).otherwise(lit(wt) * col(c))
+        def den(c: String, wt: Double) =
+          when(col(c).isNull, 0.0).otherwise(lit(wt))
+        lagged
+          .select(
+            col("user_id"), col("event_id"),
+            round(
+              (col("value") + num("x1", 0.5) + num("x2", 0.25)
+                + num("x3", 0.125) + num("x4", 0.0625)) /
+                (lit(1.0) + den("x1", 0.5) + den("x2", 0.25)
+                  + den("x3", 0.125) + den("x4", 0.0625)), 6).as("ewma"))
+          .oracleOrder("user_id", "event_id")
+      }),
+
     // Time-interval RANGE frame: per event, how many events the same user
     // produced in the preceding hour (inclusive). The frame is defined on
     // epoch seconds in BOTH engines (floor-truncated identically), so peers

@@ -73,6 +73,44 @@ class PcaMaxSimSpec extends SparkSpec {
     assert(got.head.getDouble(2) == wantEig)
   }
 
+  test("pca project: matches driver-side dots against the learned direction") {
+    val (v, _) = graft.queries.MLOps.pcaDirection(spark, sf)
+    val want = embeddings().map { case (id, e) =>
+      var acc = 0.0
+      for (k <- e.indices) acc += e(k).toDouble * v(k)
+      id -> BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = Registry.byId("ml_pca_project").run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == want.keySet)
+    for ((k, x) <- want) assert(got(k) == x, s"vec $k: ${got(k)} vs $x")
+  }
+
+  test("ewma: matches the driver-side truncated decay kernel") {
+    val rows = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("tsl"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val want = rows.groupBy(_._1).flatMap { case (_, es) =>
+      val ord = es.sortBy { case (_, eid, _, tsl) => (tsl, eid) }
+      ord.indices.map { i =>
+        val wts = Seq(1.0, 0.5, 0.25, 0.125, 0.0625)
+        var num = 0.0; var den = 0.0
+        for (k <- 0 to 4 if i - k >= 0) {
+          num += wts(k) * ord(i - k)._3
+          den += wts(k)
+        }
+        ord(i)._2 -> BigDecimal(num / den)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val got = Registry.byId("window_ewma_decay").run(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(got.keySet == want.keySet)
+    for ((k, x) <- want) assert(got(k) == x, s"event $k: ${got(k)} vs $x")
+  }
+
   test("maxsim: matches the brute-force late-interaction scores") {
     val embs = embeddings()
     val bags = embs.groupBy { case (id, _) => id / 8 }

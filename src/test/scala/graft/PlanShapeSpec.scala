@@ -225,6 +225,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("maxsim broadcasts the query bags and partial-limits the top-k") {
+    val p = plan("sim_maxsim_multivector")
+    // The bounded query side rides a broadcast (nested-loop for the scoring
+    // product is intentional — exact-baseline dialect, ANN shortlist is the
+    // scale path); the per-query top-5 must push a partial WindowGroupLimit
+    // below the rank shuffle so only candidate rows move.
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("pca gram pass is one equi join with map-side decimal partials") {
+    // The single data-proportional stage of ml_pca_power_iteration: cells
+    // self-join on vec_id (hash equi, never a product) and the (i, j) sums
+    // partial-aggregate before their exchange. The power steps themselves
+    // are driver arithmetic over the collected 64x64 statistic, so the
+    // registry query's returned DF is a local result — the shape guard
+    // pins the shared stats-pass plan instead.
+    val p = graft.queries.MLOps.pcaGram(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("flagship whole-stage codegen covers the aggregation") {
     // AQE only shows the final (codegen'd) plan after execution.
     val df = Registry.byId("join_star_multiway").run(spark, sf)
