@@ -114,6 +114,10 @@ object Native {
       require(args.length == 2, "graft_grams expects (str, n)")
       Grams(args(0), args(1))
     },
+    "graft_normalize" -> { args =>
+      require(args.length == 2, "graft_normalize expects (str, form)")
+      UnicodeNormalize(args(0), args(1))
+    },
     "graft_might_contain" -> { args =>
       require(args.length == 2, "graft_might_contain expects 2 arguments")
       org.apache.spark.sql.catalyst.expressions

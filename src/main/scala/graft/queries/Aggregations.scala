@@ -629,5 +629,86 @@ object Aggregations extends QueryPack {
             min("v").cast("double").as("wmedian"),
             min("tot").cast("double").as("total_qty"))
           .oracleOrder("flag")
-      }))
+      }),
+
+    // Skewness + excess kurtosis from closed-form central moments — the
+    // distribution-shape diagnostics of data-drift monitoring, computed the
+    // corr_covar way: ONE grouped pass of exact DECIMAL power sums (order-
+    // independent under partial aggregation, so a 1000-executor merge gives
+    // the same bits as local[1]), then identical scalar IEEE chains in both
+    // engines. m2^1.5 is spelled m2*sqrt(m2) — sqrt is correctly-rounded
+    // IEEE in both engines, pow() is libm and is not.
+    Q(
+      "agg_skew_kurtosis",
+      Some("""WITH s AS (
+             |  SELECT l_returnflag AS flag, COUNT(*) AS n,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS s2,
+             |    CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS s3,
+             |    CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS s4
+             |  FROM lineitem GROUP BY 1),
+             |m AS (
+             |  SELECT flag, CAST(n AS BIGINT) AS n, s1 / n AS m1,
+             |    s2 / n - (s1 / n) * (s1 / n) AS m2,
+             |    s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             |    s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+             |      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+             |  FROM s)
+             |SELECT flag, n, ROUND(m1, 6) AS mean,
+             |  ROUND(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+             |  ROUND(m4 / (m2 * m2) - 3, 6) AS kurtosis
+             |FROM m ORDER BY flag""".stripMargin),
+      (s, dir) => {
+        val x = col("l_quantity")
+        val m1 = col("s1") / col("n")
+        val m2 = col("s2") / col("n") - m1 * m1
+        val m3 = col("s3") / col("n") - lit(3) * m1 * (col("s2") / col("n")) +
+          lit(2) * m1 * m1 * m1
+        val m4 = col("s4") / col("n") - lit(4) * m1 * (col("s3") / col("n")) +
+          lit(6) * m1 * m1 * (col("s2") / col("n")) - lit(3) * m1 * m1 * m1 * m1
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag").as("flag"))
+          .agg(
+            cnt.as("n"),
+            dsum(x).as("s1"), dsumWide(x * x).as("s2"),
+            dsumWide(x * x * x).as("s3"), dsumWide(x * x * x * x).as("s4"))
+          .select(col("flag"), col("n"), m1.as("m1"), m2.as("m2"),
+            m3.as("m3"), m4.as("m4"))
+          .select(
+            col("flag"), col("n"), round(col("m1"), 6).as("mean"),
+            round(col("m3") / (col("m2") * sqrt(col("m2"))), 6).as("skewness"),
+            round(col("m4") / (col("m2") * col("m2")) - 3, 6).as("kurtosis"))
+          .oracleOrder("flag")
+      }),
+
+    // Exact distinct count via two-level bitmaps — the roaring-bitmap
+    // pattern relationalized: dense user ids fold into (key, block) 32-bit
+    // masks with bit_or (map-side partial OR — the shuffle carries at most
+    // one long per occupied block per key, NOT one row per event), then
+    // popcounts sum. Unlike approx_count_distinct this is exact, and unlike
+    // COUNT(DISTINCT) the pre-shuffle state is a compressed bitmap, not the
+    // full value set — at 100 TB with dense ids this is the cheapest exact
+    // distinct there is (bitmap OR is also how segment-level distinct
+    // sketches merge in serving stores).
+    Q(
+      "agg_bitmap_distinct",
+      Some("""WITH b AS (
+             |  SELECT event_type, user_id // 32 AS blk,
+             |    bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS mask
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type,
+             |  CAST(SUM(bit_count(mask)) AS BIGINT) AS n_users,
+             |  CAST(COUNT(*) AS BIGINT) AS n_blocks
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(
+            col("event_type"),
+            (col("user_id") / 32).cast("long").as("blk"))
+          .agg(expr("bit_or(shiftleft(1L, CAST(user_id % 32 AS INT)))").as("mask"))
+          .groupBy("event_type")
+          .agg(
+            expr("CAST(SUM(bit_count(mask)) AS BIGINT)").as("n_users"),
+            cnt.as("n_blocks"))
+          .oracleOrder("event_type")))
 }

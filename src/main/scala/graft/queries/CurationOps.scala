@@ -48,6 +48,16 @@ object CurationOps extends QueryPack {
   private val cmsD = 4
   private val cmsW = 64
 
+  /** Misra-Gries heavy hitters: per-partition counter capacity, and the
+    * confirm threshold share (output = tokens with count > n/mgK). Capacity
+    * 63 ≥ mgK-1 = 31 preserves the MG guarantee (an item with global
+    * frequency > n/(cap+1) must survive in at least one partition's
+    * counter table — pigeonhole over partition-local counts), so the
+    * candidate union provably contains every confirmed heavy hitter.
+    */
+  private val mgCapacity = 63
+  private val mgK = 32
+
   def queries: Seq[Q] = Seq(
     // PII redaction: count matches per pattern, then nested global
     // replacement (email -> phone -> blocklist term). Pure per-row regex
@@ -335,6 +345,48 @@ object CurationOps extends QueryPack {
             col("tok"), col("exact"), col("cms_est"),
             (col("cms_est") - col("exact")).as("overcount"))
           .oracleOrder(col("exact").desc, col("tok"))
+      }),
+
+    // Misra-Gries heavy hitters — the deterministic-guarantee counterpart
+    // of the count-min sketch: pass 1 runs a BOUNDED counter table
+    // (mgCapacity entries, imperative decrement-on-overflow — the rare
+    // legitimate mapPartitions case) inside each partition and emits only
+    // surviving candidate tokens; pass 2 exactly counts candidates alone
+    // (broadcast semi join — the fact stream never shuffles on token) and
+    // keeps those above the n/mgK share. The MG pigeonhole makes the
+    // candidate union a provable superset of every true heavy hitter, so
+    // the confirmed output is partitioning-independent — which is what the
+    // DuckDB oracle (plain HAVING over exact counts) checks. At 100 TB:
+    // state is O(capacity) per task regardless of vocabulary, and only
+    // |candidates| ≤ capacity × partitions keys reach the confirm join.
+    Q(
+      "agg_freq_items_misra_gries",
+      Some(s"""WITH tk AS (
+              |  SELECT unnest(string_split(lower(text), ' ')) AS tok
+              |  FROM documents),
+              |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tk),
+              |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tk GROUP BY 1)
+              |SELECT f.tok, f.n, ROUND(CAST(f.n AS DOUBLE) / t.total, 6) AS share
+              |FROM f, t WHERE f.n * $mgK > t.total
+              |ORDER BY f.n DESC, f.tok""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val cap = mgCapacity
+        val k = mgK
+        val toks = Tables(s, dir, "documents")
+          .select(explode(split(lower(col("text")), " ")).as("tok"))
+        val candidates = toks.as[String]
+          .mapPartitions(graft.plans.MisraGries.candidates(_, cap))
+          .toDF("tok").distinct()
+        val total = toks.agg(cnt.as("total"))
+        toks.join(broadcast(candidates), Seq("tok"), "left_semi")
+          .groupBy("tok").agg(cnt.as("n"))
+          .crossJoin(broadcast(total))
+          .filter(col("n") * k > col("total"))
+          .select(
+            col("tok"), col("n"),
+            round(col("n").cast("double") / col("total"), 6).as("share"))
+          .oracleOrder(col("n").desc, col("tok"))
       }),
 
     // Vocabulary build + OOV accounting: global top-k tokens by

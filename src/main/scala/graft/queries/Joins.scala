@@ -553,5 +553,92 @@ object Joins extends QueryPack {
               col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 90 DAY"))
           .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("month"))
           .agg(cnt.as("n"))
-          .oracleOrder("month")))
+          .oracleOrder("month")),
+
+    // Full outer join — cohort churn: customers who ordered before 1998,
+    // after 1998, or in both periods. Full outer is the only join type that
+    // keeps BOTH unmatched sides, which is exactly the churn question
+    // ("who disappeared, who is new"). Scale shape: both sides are already
+    // aggregates keyed on o_custkey, so the outer join shuffles two
+    // pre-shrunk per-key tables (one row per customer per side), never the
+    // raw fact table — the same sums would cost 2 fact shuffles if joined
+    // raw-to-raw first.
+    Q(
+      "join_full_outer",
+      Some("""WITH early AS (
+             |  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_early,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev_early
+             |  FROM orders WHERE o_orderdate < DATE '1998-01-01' GROUP BY 1),
+             |late AS (
+             |  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_late,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev_late
+             |  FROM orders WHERE o_orderdate >= DATE '1998-01-01' GROUP BY 1)
+             |SELECT COALESCE(early.k, late.k) AS custkey,
+             |  COALESCE(n_early, 0) AS n_early, COALESCE(n_late, 0) AS n_late,
+             |  COALESCE(rev_early, 0e0) AS rev_early, COALESCE(rev_late, 0e0) AS rev_late,
+             |  CASE WHEN early.k IS NULL THEN 'new'
+             |       WHEN late.k IS NULL THEN 'churned' ELSE 'retained' END AS cohort
+             |FROM early FULL JOIN late ON early.k = late.k
+             |ORDER BY custkey""".stripMargin),
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+        val cut = lit("1998-01-01").cast("date")
+        def side(pred: org.apache.spark.sql.Column, tag: String) =
+          orders.filter(pred).groupBy(col("o_custkey").as(s"k_$tag"))
+            .agg(cnt.as(s"n_$tag"), dsum(col("o_totalprice")).as(s"rev_$tag"))
+        side(col("o_orderdate") < cut, "early")
+          .join(side(col("o_orderdate") >= cut, "late"),
+            col("k_early") === col("k_late"), "full_outer")
+          .select(
+            coalesce(col("k_early"), col("k_late")).as("custkey"),
+            coalesce(col("n_early"), lit(0L)).as("n_early"),
+            coalesce(col("n_late"), lit(0L)).as("n_late"),
+            coalesce(col("rev_early"), lit(0.0)).as("rev_early"),
+            coalesce(col("rev_late"), lit(0.0)).as("rev_late"),
+            when(col("k_early").isNull, "new")
+              .when(col("k_late").isNull, "churned")
+              .otherwise("retained").as("cohort"))
+          .oracleOrder("custkey")
+      }),
+
+    // Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): an optional
+    // dimension (JSON prop bucketed, NULL when out of the tracked range)
+    // compared across two event halves — the NULL group must pair with the
+    // NULL group, which a plain equi-join silently drops. Spark plans `<=>`
+    // as a hash-join key (Coalesce+IsNull tuple), so the scale shape is the
+    // same single shuffle as the equi case, on aggregates already shrunk to
+    // one row per dim.
+    Q(
+      "join_null_safe_eq",
+      Some("""WITH ev AS (
+             |  SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) < 80
+             |              THEN CAST(CAST(json_extract_string(props, '$.k') AS INT) // 20 AS INT)
+             |         END AS dim,
+             |         event_id, value FROM events),
+             |a AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_even,
+             |        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_even
+             |      FROM ev WHERE event_id % 2 = 0 GROUP BY 1),
+             |b AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_odd,
+             |        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_odd
+             |      FROM ev WHERE event_id % 2 = 1 GROUP BY 1)
+             |SELECT a.dim, n_even, n_odd, sum_even, sum_odd
+             |FROM a JOIN b ON a.dim IS NOT DISTINCT FROM b.dim
+             |ORDER BY a.dim NULLS FIRST""".stripMargin),
+      (s, dir) => {
+        val k = get_json_object(col("props"), "$.k").cast("int")
+        val ev = Tables(s, dir, "events")
+          .select(
+            when(k < 80, (k / 20).cast("int")).as("dim"),
+            col("event_id"), col("value"))
+        def half(rem: Int, tag: String) =
+          ev.filter(col("event_id") % 2 === rem)
+            .groupBy(col("dim").as(s"dim_$tag"))
+            .agg(cnt.as(s"n_$tag"), dsum(col("value")).as(s"sum_$tag"))
+        half(0, "even")
+          .join(half(1, "odd"), col("dim_even") <=> col("dim_odd"))
+          .select(
+            col("dim_even").as("dim"), col("n_even"), col("n_odd"),
+            col("sum_even"), col("sum_odd"))
+          .oracleOrder("dim")
+      }))
 }

@@ -149,5 +149,50 @@ object Scalars extends QueryPack {
             round(
               when(col("value") <= 100, col("value") * 0.5)
                 .otherwise(lit(50) + (col("value") - 100) * 2.0), 6).as("interp"))
-          .oracleOrder("event_id")))
+          .oracleOrder("event_id")),
+
+    // URL parsing — the door to domain-level curation (per-domain caps,
+    // blocklists, provenance stats all key on HOST). URLs are synthesized
+    // deterministically from document fields, then Spark's codegen'd
+    // parse_url extracts HOST / PATH / QUERY-param; the DuckDB twin uses
+    // regexp_extract with one shared pattern per component, which pins the
+    // (public, RFC-3986-ish) semantics the query relies on. The per-domain
+    // rollup groups on the ~|sources| distinct hosts — tiny key space,
+    // map-side combine collapses the corpus before the shuffle.
+    Q(
+      "scalar_url_parse",
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+             |      || '?lang=' || lang || '&ch=' || CAST(n_chars AS VARCHAR) AS url
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id,
+             |    regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+             |    regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+             |    regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param
+             |  FROM u)
+             |SELECT host, lang_param, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+             |  CAST(MAX(length(path)) AS BIGINT) AS max_path_len
+             |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val url = concat(
+          lit("https://"), col("source"), lit(".example.com/docs/"),
+          col("doc_id").cast("string"), lit("?lang="), col("lang"),
+          lit("&ch="), col("n_chars").cast("string"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), url.as("url"))
+          .select(
+            col("doc_id"),
+            parse_url(col("url"), lit("HOST")).as("host"),
+            parse_url(col("url"), lit("PATH")).as("path"),
+            parse_url(col("url"), lit("QUERY"), lit("lang")).as("lang_param"))
+          .groupBy("host", "lang_param")
+          .agg(
+            cnt.as("n_docs"),
+            min("doc_id").cast("long").as("first_doc"),
+            max(length(col("path"))).cast("long").as("max_path_len"))
+          .oracleOrder("host", "lang_param")
+      }))
 }

@@ -5,6 +5,7 @@ import graft.Fns._
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** SURVEY.md §2.K (vectors) — similarity search + multimodal columns.
   *
@@ -1055,5 +1056,57 @@ object SimOps extends QueryPack {
           .select(col("qd"), col("dd"), round(col("score"), 6).as("maxsim"),
             col("rn"))
           .oracleOrder("qd", "rn")
+      }),
+
+    // Symmetric int8 quantization of the embedding store — the 4x
+    // compression every billion-vector serving index takes before ANN
+    // (scalar-quantized IVF lists, int8 GEMM rerank). Per vector: scale =
+    // 127/max|x|, q = floor(x*scale + 0.5) ∈ [-127,127] (the
+    // floor(+0.5) spelling sidesteps the engines' different ROUND-half
+    // conventions), reported with exact reconstruction-error stats. Every
+    // stage is per-vector local: explode → per-key max → quantize → error
+    // rollup all group on vec_id, so the whole pipeline is ONE shuffle of
+    // scalar cells partial-aggregated map-side; nothing global, nothing
+    // quadratic. Error sums are ROUND-14-into-DECIMAL (order-free); the
+    // quantized codes themselves are integer-exact, which is what the
+    // oracle hash locks.
+    Q(
+      "ml_quantize_int8",
+      Some("""WITH c AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+             |  FROM embeddings),
+             |m AS (SELECT vec_id, MAX(abs(x)) AS amax FROM c GROUP BY 1),
+             |q AS (
+             |  SELECT c.vec_id, amax, x,
+             |    CAST(floor(x * (127 / amax) + 0.5) AS INT) AS qv
+             |  FROM c JOIN m ON c.vec_id = m.vec_id WHERE amax > 0),
+             |e AS (SELECT vec_id, amax, qv, x - (qv * amax / 127) AS err FROM q)
+             |SELECT vec_id, ROUND(MIN(amax), 6) AS amax,
+             |  CAST(SUM(abs(qv)) AS BIGINT) AS sum_abs_q,
+             |  ROUND(MAX(abs(err)), 9) AS max_abs_err,
+             |  ROUND(CAST(SUM(CAST(ROUND(err * err, 14) AS DECIMAL(20,14)))
+             |             AS DOUBLE) / COUNT(*), 12) AS mse
+             |FROM e GROUP BY 1 ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val cells = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), explode(col("embedding")).as("xf"))
+          .select(col("vec_id"), col("xf").cast("double").as("x"))
+        val m = cells.groupBy("vec_id").agg(max(abs(col("x"))).as("amax"))
+        val q = cells.join(m, "vec_id").filter(col("amax") > 0)
+          .select(
+            col("vec_id"), col("amax"), col("x"),
+            floor(col("x") * (lit(127) / col("amax")) + 0.5).cast("int").as("qv"))
+        q.select(
+            col("vec_id"), col("amax"), col("qv"),
+            (col("x") - col("qv") * col("amax") / 127).as("err"))
+          .groupBy("vec_id")
+          .agg(
+            round(min("amax"), 6).as("amax"),
+            sum(abs(col("qv"))).cast("long").as("sum_abs_q"),
+            round(max(abs(col("err"))), 9).as("max_abs_err"),
+            round(
+              sum(round(col("err") * col("err"), 14).cast(DecimalType(20, 14)))
+                .cast("double") / cnt, 12).as("mse"))
+          .oracleOrder("vec_id")
       }))
 }

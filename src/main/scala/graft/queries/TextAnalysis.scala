@@ -194,5 +194,54 @@ object TextAnalysis extends QueryPack {
           .agg(sum("f").cast("long").as("n"))
           .orderBy(col("n").desc, col("pair"))
           .limit(20)
+      }),
+
+    // Unicode NFC normalization — the transform every corpus build runs
+    // FIRST: composed (U+00E9) and decomposed (e + U+0301) spellings of the
+    // same text hash differently, so un-normalized crawls silently defeat
+    // byte-level dedup. The synthetic corpus is pure ASCII, so both
+    // provenances are injected deterministically (even doc_id → composed
+    // accents, odd → combining-mark sequences), then folded back to one
+    // canonical form by the native `graft_normalize` expression
+    // (java.text.Normalizer inlined into whole-stage codegen — Spark has no
+    // built-in; a Scala UDF here would box every row of the corpus). The
+    // md5 of the normalized text is the oracle-checked proof that both
+    // engines compose to identical BYTES, not just equal lengths. Map-only,
+    // zero shuffle before the presentation sort — the same 100 TB class as
+    // the PII scrub.
+    Q(
+      "text_unicode_normalize",
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 2 = 0 THEN replace(text, 'e', chr(233))
+             |         ELSE replace(text, 'e', 'e' || chr(769)) END AS mixed
+             |  FROM documents),
+             |n AS (SELECT doc_id, mixed, nfc_normalize(mixed) AS norm FROM m)
+             |SELECT doc_id,
+             |  CAST(length(mixed) AS BIGINT) AS n_raw,
+             |  CAST(length(norm) AS BIGINT) AS n_norm,
+             |  CAST(length(mixed) - length(norm) AS BIGINT) AS n_composed,
+             |  md5(norm) AS digest
+             |FROM n ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        graft.functions.Native.register(s)
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            // Spark's char() wraps at 256, so the accents are Scala
+            // unicode escapes: U+00E9 composed vs "e"+U+0301 combining.
+            when(col("doc_id") % 2 === 0,
+              regexp_replace(col("text"), "e", "\u00e9"))
+              .otherwise(regexp_replace(col("text"), "e", "e\u0301"))
+              .as("mixed"))
+          .withColumn("norm", expr("graft_normalize(mixed, 'NFC')"))
+          .select(
+            col("doc_id"),
+            length(col("mixed")).cast("long").as("n_raw"),
+            length(col("norm")).cast("long").as("n_norm"),
+            (length(col("mixed")) - length(col("norm"))).cast("long")
+              .as("n_composed"),
+            md5(col("norm").cast("binary")).as("digest"))
+          .oracleOrder("doc_id")
       }))
 }

@@ -331,5 +331,37 @@ object Windows extends QueryPack {
             (unix_micros(max("ts")) - unix_micros(min("ts")))
               .cast("long").as("dur_us"))
           .oracleOrder("user_id", "session_id")
+      }),
+
+    // first_value / last_value / nth_value — the "vs session start / vs
+    // session end / vs second touch" attribution columns. Frames are spelled
+    // explicitly on BOTH engines: last_value needs the full-partition frame
+    // (the default RANGE..CURRENT ROW frame makes it a synonym for the
+    // current row — the classic window bug), nth_value keeps the default
+    // growing frame so it is NULL until the partition's 2nd row arrives.
+    // Partition-local per user: one shuffle, same scale shape as lag/lead.
+    Q(
+      "window_first_last",
+      Some("""SELECT user_id, event_id,
+             |  ROUND(value - first_value(value) OVER w, 6) AS d_first,
+             |  ROUND(last_value(value)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |    - value, 6) AS d_last,
+             |  ROUND(nth_value(value, 2) OVER w, 6) AS second_touch
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, event_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wFull = w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables(s, dir, "events")
+          .select(
+            col("user_id"), col("event_id"),
+            round(col("value") - first(col("value")).over(w), 6).as("d_first"),
+            round(last(col("value")).over(wFull) - col("value"), 6).as("d_last"),
+            round(nth_value(col("value"), 2).over(w), 6).as("second_touch"))
+          .oracleOrder("user_id", "event_id")
       }))
 }

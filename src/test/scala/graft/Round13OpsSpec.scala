@@ -1,0 +1,229 @@
+package graft
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.AnalysisException
+
+/** Targeted gates for the round-13 operator additions, beyond the
+  * RegistrySmokeSpec run-and-rows pass and the DuckDB differential:
+  * driver-side recomputes via DIFFERENT algebra, algorithm-guarantee
+  * assertions (Misra-Gries superset, int8 error bound), and the native
+  * `graft_normalize` expression's semantics.
+  */
+class Round13OpsSpec extends SparkSpec {
+
+  private def round(x: Double, s: Int): Double =
+    JBigDecimal.valueOf(x).setScale(s, RoundingMode.HALF_UP).doubleValue()
+
+  // ---- Misra-Gries: the algorithm itself, on synthetic skew that actually
+  // exercises the decrement/evict path (capacity << vocabulary).
+
+  test("MisraGries survives every item above n/(capacity+1) under eviction") {
+    // 200x "hot", 150x "warm", 300 singletons; capacity 4 << 302 vocab.
+    val stream = scala.util.Random.shuffle(
+      List.fill(200)("hot") ++ List.fill(150)("warm") ++
+        (1 to 300).map(i => s"cold_$i").toList)
+    val n = stream.size // 650; n/(cap+1) = 130 -> hot and warm must survive
+    val out = plans.MisraGries.candidates(stream.iterator, 4).toSet
+    assert(out.size <= 4)
+    assert(out.contains("hot") && out.contains("warm"),
+      s"guaranteed heavy hitters evicted: $out (n=$n)")
+  }
+
+  test("MisraGries never emits more than capacity items and handles ties") {
+    val out = plans.MisraGries
+      .candidates(Iterator("a", "b", "c", "d", "e", "f"), 3).toSet
+    assert(out.size <= 3)
+    assert(plans.MisraGries.candidates(Iterator.empty, 3).isEmpty)
+  }
+
+  test("agg_freq_items_misra_gries equals brute-force heavy hitters") {
+    val toks = Tables(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions
+        .explode(org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.col("text")), " ")).as("tok"))
+      .collect().map(_.getString(0))
+    val n = toks.length.toLong
+    val expected = toks.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+      .filter { case (_, c) => c * 32 > n }
+    val got = Registry.byId("agg_freq_items_misra_gries").run(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  // ---- Bitmap exact distinct vs the engine's own exact countDistinct.
+
+  test("agg_bitmap_distinct equals countDistinct per event_type") {
+    import org.apache.spark.sql.functions._
+    val expected = Tables(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Registry.byId("agg_bitmap_distinct").run(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  // ---- Skew/kurtosis via DIFFERENT algebra: centered two-pass moments.
+
+  test("agg_skew_kurtosis matches two-pass centered moments") {
+    val rows = Tables(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val expected = rows.groupBy(_._1).map { case (flag, xs) =>
+      val v = xs.map(_._2)
+      val n = v.length.toDouble
+      val mean = v.sum / n
+      def cm(k: Int): Double = v.map(x => math.pow(x - mean, k)).sum / n
+      val (m2, m3, m4) = (cm(2), cm(3), cm(4))
+      flag -> ((m3 / (m2 * math.sqrt(m2)), m4 / (m2 * m2) - 3))
+    }
+    val got = Registry.byId("agg_skew_kurtosis").run(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    for ((flag, (sk, ku)) <- expected) {
+      assert(math.abs(got(flag)._1 - sk) < 1e-5, s"skew $flag")
+      assert(math.abs(got(flag)._2 - ku) < 1e-5, s"kurt $flag")
+    }
+  }
+
+  // ---- int8 quantization: the mathematical error bound, not the formula.
+
+  test("ml_quantize_int8 reconstruction error is within the half-step bound") {
+    val rows = Registry.byId("ml_quantize_int8").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val amax = r.getDouble(1)
+      val sumAbsQ = r.getLong(2)
+      val maxErr = r.getDouble(3)
+      assert(amax > 0)
+      // q = floor(x*scale + .5) is within half a quantization step of
+      // x*scale, so |x - q/scale| <= amax/254. Slack covers the output's
+      // ROUND(amax, 6)/ROUND(err, 9) presentation rounding.
+      assert(maxErr <= amax / 254 + 1e-8, s"vec ${r.getLong(0)}: $maxErr")
+      assert(sumAbsQ <= 127L * 64, "codes exceed int8 range x dim")
+      // The max-|x| element quantizes to exactly ±127.
+      assert(sumAbsQ >= 127L, "the amax element must hit full scale")
+    }
+  }
+
+  // ---- Full outer cohorts: label/sides consistency + completeness.
+
+  test("join_full_outer covers every ordering customer exactly once") {
+    import org.apache.spark.sql.functions._
+    val rows = Registry.byId("join_full_outer").run(spark, sf).collect()
+    val total = Tables(spark, sf, "orders")
+      .select(countDistinct("o_custkey")).head().getLong(0)
+    assert(rows.length.toLong == total)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      val (nE, nL, cohort) = (r.getLong(1), r.getLong(2), r.getString(5))
+      cohort match {
+        case "new" => assert(nE == 0 && nL > 0)
+        case "churned" => assert(nE > 0 && nL == 0)
+        case "retained" => assert(nE > 0 && nL > 0)
+        case other => fail(s"unknown cohort $other")
+      }
+    }
+  }
+
+  // ---- Null-safe join: the NULL group must survive and be exact.
+
+  test("join_null_safe_eq keeps the NULL dim group with exact counts") {
+    import org.apache.spark.sql.functions._
+    val rows = Registry.byId("join_null_safe_eq").run(spark, sf).collect()
+    val nullRow = rows.find(_.isNullAt(0))
+    assert(nullRow.isDefined, "NULL dim group dropped — null-safe join broken")
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    val expectedNullEven = Tables(spark, sf, "events")
+      .filter(col("event_id") % 2 === 0 && !(k < 80)).count()
+    assert(nullRow.get.getLong(1) == expectedNullEven)
+  }
+
+  // ---- first/last/nth window columns vs a driver-side sequential scan.
+
+  test("window_first_last matches a sequential per-user recompute") {
+    val events = Tables(spark, sf, "events")
+      .select("user_id", "event_id", "ts", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3.getTime, r._2))
+      val first = sorted.head._4
+      val last = sorted.last._4
+      val second = if (sorted.length >= 2) Some(sorted(1)._4) else None
+      sorted.zipWithIndex.map { case ((_, eid, _, v), i) =>
+        eid -> ((round(v - first, 6), round(last - v, 6),
+          if (i >= 1) second.map(s => round(s, 6)) else None))
+      }
+    }
+    val got = Registry.byId("window_first_last").run(spark, sf)
+      .collect().map { r =>
+        r.getLong(1) -> ((r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      }.toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (eid, e) => assert(got(eid) == e, s"event $eid") }
+  }
+
+  // ---- URL parsing: hosts are exactly the synthesized source domains.
+
+  test("scalar_url_parse hosts/params round-trip the synthesized fields") {
+    val rows = Registry.byId("scalar_url_parse").run(spark, sf).collect()
+    val sources = Tables(spark, sf, "documents")
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    val langs = Tables(spark, sf, "documents")
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).toSet ==
+      sources.map(s => s"$s.example.com"))
+    assert(rows.map(_.getString(1)).toSet.subsetOf(langs))
+    val totalDocs = Tables(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == totalDocs)
+  }
+
+  // ---- The native graft_normalize expression.
+
+  test("graft_normalize composes and decomposes per the requested form") {
+    functions.Native.register(spark)
+    import spark.implicits._
+    val r = Seq(("e\u0301", "\u00e9", "\ufb01")).toDF("dec", "comp", "lig")
+      .selectExpr(
+        "graft_normalize(dec, 'NFC') AS c",
+        "graft_normalize(comp, 'NFD') AS d",
+        "graft_normalize(lig, 'NFKC') AS k",
+        "graft_normalize(CAST(NULL AS STRING), 'NFC') AS n")
+      .head()
+    assert(r.getString(0) == "\u00e9", "NFC must compose e+combining acute")
+    assert(r.getString(1) == "e\u0301", "NFD must decompose U+00E9")
+    assert(r.getString(2) == "fi", "NFKC must unfold the fi ligature")
+    assert(r.isNullAt(3), "null input propagates")
+  }
+
+  test("graft_normalize eval and codegen paths agree") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val mixed = "re\u0301sume\u0301 \ufb03x"
+    val viaEval = functions.UnicodeNormalize(
+      Literal(UTF8String.fromString(mixed)), Literal(UTF8String.fromString("NFC")))
+      .eval(null).toString
+    functions.Native.register(spark)
+    import spark.implicits._
+    val viaCodegen = Seq(mixed).toDF("s")
+      .selectExpr("graft_normalize(s, 'NFC')").head().getString(0)
+    assert(viaEval == viaCodegen)
+    assert(viaEval == "r\u00e9sum\u00e9 \ufb03x",
+      "NFC composes accents but keeps compat ligatures")
+  }
+
+
+  test("graft_normalize rejects a bad form at analysis time") {
+    functions.Native.register(spark)
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT graft_normalize('x', 'NOPE')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("nfc"))
+  }
+}
