@@ -1064,12 +1064,14 @@ object SimOps extends QueryPack {
     // 127/max|x|, q = floor(x*scale + 0.5) ∈ [-127,127] (the
     // floor(+0.5) spelling sidesteps the engines' different ROUND-half
     // conventions), reported with exact reconstruction-error stats. Every
-    // stage is per-vector local: explode → per-key max → quantize → error
-    // rollup all group on vec_id, so the whole pipeline is ONE shuffle of
-    // scalar cells partial-aggregated map-side; nothing global, nothing
-    // quadratic. Error sums are ROUND-14-into-DECIMAL (order-free); the
-    // quantized codes themselves are integer-exact, which is what the
-    // oracle hash locks.
+    // stage is per-vector local, and amax is a WINDOW max over vec_id
+    // rather than an agg-then-join-back: the cells shuffle ONCE on vec_id,
+    // the window computes the per-vector max in place, and the final error
+    // rollup groups on that very same key — no second exchange, no join (a
+    // naive agg+join-back had Catalyst broadcasting the exploded cell
+    // table, a fact-side broadcast that dies at scale). Error sums are
+    // ROUND-14-into-DECIMAL (order-free); the quantized codes themselves
+    // are integer-exact, which is what the oracle hash locks.
     Q(
       "ml_quantize_int8",
       Some("""WITH c AS (
@@ -1088,11 +1090,12 @@ object SimOps extends QueryPack {
              |             AS DOUBLE) / COUNT(*), 12) AS mse
              |FROM e GROUP BY 1 ORDER BY vec_id""".stripMargin),
       (s, dir) => {
-        val cells = Tables(s, dir, "embeddings")
+        val w = Window.partitionBy("vec_id")
+        val q = Tables(s, dir, "embeddings")
           .select(col("vec_id"), explode(col("embedding")).as("xf"))
           .select(col("vec_id"), col("xf").cast("double").as("x"))
-        val m = cells.groupBy("vec_id").agg(max(abs(col("x"))).as("amax"))
-        val q = cells.join(m, "vec_id").filter(col("amax") > 0)
+          .withColumn("amax", max(abs(col("x"))).over(w))
+          .filter(col("amax") > 0)
           .select(
             col("vec_id"), col("amax"), col("x"),
             floor(col("x") * (lit(127) / col("amax")) + 0.5).cast("int").as("qv"))

@@ -249,6 +249,77 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("full outer cohort join pre-aggregates both sides below the SMJ") {
+    val df = Registry.byId("join_full_outer").run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("FullOuter"), p)
+    // The shuffled sides must be the per-customer aggregates, not raw
+    // orders: partial aggregation below each exchange.
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("null-safe equality plans as a hash join on coalesce/isnull keys") {
+    val df = Registry.byId("join_null_safe_eq").run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // <=> must become a join KEY (Coalesce+IsNull tuple), never a
+    // nested-loop filter.
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("coalesce(dim"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bitmap distinct ORs masks map-side before the shuffle") {
+    val df = Registry.byId("agg_bitmap_distinct").run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // Level 1: partial bit_or per (event_type, block) before its exchange;
+    // level 2: popcount sum.
+    assert(p.contains("partial_bit_or"), p)
+    assert(p.contains("bit_count"), p)
+  }
+
+  test("Misra-Gries confirm pass semi-joins candidates by broadcast") {
+    val df = Registry.byId("agg_freq_items_misra_gries").run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // The token stream is filtered map-side against the broadcast candidate
+    // set — it must never shuffle on token before that filter.
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("skew/kurtosis is ONE grouped pass of four decimal power sums") {
+    val df = Registry.byId("agg_skew_kurtosis").run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("partial_sum".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("graft_normalize runs inside whole-stage codegen, map-only") {
+    val df = Registry.byId("text_unicode_normalize").run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_normalize"), p)
+    assert("""\*\(\d+\) Project \[doc_id""".r.findFirstIn(p).isDefined,
+      s"normalize project left codegen: $p")
+    assert(!p.contains("Exchange hashpartitioning"), p) // zero data shuffles
+  }
+
+  test("int8 quantization shuffles cells once — window amax, no join-back") {
+    val df = Registry.byId("ml_quantize_int8").run(spark, sf)
+    df.collect()
+    // AQE renders Final + Initial plans; count exchanges in the final only.
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), s"agg+join-back crept back in: $p")
+    // One vec_id hash exchange feeds window AND final rollup.
+    assert("Exchange hashpartitioning\\(vec_id".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+  }
+
   test("flagship whole-stage codegen covers the aggregation") {
     // AQE only shows the final (codegen'd) plan after execution.
     val df = Registry.byId("join_star_multiway").run(spark, sf)
