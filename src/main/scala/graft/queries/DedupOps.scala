@@ -626,7 +626,75 @@ object DedupOps extends QueryPack {
              |  CAST(SUM(CASE WHEN h IN (SELECT h FROM snap) THEN 0 ELSE 1 END)
              |    AS BIGINT) AS n_kept
              |FROM newb GROUP BY lang ORDER BY lang""".stripMargin),
-      (s, dir) => incrementalDedup(s, dir, useBloom = true)))
+      (s, dir) => incrementalDedup(s, dir, useBloom = true)),
+
+    // URL canonicalization dedup — the FIRST dedup a web crawl runs, before
+    // any content hashing: the same page arrives as scheme/case/default-
+    // port/tracking-param/fragment/trailing-slash variants, and byte-level
+    // URL keys treat each as a distinct document. Four deterministic messy
+    // variants are synthesized per canonical page, then normalized by a
+    // regexp chain (lowercase host, strip default port, drop utm_* params
+    // and dangling '?', drop fragment, trim trailing slash) shared verbatim
+    // with the DuckDB oracle — the canonical-groups output proves all four
+    // provenances collapse. Pure map work plus ONE groupBy on the canonical
+    // key: the same zero-shuffle-then-hash-key shape as dedup_exact_hash,
+    // scale-safe at any corpus size.
+    Q(
+      "dedup_url_canonicalize",
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    CASE CAST(doc_id % 4 AS INT)
+             |      WHEN 0 THEN 'https://WWW.Example.com:443/docs/'
+             |                  || CAST(doc_id // 4 AS VARCHAR)
+             |                  || '?utm_source=' || source || '&utm_medium=rss'
+             |      WHEN 1 THEN 'https://www.example.com/docs/'
+             |                  || CAST(doc_id // 4 AS VARCHAR) || '/'
+             |      WHEN 2 THEN 'https://www.example.com/docs/'
+             |                  || CAST(doc_id // 4 AS VARCHAR) || '#section-2'
+             |      ELSE 'https://www.example.com/docs/'
+             |                  || CAST(doc_id // 4 AS VARCHAR)
+             |    END AS url
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id,
+             |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |      regexp_replace(regexp_replace(url,
+             |        '^(https?)://([^/:?#]+)(:443|:80)?', '\1://\2'),
+             |        '#.*$', ''),
+             |        '([?&])utm_[^&#]*', '\1', 'g'),
+             |        '[?&]+$', ''),
+             |        '\?&', '?'),
+             |        '/+$', '') AS canon
+             |  FROM u),
+             |lc AS (SELECT doc_id, lower(canon) AS canon FROM c)
+             |SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_variants,
+             |  CAST(MIN(doc_id) AS BIGINT) AS keep_doc
+             |FROM lc GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val id4 = (col("doc_id") / 4).cast("long").cast("string")
+        val url = when(col("doc_id") % 4 === 0,
+            concat(lit("https://WWW.Example.com:443/docs/"), id4,
+              lit("?utm_source="), col("source"), lit("&utm_medium=rss")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("https://www.example.com/docs/"), id4, lit("/")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://www.example.com/docs/"), id4, lit("#section-2")))
+          .otherwise(concat(lit("https://www.example.com/docs/"), id4))
+        val canon = lower(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(url,
+              "^(https?)://([^/:?#]+)(:443|:80)?", "$1://$2"),
+              "#.*$", ""),
+              "([?&])utm_[^&#]*", "$1"),
+              "[?&]+$", ""),
+              "\\?&", "?"),
+              "/+$", ""))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), canon.as("canon"))
+          .groupBy("canon")
+          .agg(cnt.as("n_variants"), min("doc_id").cast("long").as("keep_doc"))
+          .oracleOrder("canon")
+      }))
 
   /** Shared body of `dedup_incremental_bloom`; `useBloom = false` is the
     * exact twin IncrementalBloomSpec compares against (the prefilter must

@@ -338,5 +338,49 @@ object GraphOps extends QueryPack {
             col("n_view"), col("n_click"), col("n_purchase"),
             round(col("n_purchase").cast("double") / col("n_view"), 6)
               .as("conv_rate"))
+      }),
+
+    // Daily retention cohorts — the other pillar of behavioral analytics
+    // next to the funnel: users grouped by first-activity date, with D+1 /
+    // D+7 return rates. The shape is the 100 TB-safe per-user fold: daily
+    // activity dedups to (user, day), first-day and return flags both
+    // group on user_id (the SAME key the join used, so Catalyst plans ONE
+    // shuffle for join+fold), and only then does the per-user row collapse
+    // onto the ~|days| cohort rows. Never a users x days matrix, never a
+    // self-join of raw events.
+    Q(
+      "funnel_retention_cohort",
+      Some("""WITH act AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+             |f AS (SELECT user_id, MIN(d) AS d0 FROM act GROUP BY 1),
+             |j AS (
+             |  SELECT f.user_id, f.d0,
+             |    MAX(CASE WHEN a.d = f.d0 + 1 THEN 1 ELSE 0 END) AS r1,
+             |    MAX(CASE WHEN a.d = f.d0 + 7 THEN 1 ELSE 0 END) AS r7
+             |  FROM f JOIN act a ON f.user_id = a.user_id GROUP BY 1, 2)
+             |SELECT d0 AS cohort_day, CAST(COUNT(*) AS BIGINT) AS n_users,
+             |  CAST(SUM(r1) AS BIGINT) AS d1_retained,
+             |  CAST(SUM(r7) AS BIGINT) AS d7_retained,
+             |  ROUND(CAST(SUM(r1) AS DOUBLE) / COUNT(*), 6) AS d1_rate,
+             |  ROUND(CAST(SUM(r7) AS DOUBLE) / COUNT(*), 6) AS d7_rate
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val act = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts").cast("date").as("d"))
+          .distinct()
+        val first = act.groupBy("user_id").agg(min("d").as("d0"))
+        first.join(act, "user_id")
+          .groupBy("user_id", "d0")
+          .agg(
+            max(when(col("d") === date_add(col("d0"), 1), 1).otherwise(0)).as("r1"),
+            max(when(col("d") === date_add(col("d0"), 7), 1).otherwise(0)).as("r7"))
+          .groupBy(col("d0").as("cohort_day"))
+          .agg(
+            cnt.as("n_users"),
+            sum("r1").cast("long").as("d1_retained"),
+            sum("r7").cast("long").as("d7_retained"),
+            round(sum("r1").cast("double") / cnt, 6).as("d1_rate"),
+            round(sum("r7").cast("double") / cnt, 6).as("d7_rate"))
+          .oracleOrder("cohort_day")
       }))
 }

@@ -323,6 +323,45 @@ object MLOps extends QueryPack {
           .oracleOrder("label", "pred_class")
       }),
 
+    // Calibration table (reliability diagram) — the third standard eval
+    // next to the confusion matrix and ROC-AUC: decile-bin the predicted
+    // probability and compare mean prediction to the empirical positive
+    // rate per bin. The "model" is a piecewise-linear score
+    // clamp((value-10)/80) — pure arithmetic, no libm sigmoid, so the bin
+    // edges are identical IEEE in both engines (an exp()-based score could
+    // flip a knife-edge bin by one ulp). Predictions fold through exact
+    // DECIMAL sums; ONE groupBy on 10 bins — the aggregation is the
+    // compression, output is 10 rows at any corpus size.
+    Q(
+      "ml_calibration_bins",
+      Some("""WITH p AS (
+             |  SELECT least(greatest((value - 10) / 80, 0e0), 1e0) AS pred,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+             |  FROM events),
+             |b AS (SELECT CAST(least(floor(pred * 10), 9) AS INT) AS bin, pred, y
+             |      FROM p)
+             |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(y) AS BIGINT) AS n_pos,
+             |  ROUND(CAST(SUM(CAST(pred AS DECIMAL(18,9))) AS DOUBLE)
+             |        / COUNT(*), 6) AS mean_pred,
+             |  ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val pred = least(greatest((col("value") - 10) / 80, lit(0.0)), lit(1.0))
+        Tables(s, dir, "events")
+          .select(
+            pred.as("pred"),
+            when(col("event_type") === "purchase", 1).otherwise(0).as("y"))
+          .groupBy(least(floor(col("pred") * 10), lit(9)).cast("int").as("bin"))
+          .agg(
+            cnt.as("n"),
+            sum("y").cast("long").as("n_pos"),
+            round(sum(col("pred").cast(DecimalType(18, 9))).cast("double") / cnt, 6)
+              .as("mean_pred"),
+            round(sum("y").cast("double") / cnt, 6).as("frac_pos"))
+          .oracleOrder("bin")
+      }),
+
     // Closed-form multivariate linear regression by the normal equations —
     // "training as ONE aggregation": the whole fit is a single
     // partial-aggregated shuffle of O(d^2) exact decimal moments (the Gram

@@ -184,6 +184,73 @@ class Round13OpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == totalDocs)
   }
 
+  // ---- URL canonicalization: every variant family must actually collapse.
+
+  test("dedup_url_canonicalize collapses all four variants per page") {
+    val rows = Registry.byId("dedup_url_canonicalize").run(spark, sf).collect()
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "variants lost or duplicated")
+    // doc_ids are dense 0..N-1, so every canonical group holds exactly the
+    // 4 synthesized variants; a canonicalization rule that misses (port,
+    // case, utm, fragment, slash) shows up as a split group here.
+    assert(rows.forall(_.getLong(1) == 4), rows.filter(_.getLong(1) != 4).mkString(";"))
+    rows.foreach { r =>
+      val c = r.getString(0)
+      assert(c.startsWith("https://www.example.com/docs/"), c)
+      assert(!c.contains("utm_") && !c.contains("#") && !c.contains(":443"), c)
+      assert(!c.endsWith("/"), c)
+      assert(r.getLong(2) % 4 == 0, "keeper must be the min (variant-0) doc")
+    }
+  }
+
+  // ---- Calibration bins vs a driver-side recompute.
+
+  test("ml_calibration_bins matches a sequential recompute and is monotone") {
+    val ev = Tables(spark, sf, "events")
+      .select("value", "event_type").collect()
+      .map(r => (r.getDouble(0), r.getString(1)))
+    val binned = ev.map { case (v, t) =>
+      val p = math.min(math.max((v - 10) / 80, 0.0), 1.0)
+      (math.min(math.floor(p * 10), 9).toInt, p, if (t == "purchase") 1 else 0)
+    }.groupBy(_._1)
+    val got = Registry.byId("ml_calibration_bins").run(spark, sf)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == binned.keySet)
+    for ((bin, rows) <- binned) {
+      val (n, nPos) = (rows.length.toLong, rows.map(_._3).sum.toLong)
+      assert(got(bin)._1 == n && got(bin)._2 == nPos, s"bin $bin counts")
+      assert(math.abs(got(bin)._3 - rows.map(_._2).sum / n) < 1e-6, s"bin $bin mean")
+    }
+    // Mean prediction must increase with the bin index (bins partition the
+    // score axis).
+    val means = got.toSeq.sortBy(_._1).map(_._2._3)
+    assert(means == means.sorted, s"non-monotone calibration: $means")
+  }
+
+  // ---- Retention cohorts vs a driver-side recompute.
+
+  test("funnel_retention_cohort matches a sequential recompute") {
+    val act = Tables(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts").cast("date").as("d"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val byUser = act.groupBy(_._1).map { case (u, ds) =>
+      val days = ds.map(_._2).toSet
+      val d0 = days.min(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+      (u, d0, days.contains(d0.plusDays(1)), days.contains(d0.plusDays(7)))
+    }
+    val expected = byUser.groupBy(_._2).map { case (d0, us) =>
+      d0.toString -> ((us.size.toLong,
+        us.count(_._3).toLong, us.count(_._4).toLong))
+    }
+    val got = Registry.byId("funnel_retention_cohort").run(spark, sf)
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+
   // ---- The native graft_normalize expression.
 
   test("graft_normalize composes and decomposes per the requested form") {
