@@ -30,6 +30,29 @@ class Round13OpsSpec extends SparkSpec {
       s"guaranteed heavy hitters evicted: $out (n=$n)")
   }
 
+  test("MisraGries superset guarantee holds over 50 seeded random streams") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 50) {
+      val cap = 1 + rnd.nextInt(12)
+      val vocab = 2 + rnd.nextInt(40)
+      val n = 50 + rnd.nextInt(950)
+      // Skewed draw: item k with weight ~ 1/(k+1) (zipf-ish).
+      val weights = (0 until vocab).map(k => 1.0 / (k + 1))
+      val cum = weights.scanLeft(0.0)(_ + _).tail
+      val tot = cum.last
+      val stream = Seq.fill(n) {
+        val u = rnd.nextDouble() * tot
+        s"item_${cum.indexWhere(u <= _)}"
+      }
+      val out = plans.MisraGries.candidates(stream.iterator, cap).toSet
+      assert(out.size <= cap, s"trial $trial: size ${out.size} > cap $cap")
+      val counts = stream.groupBy(identity).view.mapValues(_.size).toMap
+      val mustSurvive = counts.filter(_._2 > n.toDouble / (cap + 1)).keySet
+      assert(mustSurvive.subsetOf(out),
+        s"trial $trial (cap=$cap n=$n): lost ${mustSurvive -- out}")
+    }
+  }
+
   test("MisraGries never emits more than capacity items and handles ties") {
     val out = plans.MisraGries
       .candidates(Iterator("a", "b", "c", "d", "e", "f"), 3).toSet
