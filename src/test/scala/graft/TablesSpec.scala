@@ -86,4 +86,45 @@ class TablesSpec extends SparkSpec {
       assert(!pushed.contains("PushedFilters: []"), pushed)
     } finally Tables.noCache = false
   }
+
+  /** Testdata-drift sentinel for EVERY table, not just events: the driver
+    * regenerates the parquet between rounds, and a silent dtype change is
+    * exactly how round 12 lost 28% of the registry. Loaded dtypes the
+    * engine's queries/oracles depend on are pinned here so drift fails in
+    * the FIRST test run of a round with a message naming the column.
+    */
+  test("driver testdata schemas match the dtypes the registry depends on") {
+    val expected = Map(
+      "region" -> Map("r_regionkey" -> "int", "r_name" -> "string"),
+      "nation" -> Map("n_nationkey" -> "int", "n_regionkey" -> "int"),
+      "customer" -> Map("c_custkey" -> "bigint", "c_nationkey" -> "int",
+        "c_acctbal" -> "double", "c_mktsegment" -> "string"),
+      "supplier" -> Map("s_suppkey" -> "bigint", "s_nationkey" -> "int",
+        "s_acctbal" -> "double"),
+      "part" -> Map("p_partkey" -> "bigint", "p_size" -> "int",
+        "p_retailprice" -> "double"),
+      "orders" -> Map("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+        "o_totalprice" -> "double"),
+      "lineitem" -> Map("l_orderkey" -> "bigint", "l_quantity" -> "double",
+        "l_extendedprice" -> "double", "l_discount" -> "double",
+        "l_returnflag" -> "string"),
+      "events" -> Map("event_id" -> "bigint", "ts" -> "timestamp",
+        "user_id" -> "bigint", "event_type" -> "string",
+        "value" -> "double", "props" -> "string"),
+      "documents" -> Map("doc_id" -> "bigint", "text" -> "string",
+        "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+      "embeddings" -> Map("vec_id" -> "bigint",
+        "embedding" -> "array<float>", "label" -> "int"))
+    Tables.noCache = true
+    try for ((table, cols) <- expected) {
+      val schema = Tables(spark, sf, table).schema
+      for ((name, dtype) <- cols) {
+        val f = schema.fields.find(_.name == name)
+        assert(f.isDefined, s"$table.$name missing — driver testdata drifted")
+        assert(f.get.dataType.simpleString == dtype,
+          s"$table.$name is ${f.get.dataType.simpleString}, expected $dtype " +
+            "— driver testdata drifted; audit Tables.load normalization")
+      }
+    } finally Tables.noCache = false
+  }
 }
