@@ -389,6 +389,72 @@ object CurationOps extends QueryPack {
           .oracleOrder(col("n").desc, col("tok"))
       }),
 
+    // Epoch-weighted corpus upsampling — the other half of mixture
+    // building: downsampling caps hot sources (corpus_cap_per_source),
+    // upsampling REPLICATES scarce high-value sources by a declared
+    // epoch recipe (the LLaMA-style "Wikipedia x3.3" table). Integer
+    // epochs replicate every doc; the fractional remainder picks docs by
+    // the deterministic md5 ppm draw (the A-ES/mixture convention), so
+    // exactly frac of each source replicates one extra time,
+    // reproducibly. The Spark side REALLY materializes the copies
+    // (explode over sequence(1, n_copies) — the thing a training-data
+    // writer ships); the oracle computes the same totals closed-form, so
+    // a replication bug (off-by-one sequence bounds, lost fractional
+    // draws) is a hash mismatch. Map-side explode then one groupBy on
+    // ~|sources| keys: no shuffle grows with the copy factor.
+    Q(
+      "corpus_upsample_epochs",
+      Some("""WITH r AS (
+             |  SELECT doc_id, source,
+             |    CAST(substr(source, 4) AS INT) AS si,
+             |    1.0 + (CAST(substr(source, 4) AS INT) % 3)
+             |        + 0.25 * (CAST(substr(source, 4) AS INT) % 2) AS epochs
+             |  FROM documents),
+             |d AS (
+             |  SELECT source, epochs, CAST(floor(epochs) AS BIGINT) AS nfull,
+             |    epochs - floor(epochs) AS frac,
+             |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ups'), 1, 15))
+             |          AS BIGINT) % 1000000 + 1) / 1000001.0 AS u
+             |  FROM r)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  ROUND(MIN(epochs), 2) AS declared_epochs,
+             |  CAST(SUM(nfull + CASE WHEN u < frac THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_copies,
+             |  ROUND(CAST(SUM(nfull + CASE WHEN u < frac THEN 1 ELSE 0 END)
+             |             AS DOUBLE) / COUNT(*), 6) AS effective_epochs
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val si = substring(col("source"), 4, 10).cast("int")
+        val epochs = (lit(1.0) + (si % 3) + lit(0.25) * (si % 2)).as("epochs")
+        val u = ((conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":ups"))), 1, 15), 16, 10).cast("long") % 1000000 + 1)
+          / 1000001.0).as("u")
+        val copies = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), epochs, u)
+          .select(
+            col("doc_id"), col("source"), col("epochs"),
+            (floor(col("epochs")).cast("long") +
+              when(col("u") < col("epochs") - floor(col("epochs")), 1L)
+                .otherwise(0L)).as("n_copies"))
+          // The actual replication: one output row per epoch copy.
+          .select(col("source"), col("epochs"),
+            explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+        copies
+          .groupBy("source")
+          .agg(
+            round(min("epochs"), 2).as("declared_epochs"),
+            cnt.as("n_copies"))
+          .join(
+            Tables(s, dir, "documents").groupBy("source").agg(cnt.as("n_docs")),
+            "source")
+          .select(
+            col("source"), col("n_docs"), col("declared_epochs"),
+            col("n_copies"),
+            round(col("n_copies").cast("double") / col("n_docs"), 6)
+              .as("effective_epochs"))
+          .oracleOrder("source")
+      }),
+
     // Vocabulary build + OOV accounting: global top-k tokens by
     // (count DESC, token) become the dictionary; the corpus re-maps against
     // it and reports per-lang OOV rates. Token keys shuffle once for the

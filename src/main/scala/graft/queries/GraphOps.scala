@@ -382,5 +382,94 @@ object GraphOps extends QueryPack {
             round(sum("r1").cast("double") / cnt, 6).as("d1_rate"),
             round(sum("r7").cast("double") / cnt, 6).as("d7_rate"))
           .oracleOrder("cohort_day")
+      }),
+
+    // k-core pruning (k=2, two unrolled rounds) on the MUTUAL-kNN
+    // embedding graph — the graph-hygiene step between the kNN build and
+    // community/triangle analytics: mutual top-3 edges give degrees 1..3,
+    // and iteratively dropping degree-<2 nodes strips the dangling
+    // periphery so downstream quadratic passes only see the dense core.
+    // Distinct from dedup_cc_clusters (connectivity) and pagerank
+    // (scores): k-core is a degree-constrained induced subgraph. Each
+    // round is degree-count → semi-join filter on the ≤3|V|-row edge
+    // table; the cosine block runs once over the bounded vec_id<200
+    // slice (the ANN-shortlist stand-in, per the knn_triangles policy).
+    Q(
+      "graph_kcore_prune",
+      Some("""WITH q AS (SELECT vec_id, embedding FROM embeddings
+             |           WHERE vec_id < 200),
+             |p AS (
+             |  SELECT x.vec_id AS qa, y.vec_id AS qb,
+             |    ROUND(list_sum(list_transform(list_zip(x.embedding, y.embedding),
+             |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(x.embedding,
+             |           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+             |         * sqrt(list_sum(list_transform(y.embedding,
+             |           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS cos
+             |  FROM q x, q y WHERE x.vec_id <> y.vec_id),
+             |r AS (SELECT qa, qb, row_number() OVER (PARTITION BY qa
+             |        ORDER BY cos DESC, qb) AS rn FROM p),
+             |knn AS (SELECT qa, qb FROM r WHERE rn <= 3),
+             |mut AS (SELECT k1.qa AS a, k1.qb AS b FROM knn k1
+             |        JOIN knn k2 ON k1.qa = k2.qb AND k1.qb = k2.qa
+             |        WHERE k1.qa < k1.qb),
+             |deg0 AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS c FROM (
+             |           SELECT a AS n FROM mut UNION ALL SELECT b FROM mut)
+             |         GROUP BY 1),
+             |e1 AS (SELECT a, b FROM mut
+             |       WHERE a IN (SELECT n FROM deg0 WHERE c >= 2)
+             |         AND b IN (SELECT n FROM deg0 WHERE c >= 2)),
+             |deg1 AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS c FROM (
+             |           SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1)
+             |         GROUP BY 1),
+             |e2 AS (SELECT a, b FROM e1
+             |       WHERE a IN (SELECT n FROM deg1 WHERE c >= 2)
+             |         AND b IN (SELECT n FROM deg1 WHERE c >= 2)),
+             |deg2 AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS c FROM (
+             |           SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2)
+             |         GROUP BY 1)
+             |SELECT deg2.n AS node, deg0.c AS deg_initial, deg2.c AS deg_core
+             |FROM deg2 JOIN deg0 ON deg2.n = deg0.n
+             |ORDER BY node""".stripMargin),
+      (s, dir) => {
+        graft.functions.Native.register(s)
+        val e = Tables(s, dir, "embeddings").filter(col("vec_id") < 200)
+        val a = e.select(col("vec_id").as("qa"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("qb"), col("embedding").as("eb"))
+        val w = Window.partitionBy("qa").orderBy(col("cos").desc, col("qb"))
+        val knn = broadcast(a)
+          .crossJoin(b)
+          .filter(col("qa") =!= col("qb"))
+          .select(col("qa"), col("qb"),
+            round(SimOps.ncos(col("ea"), col("eb")), 6).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("qa", "qb")
+          .localCheckpoint()
+        val mut = knn
+          .join(knn.select(col("qb").as("qa"), col("qa").as("qb")),
+            Seq("qa", "qb"))
+          .filter(col("qa") < col("qb"))
+          .select(col("qa").as("a"), col("qb").as("b"))
+        def degrees(edges: org.apache.spark.sql.DataFrame) =
+          edges.select(col("a").as("n"))
+            .union(edges.select(col("b").as("n")))
+            .groupBy("n").agg(cnt.as("c"))
+        def prune(edges: org.apache.spark.sql.DataFrame) = {
+          val keep = broadcast(degrees(edges).filter(col("c") >= 2).select("n"))
+          edges
+            .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+            .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+            .select("a", "b")
+        }
+        val mutM = mut.localCheckpoint()
+        val deg0 = degrees(mutM)
+        val e2 = prune(prune(mutM))
+        degrees(e2)
+          .select(col("n").as("node"), col("c").as("deg_core"))
+          .join(deg0.select(col("n").as("node"), col("c").as("deg_initial")),
+            "node")
+          .select("node", "deg_initial", "deg_core")
+          .oracleOrder("node")
       }))
 }

@@ -363,5 +363,48 @@ object Windows extends QueryPack {
             round(last(col("value")).over(wFull) - col("value"), 6).as("d_last"),
             round(nth_value(col("value"), 2).over(w), 6).as("second_touch"))
           .oracleOrder("user_id", "event_id")
+      }),
+
+    // Gaps-and-islands: longest consecutive-calendar-day activity streak
+    // per user (the DAU-streak metric) — the calendar twin of the
+    // time-gap sessionizer above. The classic identity: within a user,
+    // `day - row_number(ordered by day)` is CONSTANT exactly across a run
+    // of consecutive days, so each streak becomes one group key with no
+    // iteration and no self-join. Shape at scale: activity dedups to
+    // (user, day), then every step — row_number, island fold, per-user
+    // max — stays partitioned on user_id: one shuffle end to end.
+    Q(
+      "window_streak_islands",
+      Some("""WITH act AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+             |i AS (
+             |  SELECT user_id, d,
+             |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+             |             AS INT) AS island
+             |  FROM act),
+             |s AS (SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len,
+             |        MIN(d) AS start_day
+             |      FROM i GROUP BY 1, 2)
+             |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+             |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+             |  CAST(MAX(len) AS BIGINT) AS max_streak,
+             |  MIN(start_day) AS first_day
+             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("d")
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("ts").cast("date").as("d"))
+          .distinct()
+          .withColumn("island",
+            date_sub(col("d"), row_number().over(w)))
+          .groupBy("user_id", "island")
+          .agg(cnt.as("len"), min("d").as("start_day"))
+          .groupBy("user_id")
+          .agg(
+            sum("len").cast("long").as("n_active_days"),
+            cnt.as("n_streaks"),
+            max("len").cast("long").as("max_streak"),
+            min("start_day").as("first_day"))
+          .oracleOrder("user_id")
       }))
 }

@@ -15,6 +15,17 @@ class Round13OpsSpec extends SparkSpec {
   private def round(x: Double, s: Int): Double =
     JBigDecimal.valueOf(x).setScale(s, RoundingMode.HALF_UP).doubleValue()
 
+  /** The engine's deterministic md5 ppm draw (BruteForceTwinSpec twin),
+    * recomputed with MessageDigest instead of the SQL md5/conv chain.
+    */
+  private def ppmU(docId: Long, salt: String): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$docId:$salt".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val h = java.lang.Long.parseLong(hex.take(15), 16) % 1000000L
+    (h + 1) / 1000001.0
+  }
+
   // ---- Misra-Gries: the algorithm itself, on synthetic skew that actually
   // exercises the decrement/evict path (capacity << vocabulary).
 
@@ -271,6 +282,95 @@ class Round13OpsSpec extends SparkSpec {
     val got = Registry.byId("funnel_retention_cohort").run(spark, sf)
       .collect().map(r => r.getDate(0).toString ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+
+  // ---- Streaks vs a driver-side recompute.
+
+  test("window_streak_islands matches a sequential per-user recompute") {
+    val act = Tables(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts").cast("date").as("d"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val expected = act.groupBy(_._1).map { case (u, rows) =>
+      val days = rows.map(_._2).distinct
+        .sortBy(_.toEpochDay)
+      val streaks = days.foldLeft(List.empty[Long]) { (acc, d) =>
+        acc match {
+          case len :: rest if days.contains(d.minusDays(1)) => (len + 1) :: rest
+          case _ => 1L :: acc
+        }
+      }
+      u -> ((days.length.toLong, streaks.length.toLong, streaks.max))
+    }
+    val got = Registry.byId("window_streak_islands").run(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+
+  // ---- Upsampling: closed-form recompute of the replication totals.
+
+  test("corpus_upsample_epochs replication totals match the closed form") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.groupBy(_._2).map { case (src, rows) =>
+      val i = src.stripPrefix("src").toInt
+      val epochs = 1.0 + (i % 3) + 0.25 * (i % 2)
+      val full = math.floor(epochs).toLong
+      val frac = epochs - math.floor(epochs)
+      val copies = rows.map { case (id, _) =>
+        full + (if (ppmU(id, "ups") < frac) 1L else 0L)
+      }.sum
+      src -> ((rows.length.toLong, copies))
+    }
+    val got = Registry.byId("corpus_upsample_epochs").run(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3))))
+      .toMap
+    assert(got == expected)
+    // Upsampling must never LOSE documents.
+    got.values.foreach { case (n, c) => assert(c >= n) }
+  }
+
+  // ---- k-core: full driver recompute of the mutual-kNN 2-core.
+
+  test("graph_kcore_prune matches a driver recompute of the 2-core") {
+    val vecs = Tables(spark, sf, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 200)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val knn = vecs.flatMap { case (qa, ea) =>
+      vecs.filter(_._1 != qa)
+        .map { case (qb, eb) => (qb, round(cos(ea, eb), 6)) }
+        .sortBy { case (qb, c) => (-c, qb) }
+        .take(3).map { case (qb, _) => (qa, qb) }
+    }.toSet
+    var edges = knn.filter { case (a, b) => a < b && knn.contains((b, a)) }
+    val deg0 = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    for (_ <- 1 to 2) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= 2).keySet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+    }
+    val expected = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) =>
+        n -> ((deg0(n), xs.size.toLong)) }
+    val got = Registry.byId("graph_kcore_prune").run(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
     assert(got == expected)
   }
 
