@@ -362,6 +362,94 @@ object MLOps extends QueryPack {
           .oracleOrder("bin")
       }),
 
+    // Histogram-based best-split finding — the inner kernel of every
+    // distributed gradient-boosted-tree trainer (XGBoost approx/hist,
+    // LightGBM): instead of sorting 100 TB of rows per candidate split,
+    // ONE grouped pass folds the corpus into |bins| sufficient statistics
+    // (n, Σy, Σy² per feature bin, exact DECIMAL), and every candidate
+    // threshold is then scored from prefix sums over that tiny table —
+    // variance-reduction gain = SSE_parent − (SSE_left + SSE_right), all
+    // scalar double chains identical in both engines. The window cumsum
+    // runs on ≤50 rows regardless of corpus size; the data-proportional
+    // work is exactly one partial-aggregated shuffle of bin keys.
+    Q(
+      "ml_histogram_split_finding",
+      Some("""WITH h AS (
+             |  SELECT CAST(l_quantity AS INT) AS bin,
+             |    CAST(COUNT(*) AS BIGINT) AS n,
+             |    SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(14,2))) AS sy
+             |  FROM lineitem GROUP BY 1),
+             |c AS (
+             |  -- Window sums stay DECIMAL (exact, order-free: an
+             |  -- unbounded-frame SUM over doubles has no defined
+             |  -- accumulation order in either engine); scale-2 money keeps
+             |  -- the unscaled value < 2^53 so the final DOUBLE cast is the
+             |  -- same correctly-rounded value in both engines.
+             |  SELECT bin,
+             |    SUM(n) OVER w AS nl, CAST(SUM(sy) OVER w AS DOUBLE) AS syl,
+             |    SUM(n) OVER () AS nt, CAST(SUM(sy) OVER () AS DOUBLE) AS syt
+             |  FROM h WINDOW w AS (ORDER BY bin
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |g AS (
+             |  -- Variance-reduction gain via the cancellation-free identity
+             |  -- gain = syl²/nl + syr²/nr − syt²/nt (the Σy² terms cancel
+             |  -- algebraically, so no catastrophic-cancellation ulp blowup).
+             |  SELECT bin AS split,
+             |    CAST(nl AS BIGINT) AS n_left, CAST(nt - nl AS BIGINT) AS n_right,
+             |    syl * syl / nl
+             |      + (syt - syl) * (syt - syl) / (nt - nl)
+             |      - syt * syt / nt AS gain,
+             |    syl / nl AS mean_left, (syt - syl) / (nt - nl) AS mean_right
+             |  FROM c WHERE nl < nt)
+             |SELECT split, n_left, n_right, ROUND(t.gain, 4) AS gain,
+             |  ROUND(t.mean_left, 6) AS mean_left,
+             |  ROUND(t.mean_right, 6) AS mean_right
+             |FROM (SELECT * FROM g ORDER BY gain DESC, split LIMIT 5) t
+             |ORDER BY t.gain DESC, t.split""".stripMargin),
+      (s, dir) => {
+        val y = col("l_extendedprice")
+        val h = Tables(s, dir, "lineitem")
+          .groupBy(col("l_quantity").cast("int").as("bin"))
+          .agg(
+            cnt.as("n"),
+            sum(round(y, 2).cast(DecimalType(14, 2))).as("sy"))
+        val wCum = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        // Window sums stay DECIMAL (exact, order-free — an unbounded-frame
+        // double SUM has no defined accumulation order); scale-2 money
+        // keeps the unscaled value < 2^53 so this cast is the same
+        // correctly-rounded double in both engines.
+        val c = h.select(
+          col("bin"),
+          sum("n").over(wCum).as("nl"),
+          sum("sy").over(wCum).cast("double").as("syl"),
+          sum("n").over(wAll).as("nt"),
+          sum("sy").over(wAll).cast("double").as("syt"))
+        // Cancellation-free identity: the Σy² terms of the three SSEs
+        // cancel algebraically, so they are never computed.
+        val gain = col("syl") * col("syl") / col("nl") +
+          (col("syt") - col("syl")) * (col("syt") - col("syl")) /
+            (col("nt") - col("nl")) -
+          col("syt") * col("syt") / col("nt")
+        c.filter(col("nl") < col("nt"))
+          .select(
+            col("bin").as("split"),
+            col("nl").cast("long").as("n_left"),
+            (col("nt") - col("nl")).cast("long").as("n_right"),
+            gain.as("gain_raw"),
+            (col("syl") / col("nl")).as("ml_raw"),
+            ((col("syt") - col("syl")) / (col("nt") - col("nl"))).as("mr_raw"))
+          .orderBy(col("gain_raw").desc, col("split"))
+          .limit(5)
+          .select(
+            col("split"), col("n_left"), col("n_right"),
+            round(col("gain_raw"), 4).as("gain"),
+            round(col("ml_raw"), 6).as("mean_left"),
+            round(col("mr_raw"), 6).as("mean_right"))
+      }),
+
     // Closed-form multivariate linear regression by the normal equations —
     // "training as ONE aggregation": the whole fit is a single
     // partial-aggregated shuffle of O(d^2) exact decimal moments (the Gram

@@ -374,6 +374,37 @@ class Round13OpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // ---- Histogram split finding vs the direct (Σy²-based) SSE recompute.
+
+  test("ml_histogram_split_finding matches direct SSE variance reduction") {
+    val rows = Tables(spark, sf, "lineitem")
+      .select("l_quantity", "l_extendedprice")
+      .collect().map(r => (r.getDouble(0).toInt, r.getDouble(1)))
+    def sse(ys: Seq[Double]): Double = {
+      val m = ys.sum / ys.size
+      ys.map(v => (v - m) * (v - m)).sum
+    }
+    val all = rows.map(_._2)
+    val sseParent = sse(all)
+    val gains = rows.map(_._1).distinct.sorted.dropRight(1).map { t =>
+      val (l, r) = rows.partition(_._1 <= t)
+      t -> (sseParent - sse(l.map(_._2)) - sse(r.map(_._2)))
+    }.toMap
+    val got = Registry.byId("ml_histogram_split_finding").run(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    assert(got.length == 5)
+    // The top-5 splits' gains agree with the two-pass centered recompute
+    // within float tolerance (the ranking is the load-bearing output).
+    got.foreach { case (t, nLeft, gain) =>
+      assert(math.abs(gains(t) - gain) / math.max(gain, 1.0) < 1e-6,
+        s"split $t: $gain vs ${gains(t)}")
+      assert(nLeft == rows.count(_._1 <= t).toLong)
+    }
+    // And they really are the best 5.
+    val best5 = gains.toSeq.sortBy { case (t, g) => (-g, t) }.take(5).map(_._1)
+    assert(got.map(_._1).toSeq == best5)
+  }
+
   // ---- The native graft_normalize expression.
 
   test("graft_normalize composes and decomposes per the requested form") {
