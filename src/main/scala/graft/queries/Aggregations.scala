@@ -681,6 +681,68 @@ object Aggregations extends QueryPack {
           .oracleOrder("flag")
       }),
 
+    // Welch's unequal-variance t-test — the A/B-experiment primitive
+    // (treatment vs control mean difference with a significance statistic).
+    // Everything derives from ONE grouped pass of exact decimal moments
+    // (the corr_covar policy); t and the Welch–Satterthwaite df are then
+    // identical scalar IEEE chains in both engines. At 100 TB an
+    // experiment readout is exactly this: two partial-aggregated
+    // sufficient-statistic folds and O(1) driver-side arithmetic — never
+    // a row-level pairing.
+    Q(
+      "agg_ab_welch_ttest",
+      Some("""WITH s AS (
+             |  SELECT event_type AS grp, COUNT(*) AS n,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             |    CAST(SUM(CAST(value * value AS DECIMAL(30,10))) AS DOUBLE) AS s2
+             |  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1),
+             |m AS (
+             |  SELECT grp, CAST(n AS BIGINT) AS n, s1 / n AS mean,
+             |    (s2 - s1 * s1 / n) / (n - 1) AS var
+             |  FROM s),
+             |ab AS (
+             |  SELECT
+             |    a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+             |    a.var / a.n AS se2_a, b.var / b.n AS se2_b
+             |  FROM m a JOIN m b ON a.grp = 'view' AND b.grp = 'click')
+             |SELECT n_a, n_b,
+             |  ROUND(mean_a - mean_b, 6) AS mean_diff,
+             |  ROUND((mean_a - mean_b) / sqrt(se2_a + se2_b), 6) AS t_stat,
+             |  ROUND((se2_a + se2_b) * (se2_a + se2_b)
+             |        / (se2_a * se2_a / (n_a - 1) + se2_b * se2_b / (n_b - 1)),
+             |        2) AS welch_df
+             |FROM ab""".stripMargin),
+      (s, dir) => {
+        val m = Tables(s, dir, "events")
+          .filter(col("event_type").isin("view", "click"))
+          .groupBy(col("event_type").as("grp"))
+          .agg(
+            cnt.as("n"),
+            dsum(col("value")).as("s1"),
+            dsumWide(col("value") * col("value")).as("s2"))
+          .select(
+            col("grp"), col("n"),
+            (col("s1") / col("n")).as("mean"),
+            ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+              .as("var"))
+        val a = m.filter(col("grp") === "view")
+          .select(col("n").as("n_a"), col("mean").as("mean_a"),
+            (col("var") / col("n")).as("se2_a"))
+        val b = m.filter(col("grp") === "click")
+          .select(col("n").as("n_b"), col("mean").as("mean_b"),
+            (col("var") / col("n")).as("se2_b"))
+        a.crossJoin(b)
+          .select(
+            col("n_a"), col("n_b"),
+            round(col("mean_a") - col("mean_b"), 6).as("mean_diff"),
+            round((col("mean_a") - col("mean_b")) /
+              sqrt(col("se2_a") + col("se2_b")), 6).as("t_stat"),
+            round((col("se2_a") + col("se2_b")) * (col("se2_a") + col("se2_b")) /
+              (col("se2_a") * col("se2_a") / (col("n_a") - 1) +
+                col("se2_b") * col("se2_b") / (col("n_b") - 1)), 2)
+              .as("welch_df"))
+      }),
+
     // Exact distinct count via two-level bitmaps — the roaring-bitmap
     // pattern relationalized: dense user ids fold into (key, block) 32-bit
     // masks with bit_or (map-side partial OR — the shuffle carries at most

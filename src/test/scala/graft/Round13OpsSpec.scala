@@ -405,6 +405,30 @@ class Round13OpsSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == best5)
   }
 
+  // ---- Welch's t-test vs a two-pass centered recompute.
+
+  test("agg_ab_welch_ttest matches a two-pass centered recompute") {
+    val vals = Tables(spark, sf, "events")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def stats(g: String): (Long, Double, Double) = {
+      val v = vals.filter(_._1 == g).map(_._2)
+      val m = v.sum / v.length
+      (v.length.toLong, m, v.map(x => (x - m) * (x - m)).sum / (v.length - 1))
+    }
+    val (na, ma, va) = stats("view")
+    val (nb, mb, vb) = stats("click")
+    val se2 = va / na + vb / nb
+    val expT = (ma - mb) / math.sqrt(se2)
+    val expDf = se2 * se2 /
+      ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1))
+    val r = Registry.byId("agg_ab_welch_ttest").run(spark, sf).head()
+    assert(r.getLong(0) == na && r.getLong(1) == nb)
+    assert(math.abs(r.getDouble(2) - (ma - mb)) < 1e-5)
+    assert(math.abs(r.getDouble(3) - expT) < 1e-5)
+    assert(math.abs(r.getDouble(4) - expDf) < 0.05)
+  }
+
   // ---- The native graft_normalize expression.
 
   test("graft_normalize composes and decomposes per the requested form") {
