@@ -917,6 +917,58 @@ object CurationOps extends QueryPack {
             col("b.cos").as("max_cos"),
             (col("b.cos") >= semThreshold).as("contaminated"))
           .oracleOrder("vec_id")
+      }),
+
+    // Sliding context windows with overlap (window 32, stride 24 → 8-token
+    // overlap): the context-window chunking step between packing and
+    // batching — every token is covered, the last window truncates at the
+    // doc boundary. `sequence()` + explode generates the start offsets
+    // IN-PLAN (no driver loop, no UDF), so a 100 TB corpus fans out to
+    // chunk rows inside the same narrow map stage that read it: zero
+    // shuffles end to end (the presentation sort is oracle-only). The
+    // window's first token is read back by offset from the split array —
+    // chunk payload slicing is `slice(toks, start+1, len)`, elided here to
+    // keep the oracle row scalar-only (SURVEY §7.3 rule 6).
+    Q(
+      "seq_sliding_context",
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+             |                  len(string_split(text,' ')) AS n_tok
+             |           FROM documents WHERE doc_id < 100),
+             |s AS (SELECT doc_id, n_tok, toks,
+             |        unnest(generate_series(0, n_tok-1, 24)) AS start_tok FROM t),
+             |w AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+             |        CAST(start_tok AS BIGINT) AS start_tok,
+             |        CAST(LEAST(32, n_tok - start_tok) AS BIGINT) AS win_len,
+             |        toks[start_tok + 1] AS first_tok
+             |      FROM s)
+             |SELECT doc_id,
+             |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok)
+             |       AS INT) AS win_idx,
+             |  start_tok, win_len, first_tok, n_tok
+             |FROM w ORDER BY doc_id, start_tok""".stripMargin),
+      (s, dir) => {
+        val winLen = 32
+        val stride = 24
+        val w = Window.partitionBy("doc_id").orderBy("start_tok")
+        Tables(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .select(
+            col("doc_id"), split(col("text"), " ").as("toks"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .select(
+            col("doc_id"), col("n_tok"), col("toks"),
+            explode(sequence(
+              lit(0L), col("n_tok") - 1, lit(stride.toLong))).as("start_tok"))
+          .select(
+            col("doc_id"),
+            row_number().over(w).cast("int").as("win_idx"),
+            col("start_tok"),
+            least(lit(winLen.toLong), col("n_tok") - col("start_tok"))
+              .as("win_len"),
+            element_at(col("toks"), (col("start_tok") + 1).cast("int"))
+              .as("first_tok"),
+            col("n_tok"))
+          .oracleOrder("doc_id", "start_tok")
       }))
 
   /** Per-source cap + its sampling seed for `corpus_cap_per_source`. */

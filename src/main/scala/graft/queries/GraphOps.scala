@@ -471,5 +471,95 @@ object GraphOps extends QueryPack {
             "node")
           .select("node", "deg_initial", "deg_core")
           .oracleOrder("node")
+      }),
+
+    // Neighbor-Jaccard link prediction on the kNN graph: score each
+    // NON-edge pair that shares ≥1 neighbor by |N(a)∩N(b)|/|N(a)∪N(b)| —
+    // the classic common-neighbors recommender. The candidate set comes
+    // from a wedge join through the shared neighbor (each common neighbor
+    // fans out deg² pairs, bounded by the kNN degree k, so candidates are
+    // O(V·k²) — never the all-pairs product), and the existing-edge
+    // exclusion is one anti-join against the edge list.
+    Q(
+      "graph_jaccard_linkpred",
+      Some("""WITH q AS (SELECT vec_id, embedding FROM embeddings
+             |           WHERE vec_id < 200),
+             |p AS (
+             |  SELECT x.vec_id AS qa, y.vec_id AS qb,
+             |    list_sum(list_transform(list_zip(x.embedding, y.embedding),
+             |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS dot,
+             |    sqrt(list_sum(list_transform(x.embedding,
+             |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS na,
+             |    sqrt(list_sum(list_transform(y.embedding,
+             |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
+             |  FROM q x, q y WHERE x.vec_id <> y.vec_id),
+             |c AS (SELECT qa, qb, ROUND(dot / (na * nb), 6) AS cos FROM p),
+             |r AS (SELECT qa, qb, row_number() OVER (PARTITION BY qa
+             |        ORDER BY cos DESC, qb) AS rn FROM c),
+             |und AS (SELECT DISTINCT LEAST(qa, qb) AS a, GREATEST(qa, qb) AS b
+             |        FROM r WHERE rn <= 3),
+             |dir AS (SELECT a AS u, b AS v FROM und
+             |        UNION ALL SELECT b, a FROM und),
+             |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM dir GROUP BY 1),
+             |wedge AS (
+             |  SELECT d1.u AS a, d2.u AS b, CAST(COUNT(*) AS BIGINT) AS common
+             |  FROM dir d1 JOIN dir d2 ON d1.v = d2.v AND d1.u < d2.u
+             |  GROUP BY 1, 2),
+             |cand AS (
+             |  SELECT w.a, w.b, w.common FROM wedge w
+             |  LEFT JOIN und e ON e.a = w.a AND e.b = w.b
+             |  WHERE e.a IS NULL),
+             |sc AS (
+             |  SELECT c.a, c.b, c.common,
+             |    ROUND(CAST(c.common AS DOUBLE) / (da.deg + db.deg - c.common),
+             |          6) AS jaccard
+             |  FROM cand c JOIN deg da ON da.u = c.a JOIN deg db ON db.u = c.b),
+             |rk AS (SELECT *, row_number() OVER (ORDER BY jaccard DESC, a, b)
+             |       AS rn FROM sc)
+             |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, common,
+             |       jaccard, CAST(rn AS INT) AS rn
+             |FROM rk WHERE rn <= 15 ORDER BY rn""".stripMargin),
+      (s, dir) => {
+        graft.functions.Native.register(s)
+        val e = Tables(s, dir, "embeddings").filter(col("vec_id") < 200)
+        val a = e.select(col("vec_id").as("qa"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("qb"), col("embedding").as("eb"))
+        val w = Window.partitionBy("qa").orderBy(col("cos").desc, col("qb"))
+        val und = broadcast(a)
+          .crossJoin(b)
+          .filter(col("qa") =!= col("qb"))
+          .select(col("qa"), col("qb"),
+            round(SimOps.ncos(col("ea"), col("eb")), 6).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(
+            least(col("qa"), col("qb")).as("a"),
+            greatest(col("qa"), col("qb")).as("b"))
+          .distinct()
+          .localCheckpoint()
+        val dirE = und.select(col("a").as("u"), col("b").as("v"))
+          .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+        val deg = dirE.groupBy("u").agg(cnt.as("deg"))
+        val wedge = dirE.as("d1")
+          .join(broadcast(dirE.as("d2")),
+            col("d1.v") === col("d2.v") && col("d1.u") < col("d2.u"))
+          .groupBy(col("d1.u").as("a"), col("d2.u").as("b"))
+          .agg(cnt.as("common"))
+        val cand = wedge.join(broadcast(und), Seq("a", "b"), "left_anti")
+        val jac = col("common").cast("double") /
+          (col("da") + col("db") - col("common"))
+        cand
+          .join(broadcast(deg.select(col("u").as("a"), col("deg").as("da"))), "a")
+          .join(broadcast(deg.select(col("u").as("b"), col("deg").as("db"))), "b")
+          .select(
+            col("a").cast("long"), col("b").cast("long"), col("common"),
+            round(jac, 6).as("jaccard"))
+          .orderBy(col("jaccard").desc, col("a"), col("b"))
+          .limit(15)
+          .withColumn("rn",
+            row_number()
+              .over(Window.orderBy(col("jaccard").desc, col("a"), col("b")))
+              .cast("int"))
+          .oracleOrder("rn")
       }))
 }

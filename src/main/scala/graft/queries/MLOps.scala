@@ -1276,7 +1276,89 @@ object MLOps extends QueryPack {
            |  ROUND(list_sum(list_transform(list_zip(embedding, $vSql),
            |    z -> CAST(z[1] AS DOUBLE) * z[2])), 6) AS pc1
            |FROM embeddings ORDER BY vec_id""".stripMargin
-      })))
+      })),
+
+    // NDCG@10 retrieval evaluation: rank the corpus by cosine per query
+    // (sim_cosine_topk's exact dialect), grade qb relevant iff it shares
+    // the query's class label, discount by 1/log2(rank+1). The metric the
+    // ANN family (sim_ann_*) is tuned against — recall says "found them",
+    // NDCG says "ranked them first". Determinism: each rank's discount
+    // term is rounded to 6dp then decimal-summed (order-free); the ideal
+    // DCG re-uses the same rounded discount table so ndcg=1.0 is exact
+    // when the top-10 is all-relevant. Shape at scale: queries broadcast,
+    // candidates stream through one window per query partition; the
+    // discount/ideal tables are O(k) literals.
+    Q(
+      "ml_ndcg_at_k",
+      Some("""WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+             |           WHERE vec_id < 20),
+             |e AS (SELECT vec_id, embedding, label FROM embeddings),
+             |p AS (
+             |  SELECT q.vec_id AS qa, q.label AS ql, e.vec_id AS qb, e.label AS bl,
+             |    list_sum(list_transform(list_zip(q.embedding, e.embedding),
+             |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS dot,
+             |    sqrt(list_sum(list_transform(q.embedding,
+             |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS na,
+             |    sqrt(list_sum(list_transform(e.embedding,
+             |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
+             |  FROM q, e WHERE q.vec_id <> e.vec_id),
+             |c AS (SELECT qa, ql, qb, bl, ROUND(dot / (na * nb), 6) AS cos FROM p),
+             |r AS (SELECT qa, ql, qb, bl, row_number() OVER (PARTITION BY qa
+             |        ORDER BY cos DESC, qb) AS rn FROM c),
+             |dcg AS (
+             |  SELECT qa, CAST(CAST(SUM(CAST(ROUND(
+             |      CASE WHEN bl = ql THEN 1.0/log2(rn + 1.0) ELSE 0 END, 6)
+             |    AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS dcg
+             |  FROM r WHERE rn <= 10 GROUP BY 1),
+             |nrel AS (SELECT qa, CAST(COUNT(*) AS BIGINT) AS n_rel
+             |         FROM r WHERE bl = ql GROUP BY 1),
+             |ideal AS (
+             |  SELECT n.qa, CAST(CAST(SUM(CAST(ROUND(1.0/log2(g.i + 1.0), 6)
+             |    AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS idcg
+             |  FROM nrel n JOIN (SELECT unnest(generate_series(1, 10)) AS i) g
+             |    ON g.i <= LEAST(n.n_rel, 10)
+             |  GROUP BY 1)
+             |SELECT CAST(d.qa AS BIGINT) AS qa, n.n_rel,
+             |       ROUND(d.dcg / i.idcg, 6) AS ndcg10
+             |FROM dcg d JOIN ideal i USING (qa) JOIN nrel n USING (qa)
+             |ORDER BY qa""".stripMargin),
+      (s, dir) => {
+        graft.functions.Native.register(s)
+        val e = Tables(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qa"), col("embedding").as("qe"),
+            col("label").as("ql"))
+        val cand = e.select(col("vec_id").as("qb"), col("embedding").as("be"),
+          col("label").as("bl"))
+        val w = Window.partitionBy("qa").orderBy(col("cos").desc, col("qb"))
+        val ranked = broadcast(q)
+          .crossJoin(cand)
+          .filter(col("qa") =!= col("qb"))
+          .select(col("qa"), col("ql"), col("qb"), col("bl"),
+            round(SimOps.ncos(col("qe"), col("be")), 6).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .localCheckpoint()
+        val term = when(col("bl") === col("ql"),
+          lit(1.0) / log2(col("rn") + 1.0)).otherwise(0.0)
+        val dcg = ranked.filter(col("rn") <= 10)
+          .groupBy("qa")
+          .agg(sum(round(term, 6).cast(DecimalType(18, 6)))
+            .cast("double").as("dcg"))
+        val nrel = ranked.filter(col("bl") === col("ql"))
+          .groupBy("qa").agg(cnt.as("n_rel"))
+        val discounts = s.range(1, 11)
+          .select(col("id").as("i"),
+            round(lit(1.0) / log2(col("i") + 1.0), 6)
+              .cast(DecimalType(18, 6)).as("disc"))
+        val ideal = nrel
+          .join(broadcast(discounts), col("i") <= least(col("n_rel"), lit(10L)))
+          .groupBy("qa")
+          .agg(sum("disc").cast("double").as("idcg"))
+        dcg.join(ideal, "qa").join(nrel, "qa")
+          .select(col("qa").cast("long"), col("n_rel"),
+            round(col("dcg") / col("idcg"), 6).as("ndcg10"))
+          .oracleOrder("qa")
+      }))
 
   /** Forward-pass trunk shared by `ml_cnn_forward_compose` and
     * `ml_cnn_infer_render`: events grid -> Conv(5x5, signed binomial

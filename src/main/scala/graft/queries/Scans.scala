@@ -426,6 +426,59 @@ object Scans extends QueryPack {
           .oracleOrder("o_orderstatus")
       }),
 
+    // SCD Type-2 history build: applying a keyed change batch to a
+    // dimension closes the prior version (valid_to = new version) and
+    // appends the new open row — the warehouse pattern for tracking
+    // dimension history without losing the past. The merge is ONE left
+    // join on the key (close-or-not) plus a union of the change rows;
+    // the history lands in parquet and is served from the read-back, so
+    // the round-trip (write amplification ∝ |changes| only at scale,
+    // with the base rewrite replaced by partition-targeted writes) is
+    // part of what's tested.
+    Q(
+      "sink_scd2_history",
+      Some("""WITH chg AS (
+             |  SELECT c_custkey, ROUND(c_acctbal + 100, 2) AS acctbal,
+             |         'UPGRADED' AS seg
+             |  FROM customer WHERE c_custkey % 7 = 0),
+             |hist AS (
+             |  SELECT c.c_custkey, 1 AS valid_from,
+             |    CASE WHEN g.c_custkey IS NOT NULL THEN 2 ELSE NULL END AS valid_to,
+             |    c.c_mktsegment AS seg, ROUND(c.c_acctbal, 2) AS acctbal
+             |  FROM customer c LEFT JOIN chg g USING (c_custkey)
+             |  UNION ALL
+             |  SELECT c_custkey, 2, NULL, seg, acctbal FROM chg)
+             |SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+             |       CAST(valid_from AS INT) AS valid_from,
+             |       CAST(valid_to AS INT) AS valid_to, seg, acctbal
+             |FROM hist WHERE c_custkey < 300
+             |ORDER BY c_custkey, valid_from""".stripMargin),
+      (s, dir) => {
+        val base = Tables(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        val chg = base.filter(col("c_custkey") % 7 === 0)
+          .select(
+            col("c_custkey"),
+            round(col("c_acctbal") + 100, 2).as("acctbal"),
+            lit("UPGRADED").as("seg"))
+        val v1 = base
+          .join(chg.select(col("c_custkey"), lit(2).as("closed")),
+            Seq("c_custkey"), "left")
+          .select(
+            col("c_custkey").cast("long"), lit(1).as("valid_from"),
+            col("closed").as("valid_to"),
+            col("c_mktsegment").as("seg"),
+            round(col("c_acctbal"), 2).as("acctbal"))
+        val v2 = chg.select(
+          col("c_custkey").cast("long"), lit(2).as("valid_from"),
+          lit(null).cast("int").as("valid_to"), col("seg"), col("acctbal"))
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_scd2_customer"
+        v1.unionByName(v2).write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("c_custkey") < 300)
+          .oracleOrder("c_custkey", "valid_from")
+      }),
+
     // Schema evolution: two generations of the corpus land with different
     // columns (gen 1: doc_id+lang; gen 2: doc_id+n_chars+source — the
     // ingest-pipeline upgrade case). `mergeSchema` unifies the footers at

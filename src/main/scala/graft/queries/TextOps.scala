@@ -136,5 +136,74 @@ object TextOps extends QueryPack {
           .filter(jac >= 0.8)
           .select(col("da"), col("db"), round(jac, 6).as("jaccard"))
           .oracleOrder("da", "db")
+      }),
+
+    // BM25 ranked retrieval (Okapi, k1=1.2 b=0.75, the BM25+ idf form
+    // ln(1+(N-df+.5)/(df+.5)) so common terms keep a positive weight) for a
+    // fixed conjunctive term set — the lexical-search twin of the dense
+    // `sim_cosine_topk` path. Shape at scale: the corpus is touched ONCE to
+    // build (doc,term,tf) + doc lengths; the query-term filter cuts the
+    // posting join to |q| lists BEFORE any shuffle, and the global stats
+    // (N, avgdl) ride in as a broadcast 1-row aggregate — nothing here is
+    // per-query-corpus-sized except the |q| posting lists themselves.
+    // Determinism: per-(doc,term) score rounded to 6dp, then decimal-summed
+    // (order-free); LN inputs are integer-exact doubles both sides.
+    Q(
+      "sim_bm25_topk",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+             |dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
+             |stats AS (SELECT CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avgdl,
+             |                 CAST(COUNT(*) AS DOUBLE) AS n FROM dl),
+             |qt AS (SELECT unnest(['join','filter','vector']) AS term),
+             |tf AS (SELECT t.doc_id, t.term, CAST(COUNT(*) AS DOUBLE) AS tf
+             |       FROM toks t JOIN qt USING (term) GROUP BY 1,2),
+             |df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+             |       FROM toks JOIN qt USING (term) GROUP BY 1),
+             |sc AS (SELECT tf.doc_id,
+             |         ROUND(LN(1 + (s.n - df.df + 0.5)/(df.df + 0.5)) *
+             |               tf.tf*2.2/(tf.tf + 1.2*(0.25 + 0.75*dl.dl/s.avgdl)), 6) AS term_score
+             |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
+             |tot AS (SELECT doc_id,
+             |          CAST(CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS bm25
+             |        FROM sc GROUP BY 1),
+             |r AS (SELECT doc_id, bm25, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn FROM tot)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id, bm25, CAST(rn AS INT) AS rn
+             |FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val qTerms = Seq("join", "filter", "vector")
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val dl = toks.groupBy("doc_id").agg(cnt.cast("double").as("dl"))
+        val stats = dl.agg(
+          (dsum(col("dl")) / cnt).as("avgdl"), cnt.cast("double").as("n"))
+        val qtoks = toks.filter(col("term").isin(qTerms: _*))
+        val tf = qtoks.groupBy("doc_id", "term").agg(cnt.cast("double").as("tf"))
+        val dfreq = qtoks.groupBy("term")
+          .agg(countDistinct("doc_id").cast("double").as("df"))
+        val idf = log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+        // Float-parity note: the oracle's `0.75*dl/avgdl` parses as
+        // (0.75*dl)/avgdl; multiplication commutes exactly in IEEE, so
+        // (dl*0.75)/avgdl is bit-identical — but (dl/avgdl)*0.75 is NOT.
+        val termScore = idf * col("tf") * 2.2 /
+          (col("tf") + (lit(0.25) + col("dl") * 0.75 / col("avgdl")) * 1.2)
+        // Top-k via a distributed TakeOrderedAndProject (orderBy+limit), NOT
+        // a global row_number window — the rank is assigned on the 20
+        // surviving rows only, so no single-partition shuffle of the full
+        // matched-doc set ever happens.
+        val w = Window.orderBy(col("bm25").desc, col("doc_id"))
+        tf.join(broadcast(dfreq), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), round(termScore, 6).as("term_score"))
+          .groupBy("doc_id")
+          .agg(sum(col("term_score").cast(DecimalType(18, 6)))
+            .cast("double").as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+          .withColumn("rn", row_number().over(w).cast("int"))
+          .select(col("doc_id").cast("long"), col("bm25"), col("rn"))
+          .oracleOrder("rn")
       }))
 }

@@ -406,5 +406,56 @@ object Windows extends QueryPack {
             max("len").cast("long").as("max_streak"),
             min("start_day").as("first_day"))
           .oracleOrder("user_id")
+      }),
+
+    // Trailing-window z-score anomaly flags: each event scored against the
+    // moments of its own user's last 10 events — the standard streaming
+    // outlier monitor, here in its batch form. Determinism: the window
+    // moments are EXACT decimal sums (the `dstddev` policy of
+    // `agg_global_mean_std`, applied per frame), so partial-agg merge order
+    // can't move a value across the |z| threshold; the only doubles are the
+    // final per-row divisions. Shape at scale: one shuffle on user_id serves
+    // both window sums; no self-join, no second pass. The variance guard
+    // (sd > 1e-9) keeps a constant-valued frame from emitting ±inf.
+    Q(
+      "window_anomaly_zscore",
+      Some("""WITH w AS (
+             |  SELECT user_id, event_id, value,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE) AS s1,
+             |    CAST(SUM(CAST(value*value AS DECIMAL(30,10))) OVER win AS DOUBLE) AS s2,
+             |    COUNT(*) OVER win AS n
+             |  FROM events
+             |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+             |SELECT CAST(user_id AS BIGINT) AS user_id,
+             |  CAST(event_id AS BIGINT) AS event_id,
+             |  ROUND(value, 6) AS value,
+             |  ROUND((value - s1/n)/sqrt((s2 - s1*s1/n)/(n-1)), 6) AS z
+             |FROM w
+             |WHERE n >= 10 AND sqrt((s2 - s1*s1/n)/(n-1)) > 1e-9
+             |  AND ABS((value - s1/n)/sqrt((s2 - s1*s1/n)/(n-1))) > 2.5
+             |ORDER BY user_id, event_id""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-9, Window.currentRow)
+        val sd = sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+          (col("n") - lit(1)))
+        val z = (col("value") - col("s1") / col("n")) / sd
+        Tables(s, dir, "events")
+          .select(
+            col("user_id").cast("long"), col("event_id").cast("long"),
+            col("value"),
+            sum(col("value").cast(DecimalType(18, 6))).over(win)
+              .cast("double").as("s1"),
+            sum((col("value") * col("value")).cast(DecimalType(30, 10)))
+              .over(win).cast("double").as("s2"),
+            count(lit(1)).over(win).as("n"))
+          .filter(col("n") >= 10 && sd > 1e-9 && abs(z) > 2.5)
+          .select(
+            col("user_id"), col("event_id"),
+            round(col("value"), 6).as("value"),
+            round(z, 6).as("z"))
+          .oracleOrder("user_id", "event_id")
       }))
 }

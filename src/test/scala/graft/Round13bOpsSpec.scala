@@ -1,0 +1,225 @@
+package graft
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+/** Brute-force twins (SURVEY.md §5.2.2 discipline) for the round-13 second
+  * operator wave: sequential driver-side recomputes from the raw sf0.001
+  * rows — different code path and iteration order — must agree row for row
+  * with the declared queries. Catches the same-wrong-formula-twice failure
+  * mode the DuckDB differential can't.
+  */
+class Round13bOpsSpec extends SparkSpec {
+
+  private def round(x: Double, s: Int): Double =
+    JBigDecimal.valueOf(x).setScale(s, RoundingMode.HALF_UP).doubleValue()
+
+  /** Timestamp → epoch micros (the asof-twin convention). */
+  private def micros(ts: java.sql.Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  // ---- window_anomaly_zscore ----------------------------------------
+
+  test("window_anomaly_zscore matches a sequential per-user sliding window") {
+    val ev = Tables(spark, sf, "events")
+      .select("user_id", "event_id", "ts", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), micros(r.getTimestamp(2)),
+        r.getDouble(3)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      sorted.indices.flatMap { i =>
+        if (i < 9) None
+        else {
+          val frame = sorted.slice(i - 9, i + 1)
+          val n = frame.size.toDouble
+          val s1 = frame.map(r => JBigDecimal.valueOf(r._4)
+            .setScale(6, RoundingMode.HALF_UP))
+            .reduce(_ add _).doubleValue()
+          val s2 = frame.map(r => JBigDecimal.valueOf(r._4 * r._4)
+            .setScale(10, RoundingMode.HALF_UP))
+            .reduce(_ add _).doubleValue()
+          val sd = math.sqrt((s2 - s1 * s1 / n) / (n - 1))
+          val v = sorted(i)._4
+          val z = (v - s1 / n) / sd
+          if (sd > 1e-9 && math.abs(z) > 2.5)
+            Some((u, sorted(i)._2, round(v, 6), round(z, 6)))
+          else None
+        }
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = Registry.byId("window_anomaly_zscore").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  // ---- sim_bm25_topk -------------------------------------------------
+
+  test("sim_bm25_topk matches a sequential BM25 recompute") {
+    val qTerms = Seq("join", "filter", "vector")
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val n = docs.size.toDouble
+    val dl = docs.map { case (id, t) => id -> t.size.toDouble }.toMap
+    val avgdl = docs.map { case (id, _) =>
+      JBigDecimal.valueOf(dl(id)).setScale(6, RoundingMode.HALF_UP)
+    }.reduce(_ add _).doubleValue() / docs.size
+    val expected = qTerms.flatMap { term =>
+      val withTerm = docs.filter(_._2.contains(term))
+      val df = withTerm.size.toDouble
+      val idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+      withTerm.map { case (id, toks) =>
+        val tf = toks.count(_ == term).toDouble
+        val s = idf * tf * 2.2 / (tf + (0.25 + 0.75 * dl(id) / avgdl) * 1.2)
+        id -> JBigDecimal.valueOf(round(s, 6)).setScale(6, RoundingMode.HALF_UP)
+      }
+    }.groupBy(_._1)
+      .map { case (id, terms) =>
+        id -> terms.map(_._2).reduce(_ add _).doubleValue()
+      }.toSeq
+      .sortBy { case (id, s) => (-s, id) }
+      .take(20).zipWithIndex
+      .map { case ((id, s), i) => (id, s, i + 1) }
+    val got = Registry.byId("sim_bm25_topk").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(got == expected)
+  }
+
+  // ---- shared exact-cosine helper (sequential left-fold like list_sum
+  // and the fused native expression) ----------------------------------
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def loadEmb(): Array[(Long, Array[Float], Int)] =
+    Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding", "label")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray, r.getInt(2)))
+
+  // ---- ml_ndcg_at_k --------------------------------------------------
+
+  test("ml_ndcg_at_k matches a sequential ranked-relevance recompute") {
+    val emb = loadEmb()
+    val expected = emb.filter(_._1 < 20).sortBy(_._1).map { case (qa, qe, ql) =>
+      val ranked = emb.filter(_._1 != qa)
+        .map { case (qb, be, bl) => (qb, bl, round(cos(qe, be), 6)) }
+        .sortBy { case (qb, _, c) => (-c, qb) }
+      val dcg = ranked.take(10).zipWithIndex.map { case ((_, bl, _), i) =>
+        val term = if (bl == ql) 1.0 / (math.log(i + 2.0) / math.log(2.0)) else 0.0
+        JBigDecimal.valueOf(round(term, 6)).setScale(6, RoundingMode.HALF_UP)
+      }.reduce(_ add _).doubleValue()
+      val nRel = ranked.count(_._2 == ql)
+      val idcg = (1 to math.min(nRel, 10)).map { i =>
+        val term = 1.0 / (math.log(i + 1.0) / math.log(2.0))
+        JBigDecimal.valueOf(round(term, 6)).setScale(6, RoundingMode.HALF_UP)
+      }.reduce(_ add _).doubleValue()
+      (qa, nRel.toLong, round(dcg / idcg, 6))
+    }.toSeq
+    val got = Registry.byId("ml_ndcg_at_k").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+  }
+
+  // ---- graph_jaccard_linkpred ----------------------------------------
+
+  test("graph_jaccard_linkpred matches a sequential wedge recompute") {
+    val emb = loadEmb().filter(_._1 < 200)
+    val und = emb.flatMap { case (qa, qe, _) =>
+      emb.filter(_._1 != qa)
+        .map { case (qb, be, _) => (qb, round(cos(qe, be), 6)) }
+        .sortBy { case (qb, c) => (-c, qb) }
+        .take(3)
+        .map { case (qb, _) => (math.min(qa, qb), math.max(qa, qb)) }
+    }.distinct.toSet
+    val nbrs = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+    val expected = nbrs.keySet.toSeq.sorted
+      .combinations(2).map { case Seq(a, b) => (a, b) }
+      .filter { case (a, b) => !und((a, b)) }
+      .map { case (a, b) =>
+        val common = (nbrs(a) & nbrs(b)).size
+        val jac = common.toDouble / (nbrs(a).size + nbrs(b).size - common)
+        (a, b, common.toLong, round(jac, 6))
+      }
+      .filter(_._3 > 0).toSeq
+      .sortBy { case (a, b, _, j) => (-j, a, b) }
+      .take(15).zipWithIndex
+      .map { case ((a, b, c, j), i) => (a, b, c, j, i + 1) }
+    val got = Registry.byId("graph_jaccard_linkpred").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  // ---- seq_sliding_context -------------------------------------------
+
+  test("seq_sliding_context covers every token with stride-24 windows") {
+    val docs = Tables(spark, sf, "documents")
+      .filter("doc_id < 100")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val expected = docs.flatMap { case (id, toks) =>
+      val n = toks.size.toLong
+      (0L until n by 24L).zipWithIndex.map { case (start, i) =>
+        (id, i + 1, start, math.min(32L, n - start), toks(start.toInt), n)
+      }
+    }.sortBy(t => (t._1, t._3)).toSeq
+    val got = Registry.byId("seq_sliding_context").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))
+      .toSeq
+    assert(got == expected)
+    // Coverage invariant: within each doc the windows tile [0, n) with
+    // overlap — union of [start, start+len) is exactly [0, n).
+    for ((id, rows) <- got.groupBy(_._1)) {
+      val covered = rows.flatMap(r => r._3 until (r._3 + r._4)).toSet
+      val n = rows.head._6
+      assert(covered == (0L until n).toSet, s"doc $id coverage hole")
+    }
+  }
+
+  // ---- sink_scd2_history ---------------------------------------------
+
+  test("sink_scd2_history versions exactly the changed keys") {
+    val base = Tables(spark, sf, "customer")
+      .filter("c_custkey < 300")
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val got = Registry.byId("sink_scd2_history").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getString(3), r.getDouble(4)))
+      .groupBy(_._1)
+    assert(got.keySet == base.map(_._1).toSet)
+    for ((key, seg, bal) <- base) {
+      val versions = got(key).sortBy(_._2)
+      if (key % 7 == 0) {
+        assert(versions.map(v => (v._2, v._3)).toSeq ==
+          Seq((1, Some(2)), (2, None)), s"key $key version chain")
+        assert(versions(0)._4 == seg && versions(0)._5 == round(bal, 2))
+        assert(versions(1)._4 == "UPGRADED" &&
+          versions(1)._5 == round(bal + 100, 2))
+      } else {
+        assert(versions.map(v => (v._2, v._3)).toSeq == Seq((1, None)))
+        assert(versions(0)._4 == seg && versions(0)._5 == round(bal, 2))
+      }
+    }
+  }
+}
