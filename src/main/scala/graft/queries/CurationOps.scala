@@ -949,7 +949,11 @@ object CurationOps extends QueryPack {
       (s, dir) => {
         val winLen = 32
         val stride = 24
-        val w = Window.partitionBy("doc_id").orderBy("start_tok")
+        // win_idx is ARITHMETIC (start/stride + 1), not a row_number window:
+        // the generated starts are exactly 0, stride, 2*stride, …, so the
+        // rank is derivable in the same map stage — this keeps the whole
+        // operator shuffle-free (the oracle's row_number yields identical
+        // values).
         Tables(s, dir, "documents")
           .filter(col("doc_id") < 100)
           .select(
@@ -961,7 +965,7 @@ object CurationOps extends QueryPack {
               lit(0L), col("n_tok") - 1, lit(stride.toLong))).as("start_tok"))
           .select(
             col("doc_id"),
-            row_number().over(w).cast("int").as("win_idx"),
+            (col("start_tok") / stride + 1).cast("int").as("win_idx"),
             col("start_tok"),
             least(lit(winLen.toLong), col("n_tok") - col("start_tok"))
               .as("win_len"),

@@ -330,4 +330,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("*(") && p.contains("HashAggregate"), p)
     assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(p).isDefined, p)
   }
+
+  test("BM25 top-k is a TakeOrderedAndProject, stats broadcast, no product") {
+    val p = plan("sim_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("z-score anomaly window shuffles user_id exactly once") {
+    val p = plan("window_anomaly_zscore")
+    // One hash exchange feeds the single Window computing all three frame
+    // aggregates; the only other exchange is the presentation repartition(1).
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert("(?m)^\\s*\\S*\\s*Window ".r.findAllIn(p).size == 1, p)
+  }
+
+  test("sliding-context chunking is shuffle-free up to the oracle sort") {
+    val p = plan("seq_sliding_context")
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("SCD2 read-back pushes the slice filter into the parquet scan") {
+    val p = plan("sink_scd2_history")
+    assert(p.contains("PushedFilters: [") && p.contains("c_custkey"), p)
+  }
+
+  test("link prediction wedges by equi join; edge exclusion is a broadcast anti") {
+    val p = plan("graph_jaccard_linkpred")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // The only nested-loop product allowed is the deliberate bounded kNN
+    // block (broadcast q × candidates); the wedge/degree joins must not
+    // degenerate into one.
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("NDCG ranking broadcasts queries and the O(k) discount table") {
+    val p = plan("ml_ndcg_at_k")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
 }
