@@ -772,5 +772,85 @@ object Aggregations extends QueryPack {
           .agg(
             expr("CAST(SUM(bit_count(mask)) AS BIGINT)").as("n_users"),
             cnt.as("n_blocks"))
-          .oracleOrder("event_type")))
+          .oracleOrder("event_type")),
+
+    // Robust outlier statistics: median absolute deviation per group with
+    // the 3·1.4826·MAD gate (the consistency constant makes MAD comparable
+    // to σ under normality) — the z-score monitor's heavy-tail-proof twin:
+    // one wild value shifts a mean/stddev gate but not a median/MAD gate.
+    // Both medians use the ordered-window midpoint identity (dialect-stable,
+    // unlike percentile()/quantile_cont()); the deviation pass re-shuffles
+    // on the SAME event_type key, so the whole operator is two window
+    // passes + one broadcast-joinable 5-row median table per stage.
+    Q(
+      "agg_mad_robust",
+      Some("""WITH r AS (
+             |  SELECT event_type, value AS v, event_id,
+             |    row_number() OVER (PARTITION BY event_type
+             |                       ORDER BY value, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS cnt
+             |  FROM events),
+             |med AS (
+             |  SELECT event_type,
+             |    CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS med
+             |  FROM r WHERE rn = CAST(floor((cnt+1)/2.0) AS BIGINT)
+             |           OR rn = CAST(ceil((cnt+1)/2.0) AS BIGINT)
+             |  GROUP BY 1),
+             |d AS (SELECT e.event_type, e.event_id, m.med,
+             |        ABS(e.value - m.med) AS av
+             |      FROM events e JOIN med m USING (event_type)),
+             |r2 AS (SELECT event_type, av,
+             |    row_number() OVER (PARTITION BY event_type
+             |                       ORDER BY av, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS cnt
+             |  FROM d),
+             |mad AS (
+             |  SELECT event_type,
+             |    CAST(SUM(CAST(av AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS mad
+             |  FROM r2 WHERE rn = CAST(floor((cnt+1)/2.0) AS BIGINT)
+             |            OR rn = CAST(ceil((cnt+1)/2.0) AS BIGINT)
+             |  GROUP BY 1)
+             |SELECT d.event_type, ROUND(ANY_VALUE(d.med), 6) AS med,
+             |  ROUND(ANY_VALUE(x.mad), 6) AS mad,
+             |  CAST(SUM(CASE WHEN d.av > 3 * 1.4826 * x.mad THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n_outliers,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM d JOIN mad x USING (event_type)
+             |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        def midpoint(df: org.apache.spark.sql.DataFrame, valueCol: String,
+            out: String): org.apache.spark.sql.DataFrame = {
+          val wOrd = Window.partitionBy("event_type").orderBy(valueCol, "event_id")
+          val wAll = Window.partitionBy("event_type")
+          df.select(
+              col("event_type"), col(valueCol).as("v"),
+              row_number().over(wOrd).as("rn"),
+              count(lit(1)).over(wAll).as("cnt"))
+            .filter(
+              col("rn") === floor((col("cnt") + 1) / 2.0).cast("long") ||
+                col("rn") === ceil((col("cnt") + 1) / 2.0).cast("long"))
+            .groupBy("event_type")
+            .agg(davg(col("v")).as(out))
+        }
+        val ev = Tables(s, dir, "events")
+          .select("event_type", "event_id", "value")
+        val med = midpoint(ev, "value", "med")
+        val dev = ev.join(broadcast(med), "event_type")
+          .select(col("event_type"), col("event_id"), col("med"),
+            abs(col("value") - col("med")).as("av"))
+        val mad = midpoint(dev, "av", "mad")
+        dev.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(
+            round(first("med"), 6).as("med"),
+            round(first("mad"), 6).as("mad"),
+            // (3*1.4826) folds first on both sides — same fl() constant;
+            // mad*1.4826*3 would associate differently and can flip a
+            // boundary row.
+            sum(when(col("av") > lit(3.0) * 1.4826 * col("mad"), 1).otherwise(0))
+              .cast("long").as("n_outliers"),
+            cnt.as("n"))
+          .oracleOrder("event_type")
+      }))
 }

@@ -1358,6 +1358,163 @@ object MLOps extends QueryPack {
           .select(col("qa").cast("long"), col("n_rel"),
             round(col("dcg") / col("idcg"), 6).as("ndcg10"))
           .oracleOrder("qa")
+      }),
+
+    // Average precision (area under the PR curve by the step rule) on the
+    // ml_roc_auc scorer — the metric that matters when positives are rare
+    // and ROC-AUC saturates. Ranking is total (score desc, id tie-break),
+    // so AP is exact: precision@k at each positive is an integer ratio,
+    // rounded 8dp then decimal-summed (order-free). The global rank is a
+    // single-partition window by construction — AP is an EVAL-SET metric
+    // (thousands of rows), never a corpus-scale one; the corpus-scale
+    // rank machinery lives in sim_bm25_topk's TakeOrdered path.
+    Q(
+      "ml_average_precision",
+      Some("""WITH s AS (SELECT vec_id, label % 2 AS y,
+             |    CAST(embedding[1] AS DOUBLE) AS score FROM embeddings),
+             |r AS (SELECT y, row_number() OVER (ORDER BY score DESC, vec_id) AS k,
+             |        SUM(y) OVER (ORDER BY score DESC, vec_id
+             |                     ROWS UNBOUNDED PRECEDING) AS cp
+             |      FROM s),
+             |t AS (SELECT CAST(ROUND(CAST(cp AS DOUBLE)/k, 8) AS DECIMAL(20,8)) AS prec
+             |      FROM r WHERE y = 1),
+             |a AS (SELECT CAST(CAST(SUM(prec) AS VARCHAR) AS DOUBLE) AS sprec,
+             |        COUNT(*) AS n_pos FROM t)
+             |SELECT CAST(n_pos AS BIGINT) AS n_pos,
+             |       ROUND(sprec / n_pos, 6) AS avg_prec FROM a""".stripMargin),
+      (s, dir) => {
+        val w = Window.orderBy(col("score").desc, col("vec_id"))
+        Tables(s, dir, "embeddings")
+          .select(
+            col("vec_id"), (col("label") % 2).as("y"),
+            element_at(col("embedding"), 1).cast("double").as("score"))
+          .select(
+            col("y"),
+            row_number().over(w).as("k"),
+            sum("y").over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)).as("cp"))
+          .filter(col("y") === 1)
+          .agg(
+            cnt.as("n_pos"),
+            sum(round(col("cp").cast("double") / col("k"), 8)
+              .cast(DecimalType(20, 8))).cast("double").as("sprec"))
+          .select(col("n_pos"),
+            round(col("sprec") / col("n_pos"), 6).as("avg_prec"))
+      }),
+
+    // One full boosting round on top of the histogram split finder: round 1
+    // picks the best l_quantity stump, per-row residuals against its leaf
+    // means feed round 2's histogram over a SECOND feature (l_partkey%32) —
+    // the actual GBT training loop (fit → residual → refit), relationalized.
+    // Each round is one grouped histogram pass + an O(bins) window; the
+    // residual map is zero-shuffle (best-split means ride in by broadcast).
+    // Gain uses the cancellation-free identity syl²/nl + syr²/nr − syt²/nt;
+    // residuals round to 4dp before the exact decimal histogram sums.
+    Q(
+      "ml_gbt_boost_round",
+      Some("""WITH h AS (
+             |  SELECT CAST(l_quantity AS INT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+             |    SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(14,2))) AS sy
+             |  FROM lineitem GROUP BY 1),
+             |c AS (SELECT bin, SUM(n) OVER w AS nl, CAST(SUM(sy) OVER w AS DOUBLE) AS syl,
+             |        SUM(n) OVER () AS nt, CAST(SUM(sy) OVER () AS DOUBLE) AS syt
+             |      FROM h WINDOW w AS (ORDER BY bin
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |g AS (SELECT bin AS split, syl / nl AS mean_left,
+             |        (syt - syl) / (nt - nl) AS mean_right,
+             |        syl * syl / nl + (syt - syl) * (syt - syl) / (nt - nl)
+             |          - syt * syt / nt AS gain
+             |      FROM c WHERE nl < nt),
+             |best1 AS (SELECT * FROM g ORDER BY gain DESC, split LIMIT 1),
+             |res AS (
+             |  SELECT CAST(l_partkey % 32 AS INT) AS bin2,
+             |    ROUND(l_extendedprice, 2)
+             |      - CASE WHEN CAST(l_quantity AS INT) <= b.split
+             |             THEN b.mean_left ELSE b.mean_right END AS r
+             |  FROM lineitem CROSS JOIN best1 b),
+             |h2 AS (SELECT bin2, CAST(COUNT(*) AS BIGINT) AS n,
+             |         SUM(CAST(ROUND(r, 4) AS DECIMAL(18,4))) AS sr
+             |       FROM res GROUP BY 1),
+             |c2 AS (SELECT bin2, SUM(n) OVER w AS nl, CAST(SUM(sr) OVER w AS DOUBLE) AS srl,
+             |         SUM(n) OVER () AS nt, CAST(SUM(sr) OVER () AS DOUBLE) AS srt
+             |       FROM h2 WINDOW w AS (ORDER BY bin2
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |g2 AS (SELECT bin2 AS split2, CAST(nl AS BIGINT) AS n_left,
+             |         CAST(nt - nl AS BIGINT) AS n_right,
+             |         srl * srl / nl + (srt - srl) * (srt - srl) / (nt - nl)
+             |           - srt * srt / nt AS gain2
+             |       FROM c2 WHERE nl < nt)
+             |SELECT t.split2, t.n_left, t.n_right, ROUND(t.gain2, 4) AS gain2,
+             |  b.split AS split1, ROUND(b.gain, 4) AS gain1
+             |FROM (SELECT * FROM g2 ORDER BY gain2 DESC, split2 LIMIT 3) t
+             |CROSS JOIN best1 b
+             |ORDER BY t.gain2 DESC, t.split2""".stripMargin),
+      (s, dir) => {
+        val wCum = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val li = Tables(s, dir, "lineitem")
+        val c = li
+          .groupBy(col("l_quantity").cast("int").as("bin"))
+          .agg(cnt.as("n"),
+            sum(round(col("l_extendedprice"), 2).cast(DecimalType(14, 2)))
+              .as("sy"))
+          .select(col("bin"),
+            sum("n").over(wCum).as("nl"),
+            sum("sy").over(wCum).cast("double").as("syl"),
+            sum("n").over(wAll).as("nt"),
+            sum("sy").over(wAll).cast("double").as("syt"))
+        val best1 = c.filter(col("nl") < col("nt"))
+          .select(col("bin").as("split"),
+            (col("syl") / col("nl")).as("mean_left"),
+            ((col("syt") - col("syl")) / (col("nt") - col("nl")))
+              .as("mean_right"),
+            (col("syl") * col("syl") / col("nl") +
+              (col("syt") - col("syl")) * (col("syt") - col("syl")) /
+                (col("nt") - col("nl")) -
+              col("syt") * col("syt") / col("nt")).as("gain"))
+          .orderBy(col("gain").desc, col("split"))
+          .limit(1)
+        val res = li.crossJoin(broadcast(best1))
+          .select(
+            (col("l_partkey") % 32).cast("int").as("bin2"),
+            (round(col("l_extendedprice"), 2) -
+              when(col("l_quantity").cast("int") <= col("split"),
+                col("mean_left")).otherwise(col("mean_right"))).as("r"),
+            col("split").as("split1"), col("gain").as("gain1"))
+        val wCum2 = Window.orderBy("bin2")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        res
+          .groupBy("bin2", "split1", "gain1")
+          .agg(cnt.as("n"),
+            sum(round(col("r"), 4).cast(DecimalType(18, 4))).as("sr"))
+          .select(col("bin2"), col("split1"), col("gain1"),
+            sum("n").over(wCum2).as("nl"),
+            sum("sr").over(wCum2).cast("double").as("srl"),
+            sum("n").over(wAll).as("nt"),
+            sum("sr").over(wAll).cast("double").as("srt"))
+          .filter(col("nl") < col("nt"))
+          .select(
+            col("bin2").as("split2"),
+            col("nl").cast("long").as("n_left"),
+            (col("nt") - col("nl")).cast("long").as("n_right"),
+            // Sort on the UNROUNDED gain (bit-identical across engines —
+            // every input is a deterministic double off exact decimal
+            // sums), exactly like the oracle's inner ORDER BY; rounding
+            // before the sort could flip a pair that rounds equal.
+            (col("srl") * col("srl") / col("nl") +
+              (col("srt") - col("srl")) * (col("srt") - col("srl")) /
+                (col("nt") - col("nl")) -
+              col("srt") * col("srt") / col("nt")).as("gain2raw"),
+            col("split1"), round(col("gain1"), 4).as("gain1"))
+          .orderBy(col("gain2raw").desc, col("split2"))
+          .limit(3)
+          .select(col("split2"), col("n_left"), col("n_right"),
+            round(col("gain2raw"), 4).as("gain2"), col("split1"), col("gain1"),
+            col("gain2raw"))
+          .oracleOrder(col("gain2raw").desc, col("split2"))
+          .drop("gain2raw")
       }))
 
   /** Forward-pass trunk shared by `ml_cnn_forward_compose` and

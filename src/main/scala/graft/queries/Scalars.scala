@@ -194,5 +194,64 @@ object Scalars extends QueryPack {
             min("doc_id").cast("long").as("first_doc"),
             max(length(col("path"))).cast("long").as("max_path_len"))
           .oracleOrder("host", "lang_param")
+      }),
+
+    // Haversine great-circle leg distances over each user's event trail —
+    // the geodesic primitive of the reference's domain (geospatial rasters;
+    // the generalization of pixel-grid adjacency to true sphere distance).
+    // Points are derived deterministically from the event stream (lat from
+    // the measure, lon from the event id); consecutive legs come from ONE
+    // lag window on the same user_id shuffle the sessionizer uses.
+    // Determinism: both engines evaluate the identical sin/cos/asin chain
+    // on identical doubles; per-leg km is rounded to 4dp before the exact
+    // decimal path sum, so libm last-ulp drift (~1e-12 km) sits 8 orders
+    // below the rounding grain. The LEAST(1.0, …) guard keeps float
+    // round-up at antipodal-ish legs from pushing asin out of domain.
+    Q(
+      "scalar_haversine_legs",
+      Some("""WITH p AS (SELECT user_id, event_id, ts, value * 0.5 - 45 AS lat,
+             |             CAST(event_id % 360 AS DOUBLE) - 180 AS lon FROM events),
+             |l AS (SELECT user_id, lat, lon,
+             |        lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+             |      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |d AS (SELECT user_id,
+             |        2 * 6371.0088 * asin(LEAST(1.0, sqrt(
+             |          sin(radians(lat - plat)/2) * sin(radians(lat - plat)/2)
+             |          + cos(radians(plat)) * cos(radians(lat))
+             |            * sin(radians(lon - plon)/2) * sin(radians(lon - plon)/2)))) AS leg
+             |      FROM l WHERE plat IS NOT NULL)
+             |SELECT CAST(user_id AS BIGINT) AS user_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_legs,
+             |  ROUND(CAST(CAST(SUM(CAST(ROUND(leg, 4) AS DECIMAL(18,4)))
+             |    AS VARCHAR) AS DOUBLE), 4) AS total_km
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val dphi = radians(col("lat") - col("plat")) / 2
+        val dlam = radians(col("lon") - col("plon")) / 2
+        val leg = sin(dphi) * sin(dphi) +
+          cos(radians(col("plat"))) * cos(radians(col("lat"))) *
+            sin(dlam) * sin(dlam)
+        Tables(s, dir, "events")
+          .select(
+            col("user_id"), col("event_id"), col("ts"),
+            (col("value") * 0.5 - 45).as("lat"),
+            (col("event_id") % 360).cast("double").minus(180).as("lon"))
+          .select(
+            col("user_id"), col("lat"), col("lon"),
+            lag("lat", 1).over(w).as("plat"),
+            lag("lon", 1).over(w).as("plon"))
+          .filter(col("plat").isNotNull)
+          .select(
+            col("user_id").cast("long"),
+            (asin(least(lit(1.0), sqrt(leg))) * 6371.0088 * 2).as("leg"))
+          .groupBy("user_id")
+          .agg(
+            cnt.as("n_legs"),
+            round(sum(round(col("leg"), 4).cast(DecimalType(18, 4)))
+              .cast("double"), 4).as("total_km"))
+          .oracleOrder("user_id")
       }))
 }

@@ -372,4 +372,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("MAD joins the per-group median tables back by broadcast") {
+    val p = plan("agg_mad_robust")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("haversine legs ride one user_id window shuffle, no join") {
+    val p = plan("scalar_haversine_legs")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("GBT boost round broadcasts the best-split row into the residual map") {
+    val p = plan("ml_gbt_boost_round")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

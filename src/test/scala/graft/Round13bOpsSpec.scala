@@ -194,6 +194,129 @@ class Round13bOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- agg_mad_robust ------------------------------------------------
+
+  test("agg_mad_robust matches a sequential median/MAD recompute") {
+    val ev = Tables(spark, sf, "events")
+      .select("event_type", "event_id", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def midpoint(rows: Seq[(Double, Long)]): Double = {
+      val sorted = rows.sortBy(r => (r._1, r._2)).map(_._1)
+      val n = sorted.size
+      val lo = ((n + 1) / 2.0).floor.toInt - 1
+      val hi = ((n + 1) / 2.0).ceil.toInt - 1
+      Seq(lo, hi).distinct.map(i =>
+        JBigDecimal.valueOf(sorted(i)).setScale(6, RoundingMode.HALF_UP))
+        .reduce(_ add _).doubleValue() / Seq(lo, hi).distinct.size
+    }
+    val expected = ev.groupBy(_._1).toSeq.map { case (t, rows) =>
+      val med = midpoint(rows.map(r => (r._3, r._2)).toSeq)
+      val devs = rows.map(r => (math.abs(r._3 - med), r._2)).toSeq
+      val mad = midpoint(devs)
+      val nOut = devs.count(_._1 > 3.0 * 1.4826 * mad)
+      (t, round(med, 6), round(mad, 6), nOut.toLong, rows.size.toLong)
+    }.sortBy(_._1)
+    val got = Registry.byId("agg_mad_robust").run(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  // ---- ml_average_precision ------------------------------------------
+
+  test("ml_average_precision matches a sequential precision-at-k recompute") {
+    val emb = loadEmb()
+    val ranked = emb
+      .map { case (id, e, l) => (id, l % 2, e(0).toDouble) }
+      .sortBy { case (id, _, s) => (-s, id) }
+    var cp = 0
+    val terms = ranked.zipWithIndex.flatMap { case ((_, y, _), i) =>
+      if (y == 1) { cp += 1
+        Some(JBigDecimal.valueOf(round(cp.toDouble / (i + 1), 8))
+          .setScale(8, RoundingMode.HALF_UP))
+      } else None
+    }
+    val nPos = terms.size
+    val expected = (nPos.toLong,
+      round(terms.reduce(_ add _).doubleValue() / nPos, 6))
+    val got = Registry.byId("ml_average_precision").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).head
+    assert(got == expected)
+  }
+
+  // ---- ml_gbt_boost_round --------------------------------------------
+
+  test("ml_gbt_boost_round matches a sequential two-round recompute") {
+    val li = Tables(spark, sf, "lineitem")
+      .select("l_quantity", "l_partkey", "l_extendedprice")
+      .collect().map(r => (r.getDouble(0).toInt, r.getLong(1),
+        round(r.getDouble(2), 2)))
+    def bestSplits(binned: Seq[(Int, JBigDecimal)], k: Int)
+        : Seq[(Int, Long, Long, Double, Double, Double)] = {
+      val h = binned.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, rows) =>
+        (b, rows.size.toLong, rows.map(_._2).reduce(_ add _))
+      }
+      val nt = h.map(_._2).sum
+      val syt = h.map(_._3).reduce(_ add _).doubleValue()
+      var nl = 0L
+      var syl = JBigDecimal.ZERO
+      h.flatMap { case (b, n, sy) =>
+        nl += n; syl = syl.add(sy)
+        if (nl < nt) {
+          val l = syl.doubleValue()
+          val gain = l * l / nl + (syt - l) * (syt - l) / (nt - nl) -
+            syt * syt / nt
+          Some((b, nl, nt - nl, gain, l / nl, (syt - l) / (nt - nl)))
+        } else None
+      }.sortBy(t => (-t._4, t._1)).take(k)
+    }
+    val b1 = bestSplits(li.map { case (q, _, y) =>
+      (q, JBigDecimal.valueOf(y).setScale(2, RoundingMode.HALF_UP))
+    }.toSeq, 1).head
+    val expected = bestSplits(li.map { case (q, pk, y) =>
+      val pred = if (q <= b1._1) b1._5 else b1._6
+      ((pk % 32).toInt, JBigDecimal.valueOf(round(y - pred, 4))
+        .setScale(4, RoundingMode.HALF_UP))
+    }.toSeq, 3).map(t => (t._1, t._2, t._3, round(t._4, 4), b1._1,
+      round(b1._4, 4)))
+    val got = Registry.byId("ml_gbt_boost_round").run(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4), r.getDouble(5)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  // ---- scalar_haversine_legs -----------------------------------------
+
+  test("scalar_haversine_legs matches a sequential haversine recompute") {
+    val ev = Tables(spark, sf, "events")
+      .select("user_id", "event_id", "ts", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), micros(r.getTimestamp(2)),
+        r.getDouble(3)))
+    def rad(x: Double): Double = math.toRadians(x)
+    val expected = ev.groupBy(_._1).toSeq.map { case (u, rows) =>
+      val pts = rows.sortBy(r => (r._3, r._2))
+        .map(r => (r._4 * 0.5 - 45, (r._2 % 360).toDouble - 180))
+        .toSeq
+      val legs = pts.sliding(2).collect { case Seq((la1, lo1), (la2, lo2)) =>
+        val a = math.sin(rad(la2 - la1) / 2) * math.sin(rad(la2 - la1) / 2) +
+          math.cos(rad(la1)) * math.cos(rad(la2)) *
+            math.sin(rad(lo2 - lo1) / 2) * math.sin(rad(lo2 - lo1) / 2)
+        2 * 6371.0088 * math.asin(math.min(1.0, math.sqrt(a)))
+      }.toSeq
+      val total = legs.map(l => JBigDecimal.valueOf(round(l, 4))
+        .setScale(4, RoundingMode.HALF_UP)).reduce(_ add _).doubleValue()
+      (u, legs.size.toLong, round(total, 4))
+    }.sortBy(_._1)
+    val got = Registry.byId("scalar_haversine_legs").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+  }
+
   // ---- sink_scd2_history ---------------------------------------------
 
   test("sink_scd2_history versions exactly the changed keys") {
