@@ -694,6 +694,56 @@ object DedupOps extends QueryPack {
           .groupBy("canon")
           .agg(cnt.as("n_variants"), min("doc_id").cast("long").as("keep_doc"))
           .oracleOrder("canon")
+      }),
+
+    // Edit-distance near-dup confirm: exact Levenshtein over a BOUNDED
+    // candidate block (same lang, close lengths, doc_id slice) — the
+    // character-level confirm stage that token-set Jaccard misses
+    // (transpositions, small in-word edits). Both engines implement the
+    // classic unit-cost DP, so the distance is integer-exact. Scale story:
+    // Levenshtein is O(len²) per pair and NEVER runs corpus×corpus — the
+    // candidate generation at 100 TB is MinHash/SimHash banding
+    // (dedup_minhash_lsh), with this as the per-bucket confirm kernel; the
+    // length-band prefilter here is the same trick (|len diff| bounds
+    // distance from below, so far-length pairs can't pass the gate).
+    Q(
+      "dedup_edit_distance",
+      Some("""WITH d AS (SELECT doc_id, lang, text, n_chars FROM documents
+             |           WHERE doc_id < 80),
+             |p AS (
+             |  SELECT a.doc_id AS da, b.doc_id AS db,
+             |    levenshtein(a.text, b.text) AS dist,
+             |    a.n_chars AS ca, b.n_chars AS cb
+             |  FROM d a JOIN d b
+             |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |   AND abs(a.n_chars - b.n_chars) <= 30)
+             |SELECT da, db, CAST(dist AS BIGINT) AS dist,
+             |  ROUND(1.0 - CAST(dist AS DOUBLE) / greatest(ca, cb), 6) AS sim
+             |FROM p WHERE CAST(dist AS DOUBLE) <= 0.8 * greatest(ca, cb)
+             |ORDER BY da, db""".stripMargin),
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .filter(col("doc_id") < 80)
+          .select("doc_id", "lang", "text", "n_chars")
+        val a = d.select(col("doc_id").as("da"), col("lang"),
+          col("text").as("ta"), col("n_chars").as("ca"))
+        val b = d.select(col("doc_id").as("db"), col("lang"),
+          col("text").as("tb"), col("n_chars").as("cb"))
+        a.join(b, Seq("lang"))
+          .filter(col("da") < col("db") &&
+            abs(col("ca") - col("cb")) <= 30)
+          .select(col("da"), col("db"),
+            levenshtein(col("ta"), col("tb")).cast("long").as("dist"),
+            col("ca"), col("cb"))
+          // Compare in DOUBLE space: DuckDB's double->BIGINT cast ROUNDS
+          // while Spark's truncates — a cast-based gate could disagree on
+          // a 0.8*len boundary.
+          .filter(col("dist").cast("double") <=
+            lit(0.8) * greatest(col("ca"), col("cb")))
+          .select(col("da"), col("db"), col("dist"),
+            round(lit(1.0) - col("dist").cast("double") /
+              greatest(col("ca"), col("cb")), 6).as("sim"))
+          .oracleOrder("da", "db")
       }))
 
   /** Shared body of `dedup_incremental_bloom`; `useBloom = false` is the

@@ -1515,6 +1515,102 @@ object MLOps extends QueryPack {
             col("gain2raw"))
           .oracleOrder(col("gain2raw").desc, col("split2"))
           .drop("gain2raw")
+      }),
+
+    // 5-fold cross-validation of the closed-form linear model — model
+    // selection infrastructure, relationalized: ONE grouped pass folds the
+    // corpus to 5 rows of sufficient statistics (n, Σx, Σy, Σx², Σxy as
+    // exact decimals), each fold's train stats are total − fold (the
+    // leave-one-fold-out identity — no per-fold rescan), the 2×2 normal
+    // equations solve per fold in scalar IEEE, and a SECOND pass scores
+    // every row against its own fold's broadcast coefficients for the
+    // validation MSE. Two data passes total for all 5 folds at any scale —
+    // vs the naive 10 (5 train + 5 eval).
+    Q(
+      "ml_kfold_cv",
+      Some("""WITH f AS (
+             |  SELECT CAST(l_orderkey % 5 AS INT) AS fold,
+             |    COUNT(*) AS n,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(ROUND(l_extendedprice,2) AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(l_quantity * ROUND(l_extendedprice,2) AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+             |  FROM lineitem GROUP BY 1),
+             |tot AS (SELECT SUM(n) AS n,
+             |  CAST(CAST(SUM(CAST(sx AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             |  CAST(CAST(SUM(CAST(sy AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS sy,
+             |  CAST(CAST(SUM(CAST(sxx AS DECIMAL(32,10))) AS VARCHAR) AS DOUBLE) AS sxx,
+             |  CAST(CAST(SUM(CAST(sxy AS DECIMAL(32,10))) AS VARCHAR) AS DOUBLE) AS sxy FROM f),
+             |coef AS (
+             |  SELECT f.fold,
+             |    CAST(t.n - f.n AS BIGINT) AS n_train, CAST(f.n AS BIGINT) AS n_val,
+             |    ((t.n - f.n) * (t.sxy - f.sxy) - (t.sx - f.sx) * (t.sy - f.sy))
+             |      / ((t.n - f.n) * (t.sxx - f.sxx) - (t.sx - f.sx) * (t.sx - f.sx)) AS slope
+             |  FROM f CROSS JOIN tot t),
+             |coef2 AS (
+             |  SELECT c.fold, c.n_train, c.n_val, c.slope,
+             |    ((t.sy - f.sy) - c.slope * (t.sx - f.sx)) / (t.n - f.n) AS icept
+             |  FROM coef c JOIN f ON f.fold = c.fold CROSS JOIN tot t),
+             |ev AS (
+             |  SELECT CAST(l_orderkey % 5 AS INT) AS fold,
+             |    ROUND(l_extendedprice,2) - (c.icept + c.slope * l_quantity) AS e
+             |  FROM lineitem JOIN coef2 c ON c.fold = CAST(l_orderkey % 5 AS INT))
+             |SELECT c.fold, c.n_train, c.n_val,
+             |  ROUND(c.slope, 6) AS slope, ROUND(c.icept, 4) AS icept,
+             |  ROUND(CAST(CAST(SUM(CAST(e.e * e.e AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+             |        / c.n_val, 2) AS val_mse
+             |FROM ev e JOIN coef2 c USING (fold)
+             |GROUP BY 1, 2, 3, c.slope, c.icept ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val y = round(col("l_extendedprice"), 2)
+        val f = li.groupBy((col("l_orderkey") % 5).cast("int").as("fold"))
+          .agg(
+            cnt.as("n"),
+            sum(col("l_quantity").cast(DecimalType(18, 6)))
+              .cast("double").as("sx"),
+            sum(y.cast(DecimalType(14, 2))).cast("double").as("sy"),
+            sum((col("l_quantity") * col("l_quantity"))
+              .cast(DecimalType(30, 10))).cast("double").as("sxx"),
+            sum((col("l_quantity") * y).cast(DecimalType(30, 10)))
+              .cast("double").as("sxy"))
+        val tot = f.agg(
+          sum("n").as("tn"),
+          sum(col("sx").cast(DecimalType(20, 6))).cast("double").as("tsx"),
+          sum(col("sy").cast(DecimalType(20, 2))).cast("double").as("tsy"),
+          sum(col("sxx").cast(DecimalType(32, 10))).cast("double").as("tsxx"),
+          sum(col("sxy").cast(DecimalType(32, 10))).cast("double").as("tsxy"))
+        val slope =
+          ((col("tn") - col("n")) * (col("tsxy") - col("sxy")) -
+            (col("tsx") - col("sx")) * (col("tsy") - col("sy"))) /
+            ((col("tn") - col("n")) * (col("tsxx") - col("sxx")) -
+              (col("tsx") - col("sx")) * (col("tsx") - col("sx")))
+        val coef = f.crossJoin(broadcast(tot))
+          .select(
+            col("fold"),
+            (col("tn") - col("n")).cast("long").as("n_train"),
+            col("n").cast("long").as("n_val"),
+            slope.as("slope"),
+            col("n"), col("sx"), col("sy"),
+            col("tn"), col("tsx"), col("tsy"))
+          .select(
+            col("fold"), col("n_train"), col("n_val"), col("slope"),
+            (((col("tsy") - col("sy")) - col("slope") * (col("tsx") - col("sx"))) /
+              (col("tn") - col("n"))).as("icept"))
+        val e = y - (col("icept") + col("slope") * col("l_quantity"))
+        li.select((col("l_orderkey") % 5).cast("int").as("fold"),
+            col("l_quantity"), col("l_extendedprice"))
+          .join(broadcast(coef), "fold")
+          .select(col("fold"), col("n_train"), col("n_val"), col("slope"),
+            col("icept"), e.as("e"))
+          .groupBy("fold", "n_train", "n_val", "slope", "icept")
+          .agg(sum((col("e") * col("e")).cast(DecimalType(30, 8)))
+            .cast("double").as("sse"))
+          .select(col("fold"), col("n_train"), col("n_val"),
+            round(col("slope"), 6).as("slope"),
+            round(col("icept"), 4).as("icept"),
+            round(col("sse") / col("n_val"), 2).as("val_mse"))
+          .oracleOrder("fold")
       }))
 
   /** Forward-pass trunk shared by `ml_cnn_forward_compose` and

@@ -457,5 +457,39 @@ object Windows extends QueryPack {
             round(col("value"), 6).as("value"),
             round(z, 6).as("z"))
           .oracleOrder("user_id", "event_id")
+      }),
+
+    // Maximum drawdown per series: running peak via an unbounded-preceding
+    // MAX window, drawdown = peak − current, max per user — the monitoring
+    // metric for "how far below its best has this series fallen" (equally
+    // the loss-curve regression detector for training telemetry). Exact:
+    // the only arithmetic is one subtraction of raw doubles; MAX is
+    // order-free. One user_id shuffle serves the window AND the final
+    // group-by (same key ⇒ no second exchange).
+    Q(
+      "window_drawdown_max",
+      Some("""WITH s AS (
+             |  SELECT user_id, value,
+             |    MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                     ROWS UNBOUNDED PRECEDING) AS peak
+             |  FROM events)
+             |SELECT CAST(user_id AS BIGINT) AS user_id,
+             |  ROUND(MAX(peak - value), 6) AS max_drawdown,
+             |  ROUND(MAX(peak), 6) AS peak_value,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "events")
+          .select(
+            col("user_id").cast("long"), col("value"),
+            max("value").over(w).as("peak"))
+          .groupBy("user_id")
+          .agg(
+            round(max(col("peak") - col("value")), 6).as("max_drawdown"),
+            round(max("peak"), 6).as("peak_value"),
+            cnt.as("n"))
+          .oracleOrder("user_id")
       }))
 }

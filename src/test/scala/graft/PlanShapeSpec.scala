@@ -390,4 +390,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("drawdown window and its rollup share one user_id exchange") {
+    val p = plan("window_drawdown_max")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+  }
+
+  test("edit-distance candidates pair by lang equi join, not a product") {
+    val p = plan("dedup_edit_distance")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("k-fold CV scores rows via a broadcast coefficient join") {
+    val p = plan("ml_kfold_cv")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

@@ -317,6 +317,111 @@ class Round13bOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // ---- window_drawdown_max -------------------------------------------
+
+  test("window_drawdown_max matches a sequential running-peak recompute") {
+    val ev = Tables(spark, sf, "events")
+      .select("user_id", "event_id", "ts", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), micros(r.getTimestamp(2)),
+        r.getDouble(3)))
+    val expected = ev.groupBy(_._1).toSeq.map { case (u, rows) =>
+      val vs = rows.sortBy(r => (r._3, r._2)).map(_._4)
+      var peak = Double.NegativeInfinity
+      var maxDd = Double.NegativeInfinity
+      vs.foreach { v =>
+        peak = math.max(peak, v)
+        maxDd = math.max(maxDd, peak - v)
+      }
+      (u, round(maxDd, 6), round(peak, 6), vs.size.toLong)
+    }.sortBy(_._1)
+    val got = Registry.byId("window_drawdown_max").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  // ---- dedup_edit_distance -------------------------------------------
+
+  /** Classic unit-cost Levenshtein DP, written directly. */
+  private def lev(a: String, b: String): Int = {
+    val prev = Array.tabulate(b.length + 1)(identity)
+    val cur = new Array[Int](b.length + 1)
+    for (i <- 1 to a.length) {
+      cur(0) = i
+      for (j <- 1 to b.length) {
+        val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+      }
+      Array.copy(cur, 0, prev, 0, cur.length)
+    }
+    prev(b.length)
+  }
+
+  test("dedup_edit_distance matches a direct DP recompute") {
+    val docs = Tables(spark, sf, "documents")
+      .filter("doc_id < 80")
+      .select("doc_id", "lang", "text", "n_chars")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val expected = (for {
+      a <- docs; b <- docs
+      if a._2 == b._2 && a._1 < b._1 && math.abs(a._4 - b._4) <= 30
+      dist = lev(a._3, b._3).toLong
+      maxLen = math.max(a._4, b._4)
+      if dist.toDouble <= 0.8 * maxLen
+    } yield (a._1, b._1, dist,
+      round(1.0 - dist.toDouble / maxLen, 6))).sortBy(t => (t._1, t._2)).toSeq
+    val got = Registry.byId("dedup_edit_distance").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  // ---- ml_kfold_cv ----------------------------------------------------
+
+  test("ml_kfold_cv matches a sequential leave-one-fold-out recompute") {
+    val li = Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .collect()
+      .map(r => ((r.getLong(0) % 5).toInt, r.getDouble(1),
+        round(r.getDouble(2), 2)))
+    def dsum(xs: Seq[Double], scale: Int): Double =
+      xs.map(JBigDecimal.valueOf(_).setScale(scale, RoundingMode.HALF_UP))
+        .reduce(_ add _).doubleValue()
+    val folds = li.groupBy(_._1).map { case (fd, rows) =>
+      fd -> ((rows.size.toLong, dsum(rows.map(_._2).toSeq, 6),
+        dsum(rows.map(_._3).toSeq, 2),
+        dsum(rows.map(r => r._2 * r._2).toSeq, 10),
+        dsum(rows.map(r => r._2 * r._3).toSeq, 10)))
+    }
+    val tn = folds.values.map(_._1).sum
+    val tsx = dsum(folds.values.map(_._2).toSeq, 6)
+    val tsy = dsum(folds.values.map(_._3).toSeq, 2)
+    val tsxx = dsum(folds.values.map(_._4).toSeq, 10)
+    val tsxy = dsum(folds.values.map(_._5).toSeq, 10)
+    val expected = folds.toSeq.sortBy(_._1).map {
+      case (fd, (n, sx, sy, sxx, sxy)) =>
+        val slope = ((tn - n) * (tsxy - sxy) - (tsx - sx) * (tsy - sy)) /
+          ((tn - n) * (tsxx - sxx) - (tsx - sx) * (tsx - sx))
+        val icept = ((tsy - sy) - slope * (tsx - sx)) / (tn - n)
+        val sse = li.filter(_._1 == fd)
+          .map { case (_, x, yv) =>
+            val e = yv - (icept + slope * x)
+            JBigDecimal.valueOf(e * e).setScale(8, RoundingMode.HALF_UP)
+          }.reduce(_ add _).doubleValue()
+        (fd, tn - n, n, round(slope, 6), round(icept, 4), round(sse / n, 2))
+    }
+    val got = Registry.byId("ml_kfold_cv").run(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+      .toSeq
+    assert(got == expected)
+  }
+
   // ---- sink_scd2_history ---------------------------------------------
 
   test("sink_scd2_history versions exactly the changed keys") {
