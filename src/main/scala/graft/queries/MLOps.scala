@@ -1564,6 +1564,9 @@ object MLOps extends QueryPack {
       (s, dir) => {
         val li = Tables(s, dir, "lineitem")
         val y = round(col("l_extendedprice"), 2)
+        // The 5-row sufficient-statistics table feeds THREE consumers (tot,
+        // coef, and through coef the scoring join): materialize it once so
+        // the corpus-wide decimal fold runs a single time, not per consumer.
         val f = li.groupBy((col("l_orderkey") % 5).cast("int").as("fold"))
           .agg(
             cnt.as("n"),
@@ -1574,6 +1577,7 @@ object MLOps extends QueryPack {
               .cast(DecimalType(30, 10))).cast("double").as("sxx"),
             sum((col("l_quantity") * y).cast(DecimalType(30, 10)))
               .cast("double").as("sxy"))
+          .localCheckpoint()
         val tot = f.agg(
           sum("n").as("tn"),
           sum(col("sx").cast(DecimalType(20, 6))).cast("double").as("tsx"),
