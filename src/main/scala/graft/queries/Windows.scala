@@ -491,5 +491,49 @@ object Windows extends QueryPack {
             round(max("peak"), 6).as("peak_value"),
             cnt.as("n"))
           .oracleOrder("user_id")
+      }),
+
+    // One-sided CUSUM drift alarms (Page's change detector) per user — the
+    // clamped recursion S_t = max(0, S_{t-1} + (x_t − k)) is
+    // window-INEXPRESSIBLE (each state depends on every predecessor's
+    // clamp), so it runs on the custom whole-operator tier:
+    // graft.plans.Cusum — CusumPlan LogicalPlan + CusumStrategy +
+    // CusumExec (ClusteredDistribution(user_id) + ordering ⇒ ONE hash
+    // exchange + sort, then an O(1)-state streaming fold per partition).
+    // The oracle replays the fold as a DuckDB recursive CTE; both engines
+    // evaluate the identical max(0, s + (x−k)) double chain — bit-exact.
+    Q(
+      "window_cusum_alert",
+      Some("""WITH RECURSIVE base AS (
+             |  SELECT user_id, event_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |c AS (
+             |  SELECT user_id, rn, event_id, GREATEST(0, value - 60.0) AS s
+             |  FROM base WHERE rn = 1
+             |  UNION ALL
+             |  SELECT b.user_id, b.rn, b.event_id,
+             |    GREATEST(0, c.s + (b.value - 60.0)) AS s
+             |  FROM base b JOIN c ON b.user_id = c.user_id AND b.rn = c.rn + 1)
+             |SELECT CAST(user_id AS BIGINT) AS user_id,
+             |  CAST(SUM(CASE WHEN s > 300.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm,
+             |  ROUND(MAX(s), 6) AS max_cusum,
+             |  CAST(MIN(CASE WHEN s > 300.0 THEN event_id ELSE NULL END)
+             |       AS BIGINT) AS first_alarm
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val withS = graft.plans.Cusum.applied(
+          Tables(s, dir, "events")
+            .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+          k = 60.0, group = Seq("user_id"), order = Seq("ts", "event_id"),
+          valueCol = "value")
+        withS.groupBy(col("user_id").cast("long").as("user_id"))
+          .agg(
+            sum(when(col("cusum") > 300.0, 1).otherwise(0)).cast("long")
+              .as("n_alarm"),
+            round(max("cusum"), 6).as("max_cusum"),
+            min(when(col("cusum") > 300.0, col("event_id"))).cast("long")
+              .as("first_alarm"))
+          .oracleOrder("user_id")
       }))
 }
