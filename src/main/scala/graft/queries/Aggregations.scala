@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, QueryPack, Tables}
 import graft.Fns._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -852,5 +853,86 @@ object Aggregations extends QueryPack {
               .cast("long").as("n_outliers"),
             cnt.as("n"))
           .oracleOrder("event_type")
+      }),
+
+    // Poisson-bootstrap 90% CI for the mean — THE resampling method that
+    // works at 100 TB: classic bootstrap needs n draws WITH replacement
+    // per replica (a global shuffle per replica); the Poisson(1)
+    // approximation gives each row an independent per-replica weight, so
+    // ALL B=32 replicas fold in ONE scan as 64 columns of a single global
+    // partial aggregate — no ×B row explosion, bounded state. Draws are
+    // a two-round Lehmer generator mod the Mersenne prime 2^31-1 seeded
+    // by (event_id, rep) — pure 64-bit integer arithmetic both engines
+    // compute identically (and, unlike md5-hex draws, survives
+    // CollapseProject inlining it into all 64 aggregate expressions at a
+    // few int ops per eval); weights from the integer Poisson(1)
+    // inverse-CDF thresholds — no float compare knife-edges; replica
+    // means are exact decimal ratios.
+    Q(
+      "agg_bootstrap_ci",
+      Some("""WITH b AS (SELECT unnest(generate_series(0, 31)) AS rep),
+             |d AS (
+             |  SELECT b.rep,
+             |    ((((e.event_id % 2147483647) * 48271 + b.rep * 16807 + 11213) % 2147483647)
+             |      * 48271 % 2147483647) * 48271 % 2147483647 % 1000000 AS h,
+             |    e.value
+             |  FROM events e CROSS JOIN b),
+             |w AS (
+             |  SELECT rep, value,
+             |    CASE WHEN h < 367879 THEN 0 WHEN h < 735759 THEN 1
+             |         WHEN h < 919699 THEN 2 WHEN h < 981012 THEN 3
+             |         WHEN h < 996340 THEN 4 WHEN h < 999406 THEN 5
+             |         ELSE 6 END AS w
+             |  FROM d),
+             |m AS (
+             |  SELECT rep,
+             |    CAST(CAST(SUM(CAST(w * value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE)
+             |      / SUM(w) AS mean_b
+             |  FROM w GROUP BY 1),
+             |r AS (SELECT mean_b, row_number() OVER (ORDER BY mean_b, rep) AS rn FROM m),
+             |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             |      / COUNT(*) AS mean
+             |  FROM events)
+             |SELECT base.n, ROUND(base.mean, 6) AS mean,
+             |  ROUND((SELECT mean_b FROM r WHERE rn = 2), 6) AS ci_lo,
+             |  ROUND((SELECT mean_b FROM r WHERE rn = 31), 6) AS ci_hi,
+             |  32 AS n_boot
+             |FROM base""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables(s, dir, "events")
+        val M = 2147483647L
+        def wt(rep: Int): Column = {
+          // rep-dependent seed offset folds to one literal per replica.
+          val x1 = (col("event_id") % M * 48271L +
+            lit(rep * 16807L + 11213L)) % M
+          val h = x1 * 48271L % M * 48271L % M % 1000000L
+          when(h < 367879, 0).when(h < 735759, 1).when(h < 919699, 2)
+            .when(h < 981012, 3).when(h < 996340, 4).when(h < 999406, 5)
+            .otherwise(6)
+        }
+        val aggExprs: Seq[Column] =
+          Seq(cnt.as("n"), (dsum(col("value")) / cnt).as("mean")) ++
+            (0 until 32).flatMap(r => Seq(
+              sum((wt(r) * col("value")).cast(DecimalType(20, 6))).as(s"sv$r"),
+              sum(wt(r)).as(s"sw$r")))
+        // ONE scan, one global partial-aggregated fold of all replicas +
+        // base stats; the single output row is materialized for its three
+        // consumers (base, ci_lo, ci_hi).
+        val one = ev.agg(aggExprs.head, aggExprs.tail: _*).localCheckpoint()
+        val reps = one
+          .selectExpr((0 until 32).map(r => s"$r, sv$r, sw$r")
+            .mkString("stack(32, ", ", ", ") as (rep, sv, sw)"))
+          .select(col("rep"), (col("sv").cast("double") / col("sw")).as("mean_b"))
+          .withColumn("rn", row_number().over(Window.orderBy("mean_b", "rep")))
+        val lo = reps.filter(col("rn") === 2).select(col("mean_b").as("lo"))
+        val hi = reps.filter(col("rn") === 31).select(col("mean_b").as("hi"))
+        one.select(col("n"), col("mean"))
+          .crossJoin(broadcast(lo))
+          .crossJoin(broadcast(hi))
+          .select(col("n"), round(col("mean"), 6).as("mean"),
+            round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"),
+            lit(32).as("n_boot"))
       }))
 }

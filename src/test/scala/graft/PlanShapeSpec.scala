@@ -406,4 +406,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("CUSUM plans the custom exec over one exchange+sort") {
+    val p = plan("window_cusum_alert")
+    assert(p.contains("Cusum"), p)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+  }
+
+  test("bootstrap CI terminal plan: materialized one-row fold + 2 broadcasts, no shuffle") {
+    // All 32 replica sums + base stats fold in ONE localCheckpoint-
+    // materialized global aggregate over events (64+2 columns, no ×B row
+    // explosion), so the terminal plan is just that single-row RDD scan
+    // with the ci_lo/ci_hi order statistics broadcast back — no explode,
+    // no shuffle, no shuffle join.
+    val p = plan("agg_bootstrap_ci")
+    assert(p.contains("ExistingRDD"), p)
+    assert("IdentityBroadcastMode".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("Generate explode"), p)
+    assert(p.contains("Generate stack"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
 }

@@ -422,6 +422,48 @@ class Round13bOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // ---- agg_bootstrap_ci ----------------------------------------------
+
+  test("agg_bootstrap_ci matches a sequential Poisson-bootstrap recompute") {
+    val thresholds = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L)
+    def weight(eventId: Long, rep: Int): Int = {
+      // Two-round Lehmer mod 2^31-1 seeded by (event_id, rep) — must stay
+      // in exact lockstep with the query and its DuckDB oracle.
+      val M = 2147483647L
+      val x1 = (eventId % M * 48271L + rep * 16807L + 11213L) % M
+      val h = x1 * 48271L % M * 48271L % M % 1000000L
+      thresholds.indexWhere(h < _) match {
+        case -1 => 6
+        case i  => i
+      }
+    }
+    val ev = Tables(spark, sf, "events")
+      .select("event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val means = (0 until 32).map { rep =>
+      var sw = 0L
+      var sv = JBigDecimal.ZERO
+      ev.foreach { case (id, v) =>
+        val w = weight(id, rep)
+        sw += w
+        sv = sv.add(JBigDecimal.valueOf(w * v)
+          .setScale(6, RoundingMode.HALF_UP))
+      }
+      (sv.doubleValue() / sw, rep)
+    }.sorted
+    val n = ev.length.toLong
+    val mean = ev.map(r => JBigDecimal.valueOf(r._2)
+      .setScale(6, RoundingMode.HALF_UP)).reduce(_ add _).doubleValue() / n
+    val expected = (n, round(mean, 6), round(means(1)._1, 6),
+      round(means(30)._1, 6), 32)
+    val got = Registry.byId("agg_bootstrap_ci").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4))).head
+    assert(got == expected)
+    // Sanity: the interval brackets the point estimate.
+    assert(got._3 <= got._2 && got._2 <= got._4)
+  }
+
   // ---- sink_scd2_history ---------------------------------------------
 
   test("sink_scd2_history versions exactly the changed keys") {
