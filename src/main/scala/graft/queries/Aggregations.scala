@@ -934,5 +934,110 @@ object Aggregations extends QueryPack {
           .select(col("n"), round(col("mean"), 6).as("mean"),
             round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"),
             lit(32).as("n_boot"))
+      }),
+
+    // Pearson chi-squared independence test between event_type and the
+    // value's 100-wide bucket. The contingency table is ONE grouped corpus
+    // pass materialized at |R|x|C| rows; margins, total, dof, and the
+    // zero-observed cells (which still contribute their expected count)
+    // all derive from that tiny table via broadcast joins — at 100 TB the
+    // data is touched once and everything after is O(|cells|). Expected
+    // counts are identical double chains (rt*ct/n); per-cell terms round
+    // to 8dp then decimal-sum, so the statistic is shuffle-order-free.
+    Q(
+      "agg_chisq_independence",
+      Some("""WITH o AS (
+             |  SELECT event_type AS r, CAST(floor(value/100) AS BIGINT) AS c,
+             |         CAST(COUNT(*) AS BIGINT) AS o
+             |  FROM events GROUP BY 1, 2),
+             |rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rt FROM o GROUP BY 1),
+             |ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS ct FROM o GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM o),
+             |cells AS (
+             |  SELECT COALESCE(oo.o, 0) AS o,
+             |         CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(tot.n AS DOUBLE) AS e
+             |  FROM rt CROSS JOIN ct CROSS JOIN tot
+             |  LEFT JOIN o oo ON oo.r = rt.r AND oo.c = ct.c),
+             |dims AS (SELECT CAST((COUNT(DISTINCT r)-1)*(COUNT(DISTINCT c)-1) AS BIGINT) AS dof FROM o)
+             |SELECT tot.n AS n, dims.dof AS dof,
+             |  ROUND(CAST(CAST(SUM(CAST(ROUND((CAST(o AS DOUBLE)-e)*(CAST(o AS DOUBLE)-e)/e, 8) AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE), 6) AS chi2
+             |FROM cells CROSS JOIN tot CROSS JOIN dims
+             |GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        // ONE corpus pass; everything below runs on the |R|x|C| table.
+        val o = ev
+          .groupBy(col("event_type").as("r"),
+            floor(col("value") / 100).cast("long").as("c"))
+          .agg(cnt.as("o"))
+          .localCheckpoint()
+        val rt = o.groupBy("r").agg(sum("o").cast("long").as("rt"))
+        val ct = o.groupBy("c").agg(sum("o").cast("long").as("ct"))
+        val tot = o.agg(sum("o").cast("long").as("n"))
+        val dims = o.agg(((countDistinct("r") - 1) * (countDistinct("c") - 1))
+          .cast("long").as("dof"))
+        val e = col("rt").cast("double") * col("ct").cast("double") /
+          col("n").cast("double")
+        val cells = rt.crossJoin(broadcast(ct)).crossJoin(broadcast(tot))
+          .join(broadcast(o), Seq("r", "c"), "left")
+          .na.fill(0, Seq("o"))
+          .select(col("o"), e.as("e"))
+        val term = round(
+          (col("o").cast("double") - col("e")) *
+            (col("o").cast("double") - col("e")) / col("e"), 8)
+          .cast(DecimalType(20, 8))
+        cells.agg(sum(term).cast("double").as("chi2raw"))
+          .crossJoin(broadcast(tot)).crossJoin(broadcast(dims))
+          .select(col("n"), col("dof"), round(col("chi2raw"), 6).as("chi2"))
+      }),
+
+    // Two-sample Kolmogorov-Smirnov test (click vs view value
+    // distributions). The raw samples compress onto the DISTINCT-value
+    // domain in one grouped pass (the weighted-median precedent — ECDF
+    // steps only move at distinct points), cumulative counts come from one
+    // ordered window over that compressed table, and D = MAX|F1-F2| is a
+    // pure max — order-free, no float summation at all. The 5%-level
+    // critical value is the closed-form 1.358*sqrt((n1+n2)/(n1*n2)).
+    Q(
+      "agg_ks_test",
+      Some("""WITH pts AS (
+             |  SELECT value,
+             |    CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             |    CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS b
+             |  FROM events WHERE event_type IN ('click','view') GROUP BY 1),
+             |c AS (SELECT SUM(a) OVER (ORDER BY value) AS ca, SUM(b) OVER (ORDER BY value) AS cb FROM pts),
+             |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM pts)
+             |SELECT tot.na AS na, tot.nb AS nb,
+             |  ROUND(MAX(ABS(CAST(ca AS DOUBLE)/na - CAST(cb AS DOUBLE)/nb)), 6) AS ks_d,
+             |  ROUND(1.358*sqrt(CAST(na+nb AS DOUBLE)/(CAST(na AS DOUBLE)*nb)), 6) AS d_crit,
+             |  CAST(CASE WHEN MAX(ABS(CAST(ca AS DOUBLE)/na - CAST(cb AS DOUBLE)/nb)) >
+             |      1.358*sqrt(CAST(na+nb AS DOUBLE)/(CAST(na AS DOUBLE)*nb)) THEN 1 ELSE 0 END AS INT) AS reject
+             |FROM c CROSS JOIN tot GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val pts = ev.filter(col("event_type").isin("click", "view"))
+          .groupBy("value")
+          .agg(
+            sum(when(col("event_type") === "click", 1).otherwise(0))
+              .cast("long").as("a"),
+            sum(when(col("event_type") === "view", 1).otherwise(0))
+              .cast("long").as("b"))
+          .localCheckpoint()
+        // Compressed-domain ordered cumsum (single-partition window over
+        // the distinct-value table only, never the raw events).
+        val w = Window.orderBy("value")
+        val c = pts.select(sum("a").over(w).as("ca"), sum("b").over(w).as("cb"))
+        val tot = pts.agg(sum("a").cast("long").as("na"),
+          sum("b").cast("long").as("nb"))
+        val dexp = abs(col("ca").cast("double") / col("na") -
+          col("cb").cast("double") / col("nb"))
+        val crit = lit(1.358) * sqrt((col("na") + col("nb")).cast("double") /
+          (col("na").cast("double") * col("nb")))
+        c.crossJoin(broadcast(tot))
+          .groupBy("na", "nb")
+          .agg(max(dexp).as("dmax"))
+          .select(col("na"), col("nb"), round(col("dmax"), 6).as("ks_d"),
+            round(crit, 6).as("d_crit"),
+            when(col("dmax") > crit, 1).otherwise(0).cast("int").as("reject"))
       }))
 }

@@ -427,4 +427,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
+
+  test("chi-squared runs on the materialized contingency via broadcasts only") {
+    // The corpus is touched once (checkpoint); margins/cells/dof are all
+    // broadcast joins over the tiny |R|x|C| table — never a shuffle join.
+    val p = plan("agg_chisq_independence")
+    assert(p.contains("ExistingRDD"), p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("KS cumsum windows the compressed distinct-value table, totals broadcast") {
+    val p = plan("agg_ks_test")
+    assert(p.contains("Window"), p)
+    assert(p.contains("SinglePartition"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

@@ -464,6 +464,52 @@ class Round13bOpsSpec extends SparkSpec {
     assert(got._3 <= got._2 && got._2 <= got._4)
   }
 
+  // ---- agg_chisq_independence ----------------------------------------
+
+  test("agg_chisq_independence matches a sequential contingency recompute") {
+    val ev = Tables(spark, sf, "events")
+      .select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val obs = ev.groupBy { case (t, v) => (t, math.floor(v / 100).toLong) }
+      .map { case (k, rows) => k -> rows.size.toLong }
+    val rts = obs.groupBy(_._1._1).map { case (r, m) => r -> m.values.sum }
+    val cts = obs.groupBy(_._1._2).map { case (c, m) => c -> m.values.sum }
+    val n = ev.size.toLong
+    val terms = for (r <- rts.keys.toSeq.sorted; c <- cts.keys.toSeq.sorted) yield {
+      val e = rts(r).toDouble * cts(c).toDouble / n.toDouble
+      val o = obs.getOrElse((r, c), 0L).toDouble
+      JBigDecimal.valueOf(round((o - e) * (o - e) / e, 8))
+        .setScale(8, RoundingMode.HALF_UP)
+    }
+    val chi2 = round(terms.reduce(_ add _).doubleValue(), 6)
+    val dof = (rts.size - 1).toLong * (cts.size - 1).toLong
+    val got = Registry.byId("agg_chisq_independence").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).head
+    assert(got == ((n, dof, chi2)))
+  }
+
+  // ---- agg_ks_test ----------------------------------------------------
+
+  test("agg_ks_test matches a sequential merged-ECDF recompute") {
+    val ev = Tables(spark, sf, "events")
+      .select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val a = ev.filter(_._1 == "click").map(_._2).sorted
+    val b = ev.filter(_._1 == "view").map(_._2).sorted
+    val (na, nb) = (a.length.toLong, b.length.toLong)
+    val xs = (a ++ b).distinct.sorted
+    def ecdf(s: Array[Double], x: Double): Double =
+      s.count(_ <= x).toDouble / s.length
+    val d = xs.map(x => math.abs(ecdf(a, x) - ecdf(b, x))).max
+    val crit = 1.358 * math.sqrt((na + nb).toDouble / (na.toDouble * nb))
+    val expected = (na, nb, round(d, 6), round(crit, 6),
+      if (d > crit) 1 else 0)
+    val got = Registry.byId("agg_ks_test").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4))).head
+    assert(got == expected)
+  }
+
   // ---- sink_scd2_history ---------------------------------------------
 
   test("sink_scd2_history versions exactly the changed keys") {
