@@ -1039,5 +1039,108 @@ object Aggregations extends QueryPack {
           .select(col("na"), col("nb"), round(col("dmax"), 6).as("ks_d"),
             round(crit, 6).as("d_crit"),
             when(col("dmax") > crit, 1).otherwise(0).cast("int").as("reject"))
+      }),
+
+    // Mann-Whitney U rank-sum test (click vs view) — the nonparametric
+    // location-shift companion to Welch's t and KS. Same compressed-domain
+    // discipline as agg_ks_test: raw samples fold onto the DISTINCT-value
+    // table in one grouped pass; tied observations share the value row, so
+    // the midrank (cum_before + (count+1)/2) is computed ONCE per distinct
+    // value, and the rank-sum R_A = Σ a_v · midrank_v is a sum of exact
+    // half-integer doubles (every term is a multiple of 0.5 far below 2^52)
+    // — shuffle-order-FREE exactness with zero decimal machinery. The only
+    // window runs over the compressed domain (bounded by distinct values,
+    // never raw rows). z uses the standard no-tie-correction normal
+    // approximation; both engines evaluate the identical double chain.
+    Q(
+      "agg_mannwhitney_u",
+      Some("""WITH s AS (
+             |  SELECT value,
+             |    CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS av,
+             |    CAST(COUNT(*) AS BIGINT) AS nv
+             |  FROM events WHERE event_type IN ('click','view') GROUP BY 1),
+             |r AS (
+             |  SELECT av, nv,
+             |    SUM(nv) OVER (ORDER BY value) - nv AS cb
+             |  FROM s),
+             |a AS (
+             |  SELECT CAST(SUM(av) AS BIGINT) AS na, CAST(SUM(nv) AS BIGINT) AS n,
+             |    SUM(CAST(av AS DOUBLE) * (cb + (nv + 1) / 2.0)) AS ra
+             |  FROM r)
+             |SELECT na, CAST(n - na AS BIGINT) AS nb,
+             |  ROUND(ra - na * (na + 1) / 2.0, 6) AS u_a,
+             |  ROUND((ra - na * (na + 1) / 2.0 - CAST(na AS DOUBLE) * (n - na) / 2.0)
+             |        / sqrt(CAST(na AS DOUBLE) * (n - na) * (n + 1) / 12.0), 6) AS z
+             |FROM a""".stripMargin),
+      (s, dir) => {
+        val pts = Tables(s, dir, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy("value")
+          .agg(
+            sum(when(col("event_type") === "click", 1).otherwise(0))
+              .cast("long").as("av"),
+            cnt.as("nv"))
+          .localCheckpoint()
+        val w = Window.orderBy("value")
+        val r = pts.select(col("av"), col("nv"),
+          (sum("nv").over(w) - col("nv")).as("cb"))
+        val a = r.agg(
+          sum("av").cast("long").as("na"),
+          sum("nv").cast("long").as("n"),
+          sum(col("av").cast("double") *
+            (col("cb") + (col("nv") + lit(1)) / lit(2.0))).as("ra"))
+        val uA = col("ra") - col("na") * (col("na") + lit(1L)) / lit(2.0)
+        val z = (col("ra") - col("na") * (col("na") + lit(1L)) / lit(2.0) -
+          col("na").cast("double") * (col("n") - col("na")) / lit(2.0)) /
+          sqrt(col("na").cast("double") * (col("n") - col("na")) *
+            (col("n") + lit(1L)) / lit(12.0))
+        a.select(col("na"), (col("n") - col("na")).cast("long").as("nb"),
+          round(uA, 6).as("u_a"), round(z, 6).as("z"))
+      }),
+
+    // Hourly OHLC resample per event_type — the time-bar compaction every
+    // telemetry/market-data pipeline runs before charting or modeling.
+    // open/close are min_by/max_by on the UNIQUE (ts, event_id) struct key
+    // (deterministic first/last with full map-side partial aggregation —
+    // no window over the raw stream, no per-bar sort); high/low/count are
+    // plain order-free aggregates; volume is an exact decimal sum. ONE
+    // shuffle on (event_type, hour) with partials — at 100 TB each bar
+    // folds locally per input split before the exchange, the canonical
+    // streaming-compaction shape. The oracle reaches the same bars via
+    // first_value/last_value windows (DuckDB lacks struct-keyed arg_min
+    // across versions); both engines then aggregate identical per-bar sets.
+    Q(
+      "agg_ohlc_resample",
+      Some("""WITH w AS (
+             |  SELECT event_type,
+             |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr,
+             |    value,
+             |    first_value(value) OVER (PARTITION BY event_type, date_trunc('hour', ts)
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+             |    last_value(value) OVER (PARTITION BY event_type, date_trunc('hour', ts)
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+             |  FROM events)
+             |SELECT event_type, hr,
+             |  ROUND(MIN(o), 6) AS open, ROUND(MAX(value), 6) AS high,
+             |  ROUND(MIN(value), 6) AS low, ROUND(MIN(c), 6) AS close,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS vol
+             |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val key = struct(col("ts"), col("event_id"))
+        Tables(s, dir, "events")
+          .groupBy(col("event_type"),
+            unix_timestamp(date_trunc("hour", col("ts"))).as("hr"))
+          .agg(
+            round(min_by(col("value"), key), 6).as("open"),
+            round(max("value"), 6).as("high"),
+            round(min("value"), 6).as("low"),
+            round(max_by(col("value"), key), 6).as("close"),
+            cnt.as("n"),
+            round(sum(col("value").cast(DecimalType(18, 6))).cast("double"), 4)
+              .as("vol"))
+          .oracleOrder("event_type", "hr")
       }))
 }

@@ -1111,5 +1111,60 @@ object SimOps extends QueryPack {
               sum(round(col("err") * col("err"), 14).cast(DecimalType(20, 14)))
                 .cast("double") / cnt, 12).as("mse"))
           .oracleOrder("vec_id")
+      }),
+
+    // k-NN majority-vote classification over the embedding store — the
+    // label-propagation primitive behind weak supervision and
+    // auto-labeling sweeps. Per query (broadcast slice): rank ALL
+    // candidates by the fused native cosine ROUNDED 6dp (the
+    // sim_cosine_topk tie discipline — both engines rank the identical
+    // rounded value with qb as tiebreak), keep k=10, then the vote is a
+    // count per label with (votes DESC, label) argmax — fully
+    // deterministic. Scale path: swap the exact candidate stage for any of
+    // the ANN indexes (LSH/IVF/PQ share this exact re-rank shape); the
+    // vote itself folds map-side on (qa, label). Exact: cosine rounding is
+    // the proven sim_cosine discipline, votes are integers.
+    Q(
+      "ml_knn_classify",
+      Some("""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+             |p AS (
+             |  SELECT q.vec_id AS qa, e.vec_id AS qb, e.label AS lb,
+             |    ROUND(list_sum(list_transform(list_zip(q.embedding, e.embedding),
+             |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+             |  FROM q, embeddings e WHERE q.vec_id <> e.vec_id),
+             |r AS (SELECT qa, lb,
+             |        row_number() OVER (PARTITION BY qa ORDER BY cos DESC, qb) AS rn
+             |      FROM p),
+             |v AS (SELECT qa, lb, CAST(COUNT(*) AS BIGINT) AS votes
+             |      FROM r WHERE rn <= 10 GROUP BY 1, 2),
+             |b AS (SELECT qa, lb, votes,
+             |        row_number() OVER (PARTITION BY qa ORDER BY votes DESC, lb) AS vr
+             |      FROM v)
+             |SELECT qa, CAST(lb AS INT) AS pred_label, votes
+             |FROM b WHERE vr = 1 ORDER BY qa""".stripMargin),
+      (s, dir) => {
+        native(s)
+        val e = Tables(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qa"), col("embedding").as("ea"))
+        val all = e.select(col("vec_id").as("qb"), col("embedding").as("eb"),
+          col("label").as("lb"))
+        val wr = Window.partitionBy("qa").orderBy(col("cos").desc, col("qb"))
+        val wv = Window.partitionBy("qa").orderBy(col("votes").desc, col("lb"))
+        broadcast(q).crossJoin(all)
+          .filter(col("qa") =!= col("qb"))
+          .select(col("qa"), col("qb"), col("lb"),
+            round(ncos(col("ea"), col("eb")), 6).as("cos"))
+          .withColumn("rn", row_number().over(wr))
+          .filter(col("rn") <= 10)
+          .groupBy("qa", "lb")
+          .agg(cnt.as("votes"))
+          .withColumn("vr", row_number().over(wv))
+          .filter(col("vr") === 1)
+          .select(col("qa"), col("lb").cast("int").as("pred_label"),
+            col("votes"))
+          .oracleOrder("qa")
       }))
 }

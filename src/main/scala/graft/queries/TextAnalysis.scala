@@ -243,5 +243,62 @@ object TextAnalysis extends QueryPack {
               .as("n_composed"),
             md5(col("norm").cast("binary")).as("digest"))
           .oracleOrder("doc_id")
+      }),
+
+    // Pointwise mutual information over co-occurring token pairs — the
+    // corpus-statistics readout behind collocation mining and
+    // phrase-vocabulary induction. Presence-based: each doc contributes a
+    // token AT MOST once (array_distinct before exploding), so counts are
+    // document frequencies. The 100 TB shape: (1) fold the corpus to the
+    // per-doc distinct-token table; (2) prune to tokens with df >= 5 BEFORE
+    // any pairing (the min-count gate caps the candidate vocabulary, the
+    // same guard the BPE/vocab family uses); (3) generate pairs per doc by
+    // a doc_id-keyed self-join of the pruned table — per-doc work is
+    // quadratic only in FREQUENT-tokens-per-doc, never corpus size. PMI =
+    // ln(n_ab·N / (n_a·n_b)) on exact integer counts; both engines evaluate
+    // the identical double ratio then one libm log, rounded 6dp.
+    Q(
+      "text_cooccur_pmi",
+      Some("""WITH t AS (
+             |  SELECT DISTINCT doc_id, tok FROM (
+             |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+             |    FROM documents) u
+             |  WHERE tok <> ''),
+             |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS nd
+             |       FROM t GROUP BY 1 HAVING COUNT(*) >= 5),
+             |ft AS (SELECT t.doc_id, t.tok, df.nd
+             |       FROM t JOIN df ON t.tok = df.tok),
+             |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+             |p AS (
+             |  SELECT a.tok AS ta, b.tok AS tb, a.nd AS na, b.nd AS nb,
+             |    CAST(COUNT(*) AS BIGINT) AS nab
+             |  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT ta, tb, nab,
+             |  ROUND(ln(CAST(nab AS DOUBLE) * n_docs /
+             |           (CAST(na AS DOUBLE) * nb)), 6) AS pmi
+             |FROM p CROSS JOIN n
+             |ORDER BY pmi DESC, ta, tb LIMIT 30""".stripMargin),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val t = docs
+          .select(col("doc_id"),
+            explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+          .filter(col("tok") =!= "")
+        val df = t.groupBy("tok").agg(cnt.as("nd")).filter(col("nd") >= 5)
+        val ft = t.join(df, "tok")
+        val nDocs = docs.agg(cnt.as("n_docs"))
+        val p = ft.select(col("doc_id"), col("tok").as("ta"), col("nd").as("na"))
+          .join(ft.select(col("doc_id"), col("tok").as("tb"), col("nd").as("nb")),
+            Seq("doc_id"))
+          .filter(col("ta") < col("tb"))
+          .groupBy("ta", "tb", "na", "nb")
+          .agg(cnt.as("nab"))
+        p.crossJoin(broadcast(nDocs))
+          .select(col("ta"), col("tb"), col("nab"),
+            round(log(col("nab").cast("double") * col("n_docs") /
+              (col("na").cast("double") * col("nb"))), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("ta"), col("tb"))
+          .limit(30)
       }))
 }

@@ -535,5 +535,43 @@ object Windows extends QueryPack {
             min(when(col("cusum") > 300.0, col("event_id"))).cast("long")
               .as("first_alarm"))
           .oracleOrder("user_id")
+      }),
+
+    // Trailing 9-row EXACT rolling median per user — the robust twin of the
+    // moving average (outlier-immune smoother every metrics pipeline wants
+    // next to the mean). The frame is pinned to EXACTLY 9 rows (row_number
+    // >= 9 drops warm-up heads), so the median is the 5th order statistic —
+    // a pure element SELECTION, no interpolation arithmetic, which removes
+    // the (a+b)/2-vs-a+0.5*(b-a) float-knife-edge a mid-pair average would
+    // reintroduce between engines. Spark has no native windowed median;
+    // collect_list over the bounded ROWS frame + array_sort + element_at
+    // keeps O(9) state per row — partition-local over user_id, the one
+    // shuffle the whole lag/EWMA family already pays. At 100 TB the frame
+    // stays 9 elements regardless of data volume; only the per-user
+    // partitioning matters, and it holds.
+    Q(
+      "window_rolling_median",
+      Some("""WITH b AS (
+             |  SELECT user_id, event_id,
+             |    row_number() OVER (PARTITION BY user_id
+             |                       ORDER BY ts, event_id) AS rn,
+             |    median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                        ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS med
+             |  FROM events)
+             |SELECT user_id, event_id, ROUND(med, 6) AS med9
+             |FROM b WHERE rn >= 9 ORDER BY user_id, event_id""".stripMargin),
+      (s, dir) => {
+        val wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wf = wo.rowsBetween(-8, Window.currentRow)
+        Tables(s, dir, "events")
+          .select(
+            col("user_id"), col("event_id"),
+            row_number().over(wo).as("rn"),
+            element_at(array_sort(collect_list(col("value")).over(wf)), 5)
+              .as("med"))
+          .filter(col("rn") >= 9)
+          .select(col("user_id"), col("event_id"),
+            round(col("med"), 6).as("med9"))
+          .oracleOrder("user_id", "event_id")
       }))
 }

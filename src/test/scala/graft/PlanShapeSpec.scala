@@ -444,4 +444,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("rolling median rides one user_id window shuffle, no join") {
+    val p = plan("window_rolling_median")
+    assert(p.contains("Window"), p)
+    assert(occurrences(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("Mann-Whitney windows only the compressed distinct-value table") {
+    val p = plan("agg_mannwhitney_u")
+    // Like KS: the raw-events pass is the grouped compression (behind the
+    // localCheckpoint); the analyzed plan holds one single-partition window
+    // over the distinct-value table and the closed-form scalar fold.
+    assert(p.contains("Window") && p.contains("SinglePartition"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("OHLC bars fold as one partial-aggregated exchange, no window") {
+    val p = plan("agg_ohlc_resample")
+    // Struct-keyed min_by/max_by plans as SortAggregate (the ordering
+    // buffer isn't hash-aggregable) — what matters at scale is that the
+    // partials run MAP-SIDE before the single bar-key exchange, so each
+    // input split folds to one row per bar before any data moves.
+    assert(p.contains("partial_min_by") && p.contains("partial_max_by"), p)
+    assert(occurrences(p, "Exchange hashpartitioning") == 1, p)
+    // No per-bar window sort of the raw stream, no join.
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("PMI pairs by doc_id equi join after the df prune, never a product") {
+    val p = plan("text_cooccur_pmi")
+    assert(!p.contains("CartesianProduct"), p)
+    // The only nested-loop is the 1-row n_docs broadcast; pair generation
+    // itself must be an equi join on doc_id.
+    assert(p.contains("doc_id"), p)
+  }
+
+  test("kNN classify broadcasts the query slice; votes fold by hash agg") {
+    val p = plan("ml_knn_classify")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  private def occurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
 }
