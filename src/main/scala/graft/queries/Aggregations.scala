@@ -1142,5 +1142,49 @@ object Aggregations extends QueryPack {
             round(sum(col("value").cast(DecimalType(18, 6))).cast("double"), 4)
               .as("vol"))
           .oracleOrder("event_type", "hr")
+      }),
+
+    // Economic Gini coefficient of per-customer spend — the inequality /
+    // concentration readout (how skewed is the corpus across sources, the
+    // spend across accounts, the tokens across domains). Rank formula:
+    // G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n over ascending-sorted totals.
+    // Exactness: per-customer totals are DECIMAL sums; i·x_(i) is a
+    // BIGINT×DECIMAL product summed as exact decimals — the entire
+    // statistic folds with zero float accumulation, one double division at
+    // the end. Shape at scale: the fact table folds to the CUSTOMER-
+    // cardinality totals table first (one hash shuffle with partials); the
+    // rank window runs over that dimension-sized table only (the ntile
+    // precedent — at 100 TB you'd range-partition the rank, the fact scan
+    // never sorts).
+    Q(
+      "agg_gini_coefficient",
+      Some("""WITH t AS (
+             |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS total
+             |  FROM orders GROUP BY 1),
+             |r AS (
+             |  SELECT total,
+             |    row_number() OVER (ORDER BY total, o_custkey) AS i
+             |  FROM t),
+             |a AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(total) AS DOUBLE) AS s,
+             |    CAST(SUM(i * total) AS DOUBLE) AS si
+             |  FROM r)
+             |SELECT n, ROUND(s, 2) AS total_spend,
+             |  ROUND(2.0 * si / (n * s) - (n + 1.0) / n, 6) AS gini
+             |FROM a""".stripMargin),
+      (s, dir) => {
+        val t = Tables(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 6))).as("total"))
+        val r = t.select(col("total"),
+          row_number().over(Window.orderBy("total", "o_custkey")).as("i"))
+        val a = r.agg(
+          cnt.as("n"),
+          sum("total").cast("double").as("s"),
+          sum(col("i") * col("total")).cast("double").as("si"))
+        a.select(col("n"), round(col("s"), 2).as("total_spend"),
+          round(lit(2.0) * col("si") / (col("n") * col("s")) -
+            (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
       }))
 }

@@ -640,5 +640,44 @@ object Joins extends QueryPack {
             col("dim_even").as("dim"), col("n_even"), col("n_odd"),
             col("sum_even"), col("sum_odd"))
           .oracleOrder("dim")
+      }),
+
+    // Dynamic partition pruning — THE partitioned-fact join optimization at
+    // 100 TB: the fact table is laid out partitioned on the join key, the
+    // dim side carries the selective filter, and the filter's key VALUES
+    // are only known at runtime (they come out of the dim scan) — static
+    // planning cannot prune, so Spark injects a DynamicPruningExpression
+    // into the fact scan's PartitionFilters, reusing the broadcast: only
+    // the 2 of 5 priority directories are ever read. The plan pin asserts
+    // `dynamicpruning` survives in the scan; a regression here silently
+    // reads the whole decade instead of the year. Staged like the other
+    // sink ops: orders re-written partitioned by priority into tmp.
+    Q(
+      "join_dpp_partition_prune",
+      Some("""WITH dim AS (
+             |  SELECT DISTINCT o_orderpriority AS pri FROM orders
+             |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             |SELECT o.o_orderpriority AS pri,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s
+             |FROM orders o JOIN dim ON o.o_orderpriority = dim.pri
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_orders"
+        Tables(s, dir, "orders")
+          .withColumn("pri", col("o_orderpriority"))
+          .write.mode("overwrite").partitionBy("pri").parquet(tmp)
+        val fact = s.read.parquet(tmp)
+        // Runtime-valued dim: DISTINCT over the fact's own priority column
+        // with the selective predicate — the values reach the fact scan
+        // only through the broadcast, which is what makes the pruning
+        // dynamic rather than static partition elimination.
+        val dim = Tables(s, dir, "orders")
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .select(col("o_orderpriority").as("dpri")).distinct()
+        fact.join(broadcast(dim), col("pri") === col("dpri"))
+          .groupBy(col("pri"))
+          .agg(cnt.as("n"), dsum(col("o_totalprice")).as("s"))
+          .oracleOrder("pri")
       }))
 }

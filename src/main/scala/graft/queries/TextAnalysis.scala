@@ -2,7 +2,9 @@ package graft.queries
 
 import graft.{Q, QueryPack, Tables}
 import graft.Fns._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** SURVEY.md §2.K — text analysis for LLM-corpus curation: language ID,
   * quality scoring, tokenizer-style counting, document fingerprinting.
@@ -300,5 +302,111 @@ object TextAnalysis extends QueryPack {
               (col("na").cast("double") * col("nb"))), 6).as("pmi"))
           .orderBy(col("pmi").desc, col("ta"), col("tb"))
           .limit(30)
+      }),
+
+    // Hashing-trick featurization (Weinberger et al. 2009) — the
+    // fixed-width bag-of-words featurizer that needs NO vocabulary pass:
+    // token → slot = h mod 64, signed by the hash parity so collisions
+    // cancel in expectation. The hash is the library's polynomial fold
+    // (acc·31 + char mod 2^31−1, init 7 — the text_rolling_hash dialect
+    // both engines already share bit-for-bit), so slots and signs are
+    // integer-exact cross-engine. Per-doc token totals ride a doc_id
+    // window whose partitioning (doc_id ⊆ (doc_id, slot)) also satisfies
+    // the final group-by — ONE shuffle, no join-back. w_raw is an integer
+    // sum; the normalized weight is one double ratio.
+    Q(
+      "ml_feature_hashing",
+      Some("""WITH tk AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+             |  FROM documents WHERE doc_id < 50),
+             |h AS (
+             |  SELECT doc_id,
+             |    list_reduce(list_prepend(7::BIGINT,
+             |      list_transform(split(tok, ''), c -> ascii(c)::BIGINT)),
+             |      (acc, x) -> (acc * 31 + x) % 2147483647) AS hv
+             |  FROM tk WHERE tok <> ''),
+             |c AS (
+             |  SELECT doc_id, hv % 64 AS slot,
+             |    CASE WHEN hv % 2 = 0 THEN 1 ELSE -1 END AS sgn,
+             |    COUNT(*) OVER (PARTITION BY doc_id) AS n_tok
+             |  FROM h)
+             |SELECT doc_id, CAST(slot AS INT) AS slot,
+             |  CAST(SUM(sgn) AS BIGINT) AS w_raw,
+             |  ROUND(CAST(SUM(sgn) AS DOUBLE) / MIN(n_tok), 6) AS w_norm
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val hv = aggregate(
+          transform(split(col("tok"), ""), c => ascii(c).cast("long")),
+          lit(7L),
+          (acc, x) => (acc * 31 + x) % 2147483647L)
+        val h = Tables(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .select(col("doc_id"), hv.as("hv"))
+        h.select(col("doc_id"), (col("hv") % 64).cast("int").as("slot"),
+            when(col("hv") % 2 === 0, 1).otherwise(-1).as("sgn"),
+            count(lit(1)).over(Window.partitionBy("doc_id")).as("n_tok"))
+          .groupBy("doc_id", "slot")
+          .agg(sum("sgn").cast("long").as("w_raw"),
+            round(sum("sgn").cast("double") / min("n_tok"), 6).as("w_norm"))
+          .oracleOrder("doc_id", "slot")
+      }),
+
+    // Zipf's-law exponent fit over the corpus vocabulary — the one-number
+    // health check of a token distribution (natural corpora fit s ≈ 1;
+    // synthetic/templated text flattens it). Least squares of ln(freq) on
+    // ln(rank) over the ranked vocabulary: the corpus folds to the
+    // vocabulary-sized frequency table first (bounded regardless of corpus
+    // bytes — the BPE/vocab discipline), the rank is one ordered window
+    // over that table, and all four regression sums are DECIMAL sums of
+    // per-row ROUNDED ln terms (the chi-squared discipline) so the fit is
+    // shuffle-order-free; slope/intercept are closed-form doubles.
+    Q(
+      "text_zipf_fit",
+      Some("""WITH v AS (
+             |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+             |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+             |        FROM documents) u
+             |  WHERE tok <> '' GROUP BY 1),
+             |r AS (
+             |  SELECT CAST(ROUND(ln(row_number() OVER (ORDER BY f DESC, tok)), 10)
+             |              AS DECIMAL(28,10)) AS x,
+             |    CAST(ROUND(ln(f), 10) AS DECIMAL(28,10)) AS y
+             |  FROM v),
+             |a AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 10)
+             |                  AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 10)
+             |                  AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+             |  FROM r)
+             |SELECT n,
+             |  ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+             |  ROUND((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS intercept
+             |FROM a""".stripMargin),
+      (s, dir) => {
+        val v = Tables(s, dir, "documents")
+          .select(explode(split(lower(col("text")), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("tok").agg(cnt.as("f"))
+        val r = v.select(
+          round(log(row_number().over(Window.orderBy(col("f").desc, col("tok")))
+            .cast("double")), 10).cast(DecimalType(28, 10)).as("x"),
+          round(log(col("f").cast("double")), 10)
+            .cast(DecimalType(28, 10)).as("y"))
+        val a = r.agg(
+          cnt.as("n"),
+          sum("x").cast("double").as("sx"), sum("y").cast("double").as("sy"),
+          sum(round(col("x").cast("double") * col("x").cast("double"), 10)
+            .cast(DecimalType(28, 10))).cast("double").as("sxx"),
+          sum(round(col("x").cast("double") * col("y").cast("double"), 10)
+            .cast(DecimalType(28, 10))).cast("double").as("sxy"))
+        val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+        a.select(col("n"), round(slope, 6).as("slope"),
+          round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
       }))
 }

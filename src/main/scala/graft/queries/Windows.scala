@@ -573,5 +573,70 @@ object Windows extends QueryPack {
           .select(col("user_id"), col("event_id"),
             round(col("med"), 6).as("med9"))
           .oracleOrder("user_id", "event_id")
+      }),
+
+    // Trailing 20-pair rolling lag-1 autocorrelation per user — the
+    // mean-reversion / trend-persistence monitor quant and telemetry
+    // pipelines run next to the rolling moments. Pair stream = (x, lag(x))
+    // with partition heads dropped; all five sufficient statistics
+    // (Σx, Σy, Σxx, Σyy, Σxy) are DECIMAL window sums of per-row ROUNDED
+    // terms (the anomaly-zscore discipline) so shuffle/merge order can't
+    // move r; the only doubles are the final closed-form division. The lag
+    // window, the frame window, and the warm-up row_number all partition
+    // on user_id — ONE shuffle end to end (Spark reuses the exchange+sort
+    // across same-keyed windows). Degenerate frames (zero variance) are
+    // dropped by an exact-decimal-derived guard, deterministic both
+    // engines.
+    Q(
+      "window_rolling_corr",
+      Some("""WITH p AS (
+             |  SELECT user_id, event_id, ts, value AS x,
+             |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+             |  FROM events),
+             |f AS (SELECT * FROM p WHERE y IS NOT NULL),
+             |w AS (
+             |  SELECT user_id, event_id,
+             |    COUNT(*) OVER win AS n,
+             |    CAST(SUM(CAST(x AS DECIMAL(18,6))) OVER win AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(y AS DECIMAL(18,6))) OVER win AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(x*x AS DECIMAL(30,10))) OVER win AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(y*y AS DECIMAL(30,10))) OVER win AS DOUBLE) AS syy,
+             |    CAST(SUM(CAST(x*y AS DECIMAL(30,10))) OVER win AS DOUBLE) AS sxy
+             |  FROM f
+             |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+             |SELECT CAST(user_id AS BIGINT) AS user_id,
+             |  CAST(event_id AS BIGINT) AS event_id,
+             |  ROUND((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r20
+             |FROM w
+             |WHERE n >= 20 AND (n*sxx - sx*sx) * (n*syy - sy*sy) > 1e-9
+             |ORDER BY user_id, event_id""".stripMargin),
+      (s, dir) => {
+        val lagW = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val win = lagW.rowsBetween(-19, Window.currentRow)
+        val f = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("value").as("x"),
+            lag(col("value"), 1).over(lagW).as("y"))
+          .filter(col("y").isNotNull)
+        val w = f.select(
+          col("user_id").cast("long"), col("event_id").cast("long"),
+          count(lit(1)).over(win).as("n"),
+          sum(col("x").cast(DecimalType(18, 6))).over(win)
+            .cast("double").as("sx"),
+          sum(col("y").cast(DecimalType(18, 6))).over(win)
+            .cast("double").as("sy"),
+          sum((col("x") * col("x")).cast(DecimalType(30, 10))).over(win)
+            .cast("double").as("sxx"),
+          sum((col("y") * col("y")).cast(DecimalType(30, 10))).over(win)
+            .cast("double").as("syy"),
+          sum((col("x") * col("y")).cast(DecimalType(30, 10))).over(win)
+            .cast("double").as("sxy"))
+        val den = (col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy"))
+        val r = (col("n") * col("sxy") - col("sx") * col("sy")) / sqrt(den)
+        w.filter(col("n") >= 20 && den > 1e-9)
+          .select(col("user_id"), col("event_id"), round(r, 6).as("r20"))
+          .oracleOrder("user_id", "event_id")
       }))
 }

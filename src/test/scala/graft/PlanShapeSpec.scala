@@ -487,6 +487,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("rolling corr: lag + frame windows share one user_id exchange") {
+    val p = plan("window_rolling_corr")
+    assert(p.contains("Window"), p)
+    assert(occurrences(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("Gini ranks only the customer-cardinality totals table") {
+    val p = plan("agg_gini_coefficient")
+    // Fact rows fold via a partial-aggregated hash shuffle; the rank
+    // window and the closing fold run single-partition over totals only.
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("SinglePartition"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("feature hashing: doc_id window partitioning also feeds the group-by") {
+    val p = plan("ml_feature_hashing")
+    assert(p.contains("Window"), p)
+    // hashpartitioning(doc_id) satisfies the (doc_id, slot) clustering —
+    // a second exchange here would be the join-back shape this op avoids.
+    assert(occurrences(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("Zipf fit folds the corpus to the vocabulary before the rank window") {
+    val p = plan("text_zipf_fit")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(p.contains("SinglePartition"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("DPP join injects a dynamic pruning filter into the fact scan") {
+    val p = plan("join_dpp_partition_prune")
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   private def occurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 }
