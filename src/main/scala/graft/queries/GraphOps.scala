@@ -561,5 +561,70 @@ object GraphOps extends QueryPack {
               .over(Window.orderBy(col("jaccard").desc, col("a"), col("b")))
               .cast("int"))
           .oracleOrder("rn")
+      }),
+
+    // Top session-opening paths: the first three event types of every
+    // 30-minute-gap session, counted corpus-wide — the "how do journeys
+    // start" readout next to the stage funnel. Sessionization is the
+    // proven lag-flag-cumsum dialect (window_sessionize_gap); the path
+    // folds as three conditional MAXes keyed by the within-session
+    // row_number (no collect_list ordering hazard — rn is deterministic on
+    // (ts, event_id) and the three slots are independent order-free
+    // aggregates); concat_ws skips absent slots identically in both
+    // engines (short sessions keep shorter paths). Every window and the
+    // session fold share the ONE user_id exchange; only the path strings
+    // shuffle into the final count.
+    Q(
+      "funnel_path_trigrams",
+      Some("""WITH l AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+             |  FROM events),
+             |f AS (SELECT user_id, event_id, ts, event_type,
+             |        CASE WHEN pts IS NULL
+             |               OR ts > pts + INTERVAL 30 MINUTE
+             |             THEN 1 ELSE 0 END AS brk
+             |      FROM l),
+             |s AS (SELECT user_id, event_id, ts, event_type,
+             |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                       ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM f),
+             |r AS (SELECT user_id, sid, event_type,
+             |        row_number() OVER (PARTITION BY user_id, sid
+             |                           ORDER BY ts, event_id) AS rn
+             |      FROM s),
+             |p AS (SELECT user_id, sid,
+             |        concat_ws('>',
+             |          MAX(CASE WHEN rn = 1 THEN event_type END),
+             |          MAX(CASE WHEN rn = 2 THEN event_type END),
+             |          MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+             |      FROM r WHERE rn <= 3 GROUP BY 1, 2)
+             |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+             |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+        def slot(i: Int) =
+          max(when(col("rn") === i, col("event_type")))
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+          .withColumn("pts", lag("ts", 1).over(wo))
+          .withColumn(
+            "brk",
+            when(
+              col("pts").isNull ||
+                col("ts") > col("pts") + expr("INTERVAL 30 MINUTES"),
+              1).otherwise(0))
+          .withColumn("sid", sum("brk").over(wr))
+          .withColumn("rn", row_number().over(ws))
+          .filter(col("rn") <= 3)
+          .groupBy("user_id", "sid")
+          .agg(concat_ws(">", slot(1), slot(2), slot(3)).as("path"))
+          .groupBy("path")
+          .agg(cnt.as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path"))
+          .limit(20)
       }))
 }

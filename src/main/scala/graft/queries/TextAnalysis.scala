@@ -408,5 +408,156 @@ object TextAnalysis extends QueryPack {
           (col("n") * col("sxx") - col("sx") * col("sx"))
         a.select(col("n"), round(slope, 6).as("slope"),
           round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+      }),
+
+    // Multinomial Naive Bayes language classifier, trained AND applied in
+    // one declarative plan — the canonical "train a model with a GROUP BY"
+    // distributed-ML demonstration. Train: Laplace-smoothed per-(lang,
+    // token) log-likelihoods and doc-count priors, each ONE grouped pass.
+    // Score: every term ln((c+1)/(tot+V)) is ROUNDED 8dp then multiplied
+    // by the integer term frequency and decimal-summed per (doc, lang) —
+    // with the prior injected as one extra term row — so the per-class
+    // scores are exact decimals and the argmax (score DESC, lang) is
+    // deterministic cross-engine with zero float-accumulation ambiguity.
+    // Shape at scale: the model is vocabulary x languages (bounded — it
+    // BROADCASTS); scoring is a map-side join per predict token + one
+    // (doc, lang) fold; no fact-side shuffle beyond the per-doc tf
+    // compression.
+    Q(
+      "ml_naive_bayes_lang",
+      Some("""WITH tk AS (
+             |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+             |  FROM documents),
+             |t2 AS (SELECT * FROM tk WHERE tok <> ''),
+             |vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM t2),
+             |cls AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS tot FROM t2 GROUP BY 1),
+             |prior AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd FROM documents GROUP BY 1),
+             |ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM documents),
+             |cnts AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+             |         FROM t2 GROUP BY 1, 2),
+             |q AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+             |      FROM t2 WHERE doc_id < 100 GROUP BY 1, 2),
+             |terms AS (
+             |  SELECT q.doc_id, cls.lang,
+             |    CAST(q.tf * ROUND(ln((COALESCE(cnts.c, 0) + 1.0) / (cls.tot + vocab.v)), 8)
+             |         AS DECIMAL(28,8)) AS term
+             |  FROM q CROSS JOIN vocab CROSS JOIN cls
+             |       LEFT JOIN cnts ON cnts.lang = cls.lang AND cnts.tok = q.tok
+             |  UNION ALL
+             |  SELECT d.doc_id, prior.lang,
+             |    CAST(ROUND(ln(CAST(prior.nd AS DOUBLE) / ntot.nt), 8)
+             |         AS DECIMAL(28,8)) AS term
+             |  FROM documents d CROSS JOIN prior CROSS JOIN ntot
+             |  WHERE d.doc_id < 100),
+             |sc AS (SELECT doc_id, lang, SUM(term) AS score
+             |       FROM terms GROUP BY 1, 2),
+             |b AS (SELECT doc_id, lang, score,
+             |        row_number() OVER (PARTITION BY doc_id
+             |                           ORDER BY score DESC, lang) AS rn
+             |      FROM sc)
+             |SELECT b.doc_id, b.lang AS pred_lang,
+             |  ROUND(CAST(b.score AS DOUBLE), 6) AS score,
+             |  d.lang AS true_lang,
+             |  CAST(CASE WHEN b.lang = d.lang THEN 1 ELSE 0 END AS INT) AS correct
+             |FROM b JOIN documents d ON d.doc_id = b.doc_id
+             |WHERE rn = 1 ORDER BY b.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val t2 = docs
+          .select(col("doc_id"), col("lang"),
+            explode(split(lower(col("text")), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        val vocab = t2.agg(countDistinct("tok").as("v"))
+        val cls = t2.groupBy("lang").agg(cnt.as("tot"))
+        val prior = docs.groupBy(col("lang").as("plang")).agg(cnt.as("nd"))
+        val ntot = docs.agg(cnt.as("nt"))
+        val cnts = t2.groupBy(col("lang").as("clang"), col("tok").as("ctok"))
+          .agg(cnt.as("c"))
+        val q = t2.filter(col("doc_id") < 100)
+          .groupBy("doc_id", "tok").agg(cnt.as("tf"))
+        val tokTerms = q
+          .crossJoin(broadcast(vocab))
+          .crossJoin(broadcast(cls))
+          .join(broadcast(cnts),
+            col("clang") === col("lang") && col("ctok") === col("tok"), "left")
+          .select(col("doc_id"), col("lang"),
+            (col("tf") * round(log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+              (col("tot") + col("v"))), 8)).cast(DecimalType(28, 8)).as("term"))
+        val priorTerms = docs.filter(col("doc_id") < 100)
+          .select(col("doc_id"))
+          .crossJoin(broadcast(prior)).crossJoin(broadcast(ntot))
+          .select(col("doc_id"), col("plang").as("lang"),
+            round(log(col("nd").cast("double") / col("nt")), 8)
+              .cast(DecimalType(28, 8)).as("term"))
+        val sc = tokTerms.unionByName(priorTerms)
+          .groupBy("doc_id", "lang").agg(sum("term").as("score"))
+        val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
+        sc.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .join(docs.select(col("doc_id"), col("lang").as("true_lang")), "doc_id")
+          .select(col("doc_id"), col("lang").as("pred_lang"),
+            round(col("score").cast("double"), 6).as("score"),
+            col("true_lang"),
+            when(col("lang") === col("true_lang"), 1).otherwise(0)
+              .cast("int").as("correct"))
+          .oracleOrder("doc_id")
+      }),
+
+    // Conditional bigram entropy H(next | current) over adjacent token
+    // pairs — the information-theoretic redundancy readout (low H ⇒
+    // templated/repetitive text; the corpus-level twin of the per-doc
+    // repetition filter). Two grouped passes fold the corpus to the
+    // bigram-count table (vocabulary² bound, in practice Zipf-small), the
+    // prefix marginal derives from it by one more fold, and every
+    // -(n_ab/N)·ln(n_ab/n_a) term is ROUNDED 10dp then decimal-summed —
+    // shuffle-order-free. The pair explode reuses the BPE adjacent-pair
+    // dialect (sequence + element_at), corpus-bytes never feed it twice.
+    Q(
+      "text_bigram_cond_entropy",
+      Some("""WITH toks AS (
+             |  SELECT string_split(lower(text), ' ') AS ts FROM documents),
+             |p AS (
+             |  SELECT ts[CAST(i AS INT)] AS a, ts[CAST(i AS INT) + 1] AS b
+             |  FROM toks, unnest(range(1, len(ts))) r(i)
+             |  WHERE ts[CAST(i AS INT)] <> '' AND ts[CAST(i AS INT) + 1] <> ''),
+             |ab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nab
+             |       FROM p GROUP BY 1, 2),
+             |m AS (SELECT a, CAST(SUM(nab) AS BIGINT) AS na FROM ab GROUP BY 1),
+             |n AS (SELECT CAST(SUM(nab) AS BIGINT) AS nb FROM ab),
+             |t AS (
+             |  SELECT CAST(ROUND(-(CAST(ab.nab AS DOUBLE) / n.nb) *
+             |                    ln(CAST(ab.nab AS DOUBLE) / m.na), 10)
+             |              AS DECIMAL(28,10)) AS term
+             |  FROM ab JOIN m ON ab.a = m.a CROSS JOIN n)
+             |SELECT n.nb AS n_bigrams,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ab) AS n_pairs,
+             |  ROUND(CAST((SELECT SUM(term) FROM t) AS DOUBLE), 6) AS h_cond
+             |FROM n""".stripMargin),
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(split(lower(col("text")), " ").as("ts"))
+          // guard: sequence(1, 0) would generate a DESCENDING [1, 0] and
+          // element_at(ts, 0) errors — single-token docs have no bigrams.
+          .filter(size(col("ts")) >= 2)
+        val p = toks
+          .select(explode(expr(
+            "transform(sequence(1, size(ts)-1), " +
+              "i -> struct(element_at(ts, i) AS a, element_at(ts, i+1) AS b))"))
+            .as("pr"))
+          .select(col("pr.a").as("a"), col("pr.b").as("b"))
+          .filter(col("a") =!= "" && col("b") =!= "")
+        val ab = p.groupBy("a", "b").agg(cnt.as("nab")).localCheckpoint()
+        val m = ab.groupBy(col("a").as("ma")).agg(sum("nab").cast("long").as("na"))
+        val n = ab.agg(sum("nab").cast("long").as("nb"))
+        val pairs = ab.agg(cnt.as("n_pairs"))
+        val t = ab.join(broadcast(m), col("a") === col("ma"))
+          .crossJoin(broadcast(n))
+          .select(round(-(col("nab").cast("double") / col("nb")) *
+            log(col("nab").cast("double") / col("na")), 10)
+            .cast(DecimalType(28, 10)).as("term"))
+        t.agg(sum("term").as("h"))
+          .crossJoin(broadcast(n)).crossJoin(broadcast(pairs))
+          .select(col("nb").as("n_bigrams"), col("n_pairs"),
+            round(col("h").cast("double"), 6).as("h_cond"))
       }))
 }

@@ -519,6 +519,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("Naive Bayes model tables broadcast; no sort-merge join anywhere") {
+    val p = plan("ml_naive_bayes_lang")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("path trigrams: session windows share the user exchange; paths shuffle once") {
+    val p = plan("funnel_path_trigrams")
+    assert(p.contains("Window"), p)
+    // user_id exchange (lag + cumsum + per-session rn + session fold all
+    // cluster on user_id prefixes) + the final path count = exactly 2.
+    assert(occurrences(p, "Exchange hashpartitioning") == 2, p)
+  }
+
+  test("bigram entropy: marginals broadcast back onto the bigram table") {
+    val p = plan("text_bigram_cond_entropy")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("DPP join injects a dynamic pruning filter into the fact scan") {
     val p = plan("join_dpp_partition_prune")
     assert(p.toLowerCase.contains("dynamicpruning"), p)
