@@ -638,5 +638,40 @@ object Windows extends QueryPack {
         w.filter(col("n") >= 20 && den > 1e-9)
           .select(col("user_id"), col("event_id"), round(r, 6).as("r20"))
           .oracleOrder("user_id", "event_id")
+      }),
+
+    // Time-to-conversion: for every view event, how long until that user's
+    // NEXT purchase — the forward-looking attribution latency behind
+    // conversion-window tuning (and the batch twin of the funnel's 1-day
+    // bound). A conditional MIN over the strictly-following frame finds
+    // the first future purchase in one window pass — no self-join of
+    // events to events, which is the naive shape that explodes at scale.
+    // Views that never convert drop out (NULL frame min). Exact integer
+    // microseconds (unix_micros ≡ DuckDB epoch_us); partition-local on the
+    // one user_id shuffle the window family shares.
+    Q(
+      "window_time_to_conversion",
+      Some("""WITH nxt AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p
+             |  FROM events)
+             |SELECT user_id, event_id,
+             |  CAST(epoch_us(next_p) - epoch_us(ts) AS BIGINT) AS us_to_purchase
+             |FROM nxt WHERE event_type = 'view' AND next_p IS NOT NULL
+             |ORDER BY user_id, event_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(1, Window.unboundedFollowing)
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+            min(when(col("event_type") === "purchase", col("ts"))).over(w)
+              .as("next_p"))
+          .filter(col("event_type") === "view" && col("next_p").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            (unix_micros(col("next_p")) - unix_micros(col("ts")))
+              .cast("long").as("us_to_purchase"))
+          .oracleOrder("user_id", "event_id")
       }))
 }

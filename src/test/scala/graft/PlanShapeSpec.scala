@@ -538,6 +538,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("time-to-conversion is one forward window, no events self-join") {
+    val p = plan("window_time_to_conversion")
+    assert(p.contains("Window"), p)
+    assert(occurrences(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("DPP join injects a dynamic pruning filter into the fact scan") {
     val p = plan("join_dpp_partition_prune")
     assert(p.toLowerCase.contains("dynamicpruning"), p)

@@ -85,6 +85,27 @@ class Round13eOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // ---- window_time_to_conversion -------------------------------------
+
+  test("window_time_to_conversion matches a sequential forward scan") {
+    val ev = Tables(spark, sf, "events")
+      .select("user_id", "event_id", "ts", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), micros(r.getTimestamp(2)),
+        r.getString(3)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      sorted.indices.flatMap { i =>
+        if (sorted(i)._4 != "view") None
+        else sorted.drop(i + 1).find(_._4 == "purchase")
+          .map(p => (u, sorted(i)._2, p._3 - sorted(i)._3))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = Registry.byId("window_time_to_conversion").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
   // ---- text_bigram_cond_entropy --------------------------------------
 
   test("text_bigram_cond_entropy matches a sequential decimal recompute") {
