@@ -235,4 +235,64 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out((1L, 2L)) == 1.0, out) // all of short's grams are in long
     assert(out((2L, 1L)) < 1.0, out) // long has grams short lacks
   }
+
+  /** Micro events fixture: (event_id, epoch_seconds, type, value) rows for
+    * one user, ts written as the driver's nanos-LONG encoding.
+    */
+  private def eventsFixture(tag: String,
+      rows: Seq[(Long, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_edge_$tag").toString
+    rows.map { case (id, sec, ty, v) => (id, sec * 1000000000L, 7L, ty, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("rolling median: duplicates select the middle element, heads drop") {
+    // 10 events; frame at row 9 = values 1..9 sorted -> median 5; frame at
+    // row 10 = {2..9, 100, 100} sorted -> 5th element 6 (the outlier 100
+    // CANNOT drag the median, unlike the moving average).
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 100.0, 100.0)
+    val dir = eventsFixture("rmed",
+      vals.zipWithIndex.map { case (v, i) => (i + 1L, i * 60L, "view", v) })
+    val out = Registry.byId("window_rolling_median").run(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out == Map(9L -> 5.0, 10L -> 6.0), out)
+  }
+
+  test("OHLC: same-timestamp tie breaks open/close by event_id") {
+    // Three events in one hour bucket; the first two share a timestamp, so
+    // open must come from the LOWER event_id and close from the last row.
+    val dir = eventsFixture("ohlc", Seq(
+      (2L, 100L, "view", 20.0), // same second as event 1
+      (1L, 100L, "view", 10.0),
+      (3L, 200L, "view", 5.0)))
+    val r = Registry.byId("agg_ohlc_resample").run(spark, dir).collect().head
+    assert(r.getDouble(2) == 10.0, r) // open = event_id 1
+    assert(r.getDouble(3) == 20.0 && r.getDouble(4) == 5.0, r) // high/low
+    assert(r.getDouble(5) == 5.0, r) // close = last event
+    assert(r.getLong(6) == 3L, r)
+  }
+
+  test("time-to-conversion: non-converting views drop; same-ts purchase counts") {
+    val dir = eventsFixture("ttc", Seq(
+      (1L, 100L, "view", 0.0), // next purchase at 160 -> 60s
+      (2L, 160L, "purchase", 0.0),
+      (3L, 200L, "view", 0.0), // purchase at SAME ts, higher id -> 0s
+      (4L, 200L, "purchase", 0.0),
+      (5L, 300L, "view", 0.0))) // no later purchase -> dropped
+    val out = Registry.byId("window_time_to_conversion").run(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 60000000L, 3L -> 0L), out)
+  }
+
+  test("Mann-Whitney: fully tied samples give U = na*nb/2 and z = 0") {
+    val dir = eventsFixture("mwu", Seq(
+      (1L, 1L, "click", 5.0), (2L, 2L, "click", 5.0),
+      (3L, 3L, "view", 5.0), (4L, 4L, "view", 5.0), (5L, 5L, "view", 5.0)))
+    val r = Registry.byId("agg_mannwhitney_u").run(spark, dir).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L, r)
+    assert(r.getDouble(2) == 3.0, r) // U_A = na*nb/2 = 3
+    assert(r.getDouble(3) == 0.0, r)
+  }
 }
