@@ -1068,8 +1068,8 @@ object Aggregations extends QueryPack {
              |    SUM(CAST(av AS DOUBLE) * (cb + (nv + 1) / 2.0)) AS ra
              |  FROM r)
              |SELECT na, CAST(n - na AS BIGINT) AS nb,
-             |  ROUND(ra - na * (na + 1) / 2.0, 6) AS u_a,
-             |  ROUND((ra - na * (na + 1) / 2.0 - CAST(na AS DOUBLE) * (n - na) / 2.0)
+             |  ROUND(ra - CAST(na AS DOUBLE) * (na + 1) / 2.0, 6) AS u_a,
+             |  ROUND((ra - CAST(na AS DOUBLE) * (na + 1) / 2.0 - CAST(na AS DOUBLE) * (n - na) / 2.0)
              |        / sqrt(CAST(na AS DOUBLE) * (n - na) * (n + 1) / 12.0), 6) AS z
              |FROM a""".stripMargin),
       (s, dir) => {
@@ -1089,8 +1089,12 @@ object Aggregations extends QueryPack {
           sum("nv").cast("long").as("n"),
           sum(col("av").cast("double") *
             (col("cb") + (col("nv") + lit(1)) / lit(2.0))).as("ra"))
-        val uA = col("ra") - col("na") * (col("na") + lit(1L)) / lit(2.0)
-        val z = (col("ra") - col("na") * (col("na") + lit(1L)) / lit(2.0) -
+        // na is cast to DOUBLE before the product on BOTH sides: a LONG
+        // na*(na+1) overflows at na ~ 3e9, below 100 TB event counts.
+        val uA = col("ra") -
+          col("na").cast("double") * (col("na") + lit(1L)) / lit(2.0)
+        val z = (col("ra") -
+          col("na").cast("double") * (col("na") + lit(1L)) / lit(2.0) -
           col("na").cast("double") * (col("n") - col("na")) / lit(2.0)) /
           sqrt(col("na").cast("double") * (col("n") - col("na")) *
             (col("n") + lit(1L)) / lit(12.0))
@@ -1177,8 +1181,15 @@ object Aggregations extends QueryPack {
         val t = Tables(s, dir, "orders")
           .groupBy("o_custkey")
           .agg(sum(col("o_totalprice").cast(DecimalType(18, 6))).as("total"))
+        // Rank via a LONG running count rather than row_number(): Spark's
+        // RowNumber is IntegerType, so i*total would overflow past 2^31
+        // customers; count(*) over the same ROWS frame is BIGINT and equals
+        // row_number because (total, o_custkey) is a unique sort key.
         val r = t.select(col("total"),
-          row_number().over(Window.orderBy("total", "o_custkey")).as("i"))
+          count(lit(1)).over(
+            Window.orderBy("total", "o_custkey")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("i"))
         val a = r.agg(
           cnt.as("n"),
           sum("total").cast("double").as("s"),

@@ -25,6 +25,16 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Joins extends QueryPack {
 
+  /** Once-per-JVM staging registry for `join_dpp_partition_prune` (value =
+    * path). Keyed by (pid, input dir) like the binary-blob spill: concurrent
+    * harness JVMs (Verify ∥ Bench) each own a private staged copy, so an
+    * overwrite in one process can never race a read in another, and repeated
+    * bench samples measure the DPP join itself rather than re-paying the
+    * partitioned rewrite on every invocation.
+    */
+  private val dppStaged =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Final executed plan of the last `join_skew_aqe` materialization —
     * captured inside the query because the skew-enabled execution happens
     * eagerly under the temporarily-lowered AQE thresholds (PlanShapeSpec
@@ -663,10 +673,14 @@ object Joins extends QueryPack {
              |FROM orders o JOIN dim ON o.o_orderpriority = dim.pri
              |GROUP BY 1 ORDER BY 1""".stripMargin),
       (s, dir) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_orders"
-        Tables(s, dir, "orders")
-          .withColumn("pri", col("o_orderpriority"))
-          .write.mode("overwrite").partitionBy("pri").parquet(tmp)
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_orders_" +
+          s"${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+        dppStaged.getOrElseUpdate(tmp, {
+          Tables(s, dir, "orders")
+            .withColumn("pri", col("o_orderpriority"))
+            .write.mode("overwrite").partitionBy("pri").parquet(tmp)
+          tmp
+        })
         val fact = s.read.parquet(tmp)
         // Runtime-valued dim: DISTINCT over the fact's own priority column
         // with the selective predicate — the values reach the fact scan

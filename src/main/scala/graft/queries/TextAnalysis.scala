@@ -310,7 +310,16 @@ object TextAnalysis extends QueryPack {
     // cancel in expectation. The hash is the library's polynomial fold
     // (acc·31 + char mod 2^31−1, init 7 — the text_rolling_hash dialect
     // both engines already share bit-for-bit), so slots and signs are
-    // integer-exact cross-engine. Per-doc token totals ride a doc_id
+    // integer-exact cross-engine. Dialect note: the per-character fold
+    // iterates UTF-16 code units on the Spark side (split(tok, "")) vs
+    // code points in DuckDB, so the two engines agree only for BMP text —
+    // a supplementary-plane character (emoji, rare CJK) folds as two
+    // surrogate units here but one code point there. The corpus is ASCII
+    // and the hashing trick only needs a CONSISTENT hash, so slot layouts
+    // differ cross-engine for non-BMP tokens, not correctness of either
+    // engine alone; pipelines hashing non-BMP text should pin one dialect
+    // (e.g. pre-encode to bytes) before comparing. Per-doc token totals
+    // ride a doc_id
     // window whose partitioning (doc_id ⊆ (doc_id, slot)) also satisfies
     // the final group-by — ONE shuffle, no join-back. w_raw is an integer
     // sum; the normalized weight is one double ratio.
