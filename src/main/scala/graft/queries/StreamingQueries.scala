@@ -561,6 +561,90 @@ object StreamingQueries extends QueryPack {
           .oracleOrder("view_id", "click_id")
       }),
 
+    // Stream-stream LEFT OUTER join — the completion of the stream-join
+    // family and the hardest emission semantics Structured Streaming has:
+    // matched rows emit immediately (inner semantics), but an UNMATCHED
+    // view can only emit its null row once the engine PROVES no click can
+    // still arrive — i.e. when the global watermark passes the view's
+    // match horizon v_ts + 10 min and its state is evicted. Views whose
+    // horizon the final watermark has not passed stay in state and emit
+    // NOTHING — left outer in append mode is eventually-complete, not
+    // batch-equal. The oracle models exactly that: the batch left join
+    // restricted to (matched) ∪ (unmatched with v_ts + 10 min < wm),
+    // where wm = min over both sides of (ms-floored max event time) − 1
+    // day (two watermark nodes, default min policy — each side's max is
+    // over its own filtered stream). At production volume this is the
+    // bounded-state shape: state keyed on user_id, evicted by the range
+    // bound, null emission driven by watermark advance — the op a
+    // funnel/attribution pipeline runs to get "view that never converted"
+    // rows without a second full-corpus anti-join pass.
+    Q(
+      "stream_stream_left_outer",
+      Some("""WITH wm AS (
+             |  SELECT least(
+             |    (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM events
+             |      WHERE event_type='view'),
+             |    (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM events
+             |      WHERE event_type='click')) - 86400000000 AS wm_us),
+             |matched AS (
+             |  SELECT v.event_id AS view_id, c.event_id AS click_id,
+             |    v.user_id, epoch_us(c.ts) - epoch_us(v.ts) AS delta_us
+             |  FROM events v JOIN events c
+             |    ON v.user_id = c.user_id
+             |   AND v.event_type = 'view' AND c.event_type = 'click'
+             |   AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE),
+             |unmatched AS (
+             |  SELECT v.event_id AS view_id, CAST(NULL AS BIGINT) AS click_id,
+             |    v.user_id, CAST(NULL AS BIGINT) AS delta_us
+             |  FROM events v, wm
+             |  WHERE v.event_type = 'view'
+             |    AND epoch_us(v.ts) + 600000000 < wm.wm_us
+             |    AND NOT EXISTS (
+             |      SELECT 1 FROM events c
+             |      WHERE c.user_id = v.user_id AND c.event_type = 'click'
+             |        AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE))
+             |SELECT * FROM matched
+             |UNION ALL SELECT * FROM unmatched
+             |ORDER BY view_id, click_id""".stripMargin),
+      (s, dir) => withStreamPartitions(s, 8) {
+        val views = eventsStream(s, dir)
+          .filter(col("event_type") === "view")
+          .select(
+            col("event_id").as("view_id"), col("user_id"),
+            col("ts").as("v_ts"))
+          .withWatermark("v_ts", "1 day")
+        val clicks = eventsStream(s, dir)
+          .filter(col("event_type") === "click")
+          .select(
+            col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+          .withWatermark("c_ts", "1 day")
+        val sink = s"sslo_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_sslo_ckpt").toString
+        val q = views
+          .join(
+            clicks,
+            col("user_id") === col("c_user") &&
+              col("c_ts") >= col("v_ts") &&
+              col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"),
+            "left_outer")
+          .writeStream
+          .queryName(sink)
+          .outputMode("append")
+          .format("memory")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+          .select(
+            col("view_id"), col("click_id"), col("user_id"),
+            (unix_micros(col("c_ts")) - unix_micros(col("v_ts")))
+              .as("delta_us"))
+          .oracleOrder("view_id", "click_id")
+      }),
+
     // True Structured Streaming run: AvailableNow over the events parquet,
     // 1-day watermark, append-mode windowed counts into a memory sink. Append
     // mode only emits windows the watermark has passed — the late-data policy

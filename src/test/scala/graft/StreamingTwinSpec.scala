@@ -95,4 +95,42 @@ class StreamingTwinSpec extends SparkSpec {
     rows.foreach(r =>
       assert(r.getBoolean(2), s"window ${r.getString(0)}: approx out of band"))
   }
+
+  test("stream-stream left outer: matched == inner join, nulls == expired unmatched") {
+    val rows = Registry.byId("stream_stream_left_outer").run(spark, sf).collect()
+    val (nulls, matched) = rows.partition(_.isNullAt(1))
+    // 1. The matched portion must be EXACTLY the inner stream-stream join's
+    //    emitted set (inner results emit immediately in both variants).
+    val inner = Registry.byId("stream_stream_join").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matched.map(r => (r.getLong(0), r.getLong(1))).toSet == inner,
+      "left-outer matched rows diverge from the inner join")
+    // 2. Null rows must be exactly the batch-computed expired-unmatched
+    //    views: no click within [v_ts, v_ts+10min] AND the final global
+    //    watermark (min of both sides' ms-floored max − 1 day) passed
+    //    v_ts + 10 min, so the engine evicted their state.
+    val ev = Tables(spark, sf, "events")
+    val maxSide = (t: String) =>
+      ev.filter(col("event_type") === t)
+        .agg((floor(unix_micros(max(col("ts"))) / 1000) * 1000).cast("long"))
+        .collect().head.getLong(0)
+    val wmUs = math.min(maxSide("view"), maxSide("click")) - 86400000000L
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("vid"), col("user_id").as("vu"),
+        unix_micros(col("ts")).as("vts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), unix_micros(col("ts")).as("cts"))
+    val expiredUnmatched = views
+      .join(clicks,
+        col("vu") === col("cu") && col("cts") >= col("vts") &&
+          col("cts") <= col("vts") + lit(600000000L),
+        "left_anti")
+      .filter(col("vts") + lit(600000000L) < lit(wmUs))
+      .select("vid").collect().map(_.getLong(0)).toSet
+    assert(nulls.map(_.getLong(0)).toSet == expiredUnmatched,
+      "null-emission set diverges from the watermark-expiry model")
+    // 3. Null rows carry null delta too, and both sets are non-trivial.
+    assert(nulls.forall(_.isNullAt(3)))
+    assert(nulls.nonEmpty)
+  }
 }
