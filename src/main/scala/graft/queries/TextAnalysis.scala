@@ -30,6 +30,44 @@ object TextAnalysis extends QueryPack {
   /** BPE-ish tokenizer regex: letter runs, digit runs, single punctuation. */
   private val bpePat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
+  /** Unrolled DuckDB oracle for `text_bpe_train_merges` — k merge rounds
+    * over the word-frequency table, one CTE trio per round (pair counts →
+    * argmax with the (n DESC, a, b) tie-break → re-encode). Words are
+    * encoded with each symbol wrapped as `<sym>`: the wrapper makes the
+    * merge a plain left-to-right string replace that (a) can never match
+    * across a symbol boundary (symbols are [a-z]+, never '<'/'>'), and
+    * (b) handles back-to-back pair occurrences exactly like reference BPE's
+    * greedy non-overlapping merge, because the pattern `<a><b>` is
+    * self-contained (no shared separator is consumed between matches).
+    */
+  private def bpeTrainSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""pc$i AS (
+         |  SELECT a, b, CAST(SUM(f) AS BIGINT) AS n FROM (
+         |    SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT)+1] AS b, f
+         |    FROM (SELECT string_split(trim(enc, '<>'), '><') AS syms, f
+         |          FROM wf${i - 1}) t, unnest(range(1, len(syms))) r(i))
+         |  GROUP BY 1, 2),
+         |best$i AS (
+         |  SELECT CAST($i AS INT) AS merge_idx, a, b, n
+         |  FROM pc$i ORDER BY n DESC, a, b LIMIT 1),
+         |wf$i AS (
+         |  SELECT replace(enc, '<'||a||'><'||b||'>', '<'||a||b||'>') AS enc, f
+         |  FROM wf${i - 1}, best$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(i => s"SELECT * FROM best$i").mkString("\nUNION ALL ")
+    s"""WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS wd
+       |           FROM documents WHERE lang = 'en'),
+       |wf0 AS (
+       |  SELECT regexp_replace(wd, '(.)', '<\\1>', 'g') AS enc,
+       |    CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM w WHERE len(wd) >= 2 AND regexp_matches(wd, '^[a-z]+${"$"}')
+       |  GROUP BY 1),
+       |$rounds
+       |$union
+       |ORDER BY merge_idx""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     // Language ID by stopword-hit ratio (n-gram-profile heuristic shape:
     // explode -> per-doc profile -> score -> threshold decision).
@@ -196,6 +234,53 @@ object TextAnalysis extends QueryPack {
           .agg(sum("f").cast("long").as("n"))
           .orderBy(col("n").desc, col("pair"))
           .limit(20)
+      }),
+
+    // Full BPE tokenizer TRAINING loop — `text_bpe_pair_counts` does one
+    // round's counting; this runs the real thing: 5 rounds of (count
+    // adjacent symbol pairs → argmax → merge it everywhere), the loop that
+    // turns a corpus into a tokenizer merge table. The 100 TB shape: the
+    // corpus folds ONCE to the word-frequency table (bounded by the
+    // vocabulary, not corpus bytes — localCheckpoint pins it); every merge
+    // round then touches ONLY that table: one partial-aggregated pair
+    // count, a 1-row argmax collect (O(1) driver state per round, the
+    // TrainOracles discipline), and a map-only re-encode. Symbols ride a
+    // `<sym>` wrapper so each merge is ONE literal replace that cannot
+    // match across symbol boundaries and reproduces greedy non-overlapping
+    // BPE merging exactly; the (n DESC, a, b) tie-break is deterministic
+    // ASCII ordering in both engines. Oracle: the 5 rounds unroll into a
+    // CTE trio per round (bpeTrainSql), integer-exact throughout.
+    Q(
+      "text_bpe_train_merges",
+      Some(bpeTrainSql(5)),
+      (s, dir) => {
+        val wf = Tables(s, dir, "documents")
+          .filter(col("lang") === "en")
+          .select(explode(split(lower(col("text")), " ")).as("wd"))
+          .filter(length(col("wd")) >= 2 && col("wd").rlike("^[a-z]+$"))
+          .groupBy("wd").agg(cnt.as("f"))
+          .select(regexp_replace(col("wd"), "(.)", "<$1>").as("enc"), col("f"))
+          .localCheckpoint()
+        var cur = wf
+        val trace = Seq.newBuilder[(Int, String, String, Long)]
+        for (k <- 1 to 5) {
+          val best = cur
+            .withColumn("syms",
+              split(regexp_replace(col("enc"), "^<|>$", ""), "><"))
+            .select(col("f"), explode(expr(
+              "transform(sequence(1, size(syms)-1)," +
+                " i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum("f").cast("long").as("n"))
+            .orderBy(col("n").desc, col("a"), col("b"))
+            .limit(1).collect().head
+          val (a, b, n) = (best.getString(0), best.getString(1), best.getLong(2))
+          trace += ((k, a, b, n))
+          cur = cur.select(
+            replace(col("enc"), lit(s"<$a><$b>"), lit(s"<$a$b>")).as("enc"),
+            col("f"))
+        }
+        s.createDataFrame(trace.result()).toDF("merge_idx", "a", "b", "n")
       }),
 
     // Unicode NFC normalization — the transform every corpus build runs
