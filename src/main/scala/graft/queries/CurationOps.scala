@@ -751,6 +751,117 @@ object CurationOps extends QueryPack {
           .oracleOrder("doc_id")
       }),
 
+    // Bigram-backoff perplexity gating — the CCNet-grade upgrade of the
+    // unigram filter above: the reference slice (doc_id % 10 == 0) trains
+    // BOTH a top-V add-one unigram LM and a raw bigram conditional, and
+    // each scored token pays ln of the INTERPOLATED probability
+    // p(b|a) = λ·c(a,b)/n(a) + (1−λ)·p_uni(b) (λ=0.7; Jelinek-Mercer
+    // backoff: unseen bigram or unseen prefix degrades smoothly to the
+    // smoothed unigram; a document's first token is scored unigram-only).
+    // A bigram LM separates templated from natural text far better than
+    // unigram CE — the whole point of CCNet's KenLM stage.
+    //
+    // Determinism: same dialect as the unigram op — every ln is rounded
+    // 9 dp and decimal-summed per doc (the distinct ln inputs are bounded
+    // by the MODEL: |bigram table| + 2(V+1) values, never per-doc-unique),
+    // one double division per doc closes the pipeline, and kept compares
+    // that identical IEEE double against the fixed threshold.
+    //
+    // Scale shape: the reference slice is fixed-size, so the trained LM is
+    // a model ARTIFACT — the pruned bigram table + V+1-row unigram table
+    // broadcast to every executor (CCNet ships its KenLM the same way);
+    // scoring is a map-side pair-struct explode (no corpus re-shuffle, no
+    // array duplication) + three broadcast hash probes + ONE
+    // partial-aggregated shuffle of (doc_id, decimal) cells.
+    Q(
+      "corpus_perplexity_bigram_filter",
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, string_split(lower(text), ' ') AS ts
+              |  FROM documents),
+              |tok AS (
+              |  SELECT doc_id, ts[CAST(i AS INT)] AS tok,
+              |         CASE WHEN i > 1 THEN ts[CAST(i AS INT)-1] END AS prev
+              |  FROM d, unnest(range(1, len(ts)+1)) r(i)),
+              |ref AS (SELECT tok, prev FROM tok WHERE doc_id % 10 = 0),
+              |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ref),
+              |vocab AS (
+              |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM ref
+              |  GROUP BY tok ORDER BY c DESC, tok LIMIT $vocabTop),
+              |vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+              |uni AS (
+              |  SELECT tok, (c+1) / CAST(n+v+1 AS DOUBLE) AS pu
+              |  FROM vocab, nv, vv),
+              |oovp AS (SELECT 1 / CAST(n+v+1 AS DOUBLE) AS pu FROM nv, vv),
+              |big AS (
+              |  SELECT prev AS a, tok AS b, CAST(COUNT(*) AS BIGINT) AS cab
+              |  FROM ref WHERE prev IS NOT NULL GROUP BY 1, 2),
+              |pre AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS na FROM big GROUP BY 1),
+              |sc AS (
+              |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+              |    SUM(CAST(ROUND(ln(
+              |      CASE WHEN t.prev IS NULL
+              |        THEN COALESCE(u.pu, (SELECT pu FROM oovp))
+              |      ELSE 7e-1 * (COALESCE(big.cab, 0)
+              |                   / CAST(COALESCE(pre.na, 1) AS DOUBLE))
+              |           + 3e-1 * COALESCE(u.pu, (SELECT pu FROM oovp))
+              |      END), 9) AS DECIMAL(18,9))) AS s
+              |  FROM tok t
+              |  LEFT JOIN uni u ON t.tok = u.tok
+              |  LEFT JOIN big ON t.prev = big.a AND t.tok = big.b
+              |  LEFT JOIN pre ON t.prev = pre.a
+              |  WHERE t.doc_id % 10 <> 0 GROUP BY t.doc_id)
+              |SELECT doc_id, n_tok,
+              |  ROUND(-CAST(s AS DOUBLE) / n_tok, 6) AS ce,
+              |  (-CAST(s AS DOUBLE) / n_tok) <= $bigramCeThreshold AS kept
+              |FROM sc ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        // Map-side (tok, prev) pair stream — transform-to-struct BEFORE the
+        // explode so the token array is never duplicated per position.
+        val tok = Tables(s, dir, "documents")
+          .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(ts)), i ->
+              |  struct(ts[i-1] AS tok,
+              |         CASE WHEN i > 1 THEN ts[i-2] END AS prev))"""
+              .stripMargin)).as("p"))
+          .select(col("doc_id"), col("p.tok").as("tok"), col("p.prev").as("prev"))
+        val ref = tok.filter(col("doc_id") % 10 === 0)
+        val nv = ref.agg(cnt.as("n"))
+        val vocab = ref.groupBy("tok").agg(cnt.as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(vocabTop)
+        val vv = vocab.agg(cnt.as("v"))
+        val consts = nv.crossJoin(vv)
+        val denom = (col("n") + col("v") + 1).cast("double")
+        val uni = vocab.crossJoin(broadcast(consts))
+          .select(col("tok").as("utok"), ((col("c") + 1) / denom).as("pu"))
+        val oovp = consts.select((lit(1.0) / denom).as("oov_pu"))
+        val big = ref.filter(col("prev").isNotNull)
+          .groupBy(col("prev").as("a"), col("tok").as("b"))
+          .agg(cnt.as("cab"))
+        val pre = big.groupBy("a").agg(sum("cab").cast("long").as("na"))
+        val puni = coalesce(col("pu"), col("oov_pu"))
+        val pInterp = lit(0.7) *
+          (coalesce(col("cab"), lit(0L)).cast("double") /
+            coalesce(col("na"), lit(1L)).cast("double")) +
+          lit(0.3) * puni
+        val ce = -(col("s").cast("double")) / col("n_tok")
+        tok.filter(col("doc_id") % 10 =!= 0)
+          .join(broadcast(uni), col("tok") === col("utok"), "left_outer")
+          .join(broadcast(big),
+            col("prev") === col("a") && col("tok") === col("b"), "left_outer")
+          .join(broadcast(pre.withColumnRenamed("a", "pa")),
+            col("prev") === col("pa"), "left_outer")
+          .crossJoin(broadcast(oovp))
+          .groupBy("doc_id")
+          .agg(cnt.as("n_tok"),
+            sum(round(log(when(col("prev").isNull, puni).otherwise(pInterp)), 9)
+              .cast(DecimalType(18, 9))).as("s"))
+          .select(col("doc_id"), col("n_tok"),
+            round(ce, 6).as("ce"),
+            (ce <= bigramCeThreshold).as("kept"))
+          .oracleOrder("doc_id")
+      }),
+
     // Token-budget source mixing (the Llama/GPT data-mixing recipe): each
     // source gets a TOKEN budget proportional to its declared mixture
     // weight, and is down-sampled to it deterministically. Differs from
@@ -988,6 +1099,11 @@ object CurationOps extends QueryPack {
     */
   private val vocabTop = 64
   private val ceThreshold = 3.41
+
+  /** Bigram-backoff CE gate — sits at the cross-sf median (3.41-3.50), so
+    * the filter splits meaningfully at every test scale.
+    */
+  private val bigramCeThreshold = 3.45
 
   /** Sampling seed for `corpus_token_budget_mix` (md5-bucket family). */
   private val mixSeed = 21

@@ -545,6 +545,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("bigram perplexity: LM tables broadcast, one fact shuffle, no SMJ") {
+    val p = plan("corpus_perplexity_bigram_filter")
+    // The model probes must all be broadcast hash joins (the LM is a
+    // shipped artifact); the scored token stream shuffles once, on doc_id.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("DPP join injects a dynamic pruning filter into the fact scan") {
     val p = plan("join_dpp_partition_prune")
     assert(p.toLowerCase.contains("dynamicpruning"), p)

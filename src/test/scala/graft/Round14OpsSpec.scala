@@ -45,4 +45,41 @@ class Round14OpsSpec extends SparkSpec {
         (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got == want)
   }
+
+  test("bigram-backoff perplexity matches a driver-side LM rebuild") {
+    // Rebuild the interpolated LM sequentially: train unigram+bigram on the
+    // doc_id%10==0 slice, score every other doc token-by-token with
+    // p = 0.7*c(a,b)/n(a) + 0.3*p_uni(b) (first token unigram-only),
+    // rounding each ln to 9dp like the registry op's decimal discipline.
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val ref = docs.filter(_._1 % 10 == 0).flatMap(_._2)
+    val n = ref.length.toLong
+    val vocab = ref.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(64).toMap
+    val v = vocab.size.toLong
+    val pu = (t: String) =>
+      (vocab.getOrElse(t, 0L) + 1).toDouble / (n + v + 1).toDouble
+    val refPairs = docs.filter(_._1 % 10 == 0)
+      .flatMap { case (_, ts) => ts.sliding(2).filter(_.length == 2) }
+      .map(p => (p(0), p(1)))
+    val cab = refPairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val na = refPairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val want = docs.filter(_._1 % 10 != 0).map { case (id, ts) =>
+      val terms = ts.zipWithIndex.map { case (t, i) =>
+        val p =
+          if (i == 0) pu(t)
+          else 0.7 * (cab.getOrElse((ts(i - 1), t), 0L).toDouble /
+            na.getOrElse(ts(i - 1), 1L).toDouble) + 0.3 * pu(t)
+        BigDecimal(math.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val ce = -(terms.sum.toDouble) / ts.length
+      (id, ts.length.toLong,
+        BigDecimal(ce).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1).toSeq
+    val got = Registry.byId("corpus_perplexity_bigram_filter").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
 }
