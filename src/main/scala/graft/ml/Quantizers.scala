@@ -67,6 +67,95 @@ object Quantizers {
     */
   def sqlFloat(f: Float): String = java.lang.Double.toString(f.toDouble)
 
+  // ---- OPQ: optimized product quantization (Ge et al. 2013) ----
+
+  val OpqDim = 64
+  val OpqIters = 6
+
+  private val opqCache =
+    TrieMap.empty[String, (Array[Array[Float]], Array[Array[Array[Float]]])]
+
+  /** OPQ model: (rotation rows, rotated-space PQ codebook). The rotation
+    * is the paper's "natural" (eigenvalue-allocation) initialization made
+    * deterministic: the 64x64 PCA Gram (exact decimal sums — the
+    * `ml_pca_power_iteration` statistic, so the matrix is bit-identical on
+    * any partitioning) eigen-decomposes on the driver by [[OpqIters]]
+    * rounds of orthogonal iteration (G·Q then modified Gram-Schmidt QR —
+    * fixed double arithmetic), columns sort by Rayleigh quotient, and
+    * subspace `si` receives eigencolumns si, si+4, si+8, … so the leading
+    * variance spreads ACROSS subspaces instead of saturating the first one
+    * — the imbalance plain PQ suffers when dims correlate. Row d of the
+    * result is the weight vector of rotated coordinate d (y_d = r_d · x),
+    * stored as floats so both engines inline identical literals. The
+    * codebook then trains per rotated subspace exactly like [[pq]].
+    */
+  def opq(s: SparkSession, dir: String)
+      : (Array[Array[Float]], Array[Array[Array[Float]]]) =
+    opqCache.getOrElseUpdate(dir, {
+      val d = OpqDim
+      val g = Array.ofDim[Double](d, d)
+      graft.queries.MLOps.pcaGram(s, dir).collect()
+        .foreach(r => g(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getDouble(2))
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < d) { acc += a(i) * b(i); i += 1 }; acc
+      }
+      def matCol(q: Array[Double]): Array[Double] =
+        Array.tabulate(d)(i => dot(g(i), q))
+      // Orthogonal iteration: Z = G·Q, Q = QR(Z) by modified Gram-Schmidt.
+      var q = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+      for (_ <- 1 to OpqIters) {
+        val z = q.map(matCol)
+        for (c <- z.indices) {
+          for (p <- 0 until c) {
+            val proj = dot(z(p), z(c))
+            var i = 0
+            while (i < d) { z(c)(i) -= proj * z(p)(i); i += 1 }
+          }
+          val nrm = math.sqrt(dot(z(c), z(c)))
+          var i = 0
+          while (i < d) { z(c)(i) /= nrm; i += 1 }
+        }
+        q = z
+      }
+      // Deterministic sign fix (the pcaDirectionFresh convention), then
+      // sort by Rayleigh quotient descending (ties by column index).
+      val fixed = q.map { c =>
+        if (c.find(math.abs(_) > 1e-9).exists(_ < 0)) c.map(-_) else c
+      }
+      val sorted = fixed.zipWithIndex
+        .map { case (c, i) => (c, dot(c, matCol(c)), i) }
+        .sortBy { case (_, lam, i) => (-lam, i) }
+        .map(_._1)
+      val rot = Array.tabulate(d) { dd =>
+        sorted((dd % PqSubDim) * PqSubs + dd / PqSubDim).map(_.toFloat)
+      }
+      val rotated = opqRotate(Tables(s, dir, "embeddings"), rot)
+        .localCheckpoint()
+      val cb = Array.tabulate(PqSubs) { si =>
+        val sub = rotated.select(
+          col("vec_id"),
+          slice(col("embedding"), si * PqSubDim + 1, PqSubDim).as("embedding"))
+        KMeansLloyd.run(sub, KMeansLloyd.init(sub, PqCodes), 0, PqIters)._1
+      }
+      (rot, cb)
+    })
+
+  /** Apply the OPQ rotation: y_d = r_d · x in double (the shared native
+    * dot), rounded once to float — both engines reproduce the identical
+    * round-to-nearest-even floats.
+    */
+  def opqRotate(e: DataFrame, rot: Array[Array[Float]]): DataFrame = {
+    graft.functions.Native.register(e.sparkSession)
+    import org.apache.spark.sql.functions.{call_function => cf}
+    e.select(
+      col("vec_id"),
+      array(rot.toIndexedSeq.map(r =>
+        cf("graft_dot", col("embedding"),
+          array(r.toIndexedSeq.map(lit): _*)).cast("float")): _*)
+        .as("embedding"))
+  }
+
   // ---- SemDeDup coarse quantizer (k grows with n) ----
 
   /** Target mean cluster population for the SemDeDup quantizer. */

@@ -275,10 +275,27 @@ object SimOps extends QueryPack {
        |FROM r WHERE rn <= 3 ORDER BY qa, rn""".stripMargin
   }
 
-  /** DuckDB oracle for sim_ann_pq_topk, generated against the TRAINED
-    * codebook.
+  /** DuckDB twin of the OPQ rotation: each rotated coordinate is the
+    * list_sum dot against the exact float-literal weight row, rounded to
+    * FLOAT — the identical IEEE sequence `Quantizers.opqRotate` runs.
     */
-  private def pqOracle(cb: Array[Array[Array[Float]]]): String = {
+  private def opqRotSql(rot: Array[Array[Float]]): String = {
+    import graft.ml.Quantizers.sqlFloat
+    val comps = rot.map { r =>
+      val rl = r.map(sqlFloat).mkString("[", ", ", "]::DOUBLE[]")
+      "CAST(list_sum(list_transform(list_zip(embedding, " + rl +
+        "), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS FLOAT)"
+    }.mkString("[\n    ", ",\n    ", "\n  ]")
+    s"rot AS (SELECT vec_id, $comps AS embedding FROM embeddings),\n"
+  }
+
+  /** DuckDB oracle for sim_ann_pq_topk / sim_ann_opq_topk, generated
+    * against the TRAINED codebook. `pre`/`src` let the OPQ variant encode
+    * over the rotated CTE while the exact re-rank stays on raw embeddings.
+    */
+  private def pqOracle(
+      cb: Array[Array[Array[Float]]],
+      pre: String = "", src: String = "embeddings"): String = {
     import graft.ml.Quantizers.sqlFloat
     val cc = pqCc(cb) _
     def cbSql(si: Int, c: Int): String =
@@ -309,8 +326,8 @@ object SimOps extends QueryPack {
       s"(CASE code$si ${(0 until PqCodes)
         .map(c => s"WHEN $c THEN ql_${si}_$c").mkString(" ")} END)"
     }.mkString(" + ")
-    s"""WITH codes AS (SELECT vec_id AS qb, $codeCols FROM embeddings),
-       |q AS (SELECT vec_id AS qa, $lutCols FROM embeddings WHERE vec_id < 20),
+    s"""WITH ${pre}codes AS (SELECT vec_id AS qb, $codeCols FROM $src),
+       |q AS (SELECT vec_id AS qa, $lutCols FROM $src WHERE vec_id < 20),
        |p AS (SELECT qa, qb, $adistSql AS adist
        |      FROM q, codes WHERE qa <> qb),
        |short AS (SELECT qa, qb FROM (
@@ -798,6 +815,51 @@ object SimOps extends QueryPack {
           .oracleOrder("qa", "rn")
       },
       oracleGen = Some((s, dir) => pqOracle(graft.ml.Quantizers.pq(s, dir)))),
+
+    // ANN via OPTIMIZED product quantization (Ge et al. 2013): plain PQ
+    // splits dims 0-15/16-31/… blindly, so correlated or variance-skewed
+    // dims can saturate one subspace and waste the others' codebooks. OPQ
+    // first ROTATES the space: eigencolumns of the PCA Gram (the
+    // ml_pca_power_iteration statistic, driver orthogonal iteration —
+    // graft.ml.Quantizers.opq) are dealt round-robin across the 4
+    // subspaces, spreading the leading variance; the codebook then trains
+    // per ROTATED subspace and ADC runs entirely in rotated space, with
+    // the exact re-rank on raw vectors as always. The rotated table is the
+    // index artifact — built once (localCheckpoint, the staged-index
+    // policy), at 100 TB a one-pass map-only matmul written next to the
+    // code table. Recall gate: AnnRecallSpec pins OPQ >= plain PQ.
+    Q(
+      "sim_ann_opq_topk",
+      None,
+      (s, dir) => {
+        native(s)
+        val e = Tables(s, dir, "embeddings")
+        val (rotW, cb) = graft.ml.Quantizers.opq(s, dir)
+        val rot = graft.ml.Quantizers.opqRotate(e, rotW).localCheckpoint()
+        val codes = pqCodesDf(rot, cb, "qb")
+        val q = rot.filter(col("vec_id") < 20)
+          .select((col("vec_id").as("qa") +: pqLutCols(cb)): _*)
+        val wAd = Window.partitionBy("qa").orderBy(col("adist"), col("qb"))
+        val shortlist = broadcast(q).crossJoin(codes)
+          .filter(col("qa") =!= col("qb"))
+          .withColumn("adist", pqAdistCol)
+          .withColumn("rs", row_number().over(wAd))
+          .filter(col("rs") <= PqShortlist)
+          .select("qa", "qb")
+        val wc = Window.partitionBy("qa").orderBy(col("cos").desc, col("qb"))
+        shortlist
+          .join(e.select(col("vec_id").as("qa"), col("embedding").as("ea")), "qa")
+          .join(e.select(col("vec_id").as("qb"), col("embedding").as("eb2")), "qb")
+          .select(col("qa"), col("qb"),
+            round(ncos(col("ea"), col("eb2")), 6).as("cos"))
+          .withColumn("rn", row_number().over(wc).cast("int"))
+          .filter(col("rn") <= 3)
+          .oracleOrder("qa", "rn")
+      },
+      oracleGen = Some((s, dir) => {
+        val (rotW, cb) = graft.ml.Quantizers.opq(s, dir)
+        pqOracle(cb, opqRotSql(rotW), "rot")
+      })),
 
     // The same stub decode through the typed per-partition batch path
     // (Dataset.mapPartitions — the JVM analog of mapInPandas): one decoder

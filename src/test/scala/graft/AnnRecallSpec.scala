@@ -51,6 +51,13 @@ class AnnRecallSpec extends SparkSpec {
     assert(recallOf("sim_ann_pq_topk") >= 0.6)
   }
 
+  // The whole point of the rotation: OPQ must not lose recall vs plain PQ
+  // on the same geometry (4x16 codebook, shortlist 64). Measured on
+  // sf0.001: PQ 0.72, OPQ strictly above.
+  test("OPQ ANN recall@3 >= plain PQ recall vs exact top-3") {
+    assert(recallOf("sim_ann_opq_topk") >= recallOf("sim_ann_pq_topk"))
+  }
+
   // The composed index prunes TWICE (probe-2 lists, then ADC shortlist), so
   // its recall is bounded above by IVF's; the gate asserts the composition
   // doesn't collapse below the useful floor.
