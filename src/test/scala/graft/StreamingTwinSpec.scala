@@ -96,6 +96,17 @@ class StreamingTwinSpec extends SparkSpec {
       assert(r.getBoolean(2), s"window ${r.getString(0)}: approx out of band"))
   }
 
+  test("streaming CDC upsert converges to the one-shot batch merge") {
+    // Key-disjoint change batches make the incremental foreachBatch merge
+    // order-insensitive: the final target must equal sink_upsert_merge's
+    // single batch merge, per status group.
+    val got = Registry.byId("stream_cdc_upsert_sink").run(spark, sf)
+      .collect().toSeq
+    val want = Registry.byId("sink_upsert_merge").run(spark, sf)
+      .collect().toSeq
+    assert(got == want)
+  }
+
   test("stream-stream left outer: matched == inner join, nulls == expired unmatched") {
     val rows = Registry.byId("stream_stream_left_outer").run(spark, sf).collect()
     val (nulls, matched) = rows.partition(_.isNullAt(1))
