@@ -127,4 +127,58 @@ class TablesSpec extends SparkSpec {
       }
     } finally Tables.noCache = false
   }
+
+  /** Physical-encoding sentinel (footer-level, below Spark's logical
+    * schema): the loaded-dtype pin above can't see a physical re-encoding
+    * that Spark happens to normalize the same way today but a future
+    * Spark/driver combination might not (the round-12 lesson was exactly a
+    * physical ts change). Pins the parquet PRIMITIVE types of the columns
+    * whose encodings have drifted or could: documents/embeddings
+    * strings-and-arrays, and events.ts (INT64 in any of the three
+    * generations Tables.load handles — micros-NTZ, micros-UTC, nanos —
+    * but never INT96 or a narrower width).
+    */
+  test("parquet footers carry the physical encodings Tables.load handles") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    def footer(table: String): org.apache.parquet.schema.MessageType = {
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(s"$sf/$table.parquet"), conf))
+      try r.getFileMetaData.getSchema finally r.close()
+    }
+    def field(m: org.apache.parquet.schema.MessageType, col: String) =
+      m.getType(m.getFieldIndex(col))
+    def primitive(m: org.apache.parquet.schema.MessageType, col: String) =
+      field(m, col).asPrimitiveType.getPrimitiveTypeName.name
+
+    val docs = footer("documents")
+    for (c <- Seq("text", "lang", "source")) {
+      assert(primitive(docs, c) == "BINARY",
+        s"documents.$c physical is ${primitive(docs, c)} — driver re-encoded")
+      assert(
+        field(docs, c).getLogicalTypeAnnotation.toString == "STRING",
+        s"documents.$c logical annotation drifted")
+    }
+    assert(primitive(docs, "doc_id") == "INT64")
+
+    val emb = footer("embeddings")
+    val embField = field(emb, "embedding")
+    assert(!embField.isPrimitive && embField.getLogicalTypeAnnotation != null
+        && embField.getLogicalTypeAnnotation.toString == "LIST",
+      s"embeddings.embedding is no longer a LIST group: $embField")
+    val element = embField.asGroupType.getType(0).asGroupType.getType(0)
+    assert(element.asPrimitiveType.getPrimitiveTypeName.name == "FLOAT",
+      s"embeddings.embedding element physical drifted: $element " +
+        "— ANN literals/oracles assume FLOAT")
+    assert(primitive(emb, "vec_id") == "INT64")
+    assert(primitive(emb, "label") == "INT32")
+
+    val ev = footer("events")
+    assert(primitive(ev, "ts") == "INT64",
+      s"events.ts physical is ${primitive(ev, "ts")} — Tables.load only " +
+        "handles the INT64 generations (micros-NTZ, micros-UTC, nanos); " +
+        "extend its normalization before trusting any query result")
+  }
 }
