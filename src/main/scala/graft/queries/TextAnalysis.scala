@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, QueryPack, Tables}
 import graft.Fns._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -40,7 +41,7 @@ object TextAnalysis extends QueryPack {
     * greedy non-overlapping merge, because the pattern `<a><b>` is
     * self-contained (no shared separator is consumed between matches).
     */
-  private def bpeTrainSql(k: Int): String = {
+  private def bpeTrainCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""pc$i AS (
          |  SELECT a, b, CAST(SUM(f) AS BIGINT) AS n FROM (
@@ -55,17 +56,97 @@ object TextAnalysis extends QueryPack {
          |  SELECT replace(enc, '<'||a||'><'||b||'>', '<'||a||b||'>') AS enc, f
          |  FROM wf${i - 1}, best$i)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to k).map(i => s"SELECT * FROM best$i").mkString("\nUNION ALL ")
-    s"""WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS wd
+    s"""w AS (SELECT unnest(string_split(lower(text), ' ')) AS wd
        |           FROM documents WHERE lang = 'en'),
        |wf0 AS (
        |  SELECT regexp_replace(wd, '(.)', '<\\1>', 'g') AS enc,
        |    CAST(COUNT(*) AS BIGINT) AS f
        |  FROM w WHERE len(wd) >= 2 AND regexp_matches(wd, '^[a-z]+${"$"}')
        |  GROUP BY 1),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeTrainSql(k: Int): String = {
+    val union = (1 to k).map(i => s"SELECT * FROM best$i").mkString("\nUNION ALL ")
+    s"""WITH ${bpeTrainCtes(k)}
        |$union
        |ORDER BY merge_idx""".stripMargin
+  }
+
+  /** Oracle of the APPLY half: same training CTE chain, then the identical
+    * replace chain (cross join of the k one-row best tables, merges applied
+    * in training order) over every word of every doc.
+    */
+  private def bpeEncodeSql(k: Int): String = {
+    val bjoins = (1 to k).map { i =>
+      s"b$i AS (SELECT '<'||a||'><'||b||'>' AS p, '<'||a||b||'>' AS m FROM best$i)"
+    }.mkString(",\n")
+    val chain = (1 to k).foldLeft("regexp_replace(wd, '(.)', '<\\1>', 'g')") {
+      (acc, i) => s"replace($acc, b$i.p, b$i.m)"
+    }
+    val bFrom = (1 to k).map(i => s"b$i").mkString(", ")
+    s"""WITH ${bpeTrainCtes(k)},
+       |$bjoins,
+       |d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       |        string_split(lower(text), ' ') AS ws FROM documents),
+       |t AS (SELECT doc_id, wd FROM d, unnest(ws) u(wd)),
+       |sub AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(wd) >= 2 AND regexp_matches(wd, '^[a-z]+${"$"}')
+       |      THEN len($chain) - len(replace($chain, '<', ''))
+       |      ELSE 1 END AS n_sub
+       |  FROM t, $bFrom),
+       |agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+       |  FROM sub GROUP BY 1)
+       |SELECT d.doc_id, d.n_chars, agg.n_words, agg.n_subwords,
+       |  ROUND(CAST(d.n_chars AS DOUBLE) / agg.n_subwords, 6) AS chars_per_tok
+       |FROM d JOIN agg ON d.doc_id = agg.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Per-dir memo of the trained merge table, shared by the train query
+    * (which always recomputes and refreshes it — the measured-training
+    * policy) and the apply query (which reads it — the amortized-artifact
+    * policy the ANN quantizers use).
+    */
+  private val bpeMergeCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Int, String, String, Long)]]
+
+  /** The distributed 5-round BPE training loop (see `text_bpe_train_merges`
+    * for the full design notes).
+    */
+  private def bpeTrainFresh(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[(Int, String, String, Long)] = {
+    val wf = Tables(s, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(explode(split(lower(col("text")), " ")).as("wd"))
+      .filter(length(col("wd")) >= 2 && col("wd").rlike("^[a-z]+$"))
+      .groupBy("wd").agg(cnt.as("f"))
+      .select(regexp_replace(col("wd"), "(.)", "<$1>").as("enc"), col("f"))
+      .localCheckpoint()
+    var cur = wf
+    val trace = Seq.newBuilder[(Int, String, String, Long)]
+    for (k <- 1 to 5) {
+      val best = cur
+        .withColumn("syms",
+          split(regexp_replace(col("enc"), "^<|>$", ""), "><"))
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(syms)-1)," +
+            " i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("f").cast("long").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect().head
+      val (a, b, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      trace += ((k, a, b, n))
+      cur = cur.select(
+        replace(col("enc"), lit(s"<$a><$b>"), lit(s"<$a$b>")).as("enc"),
+        col("f"))
+    }
+    trace.result()
   }
 
   def queries: Seq[Q] = Seq(
@@ -254,33 +335,53 @@ object TextAnalysis extends QueryPack {
       "text_bpe_train_merges",
       Some(bpeTrainSql(5)),
       (s, dir) => {
-        val wf = Tables(s, dir, "documents")
-          .filter(col("lang") === "en")
-          .select(explode(split(lower(col("text")), " ")).as("wd"))
-          .filter(length(col("wd")) >= 2 && col("wd").rlike("^[a-z]+$"))
-          .groupBy("wd").agg(cnt.as("f"))
-          .select(regexp_replace(col("wd"), "(.)", "<$1>").as("enc"), col("f"))
-          .localCheckpoint()
-        var cur = wf
-        val trace = Seq.newBuilder[(Int, String, String, Long)]
-        for (k <- 1 to 5) {
-          val best = cur
-            .withColumn("syms",
-              split(regexp_replace(col("enc"), "^<|>$", ""), "><"))
-            .select(col("f"), explode(expr(
-              "transform(sequence(1, size(syms)-1)," +
-                " i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum("f").cast("long").as("n"))
-            .orderBy(col("n").desc, col("a"), col("b"))
-            .limit(1).collect().head
-          val (a, b, n) = (best.getString(0), best.getString(1), best.getLong(2))
-          trace += ((k, a, b, n))
-          cur = cur.select(
-            replace(col("enc"), lit(s"<$a><$b>"), lit(s"<$a$b>")).as("enc"),
-            col("f"))
+        val trace = bpeTrainFresh(s, dir)
+        bpeMergeCache.put(dir, trace)
+        s.createDataFrame(trace).toDF("merge_idx", "a", "b", "n")
+      }),
+
+    // APPLY the trained tokenizer — the other half of the train/apply pair
+    // (the vocab_build_topk discipline): encode every word with the
+    // 5-merge table IN TRAINING ORDER and report per-doc subword counts
+    // and the chars-per-subword compression — the readout a tokenizer
+    // rollout checks before committing a vocab. Entirely MAP-SIDE: the
+    // merge table is 5 driver literals baked into a replace chain inside
+    // one codegen'd projection (transform+aggregate over the word array —
+    // no explode, no shuffle before the presentation sort; at 100 TB this
+    // is a pure map pipeline). Words outside the trained class
+    // ([a-z]{2,}) count as one atomic token. The oracle UNROLLS THE SAME
+    // TRAINING CTE chain and applies the identical replace chain via a
+    // cross join of the 5 one-row best tables — fully static SQL, no
+    // generated oracle needed. Subword count = '<' occurrences in the
+    // merged encoding (length-difference trick, identical both engines).
+    Q(
+      "text_bpe_encode_tokens",
+      Some(bpeEncodeSql(5)),
+      (s, dir) => {
+        val merges = bpeMergeCache.getOrElseUpdate(dir, bpeTrainFresh(s, dir))
+        def mergedOf(w: Column): Column =
+          merges.foldLeft(regexp_replace(w, "(.)", "<$1>")) {
+            case (acc, (_, a, b, _)) =>
+              replace(acc, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+          }
+        def subwords(w: Column): Column = {
+          val m = mergedOf(w)
+          length(m) - length(replace(m, lit("<"), lit("")))
         }
-        s.createDataFrame(trace.result()).toDF("merge_idx", "a", "b", "n")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+            split(lower(col("text")), " ").as("ws"))
+          .select(col("doc_id"), col("n_chars"),
+            size(col("ws")).cast("long").as("n_words"),
+            aggregate(
+              transform(col("ws"), w =>
+                when(w.rlike("^[a-z]{2,}$"), subwords(w)).otherwise(lit(1))),
+              lit(0L), (acc, x) => acc + x).as("n_subwords"))
+          .select(col("doc_id"), col("n_chars"), col("n_words"),
+            col("n_subwords"),
+            round(col("n_chars").cast("double") / col("n_subwords"), 6)
+              .as("chars_per_tok"))
+          .oracleOrder("doc_id")
       }),
 
     // Unicode NFC normalization — the transform every corpus build runs

@@ -5,6 +5,18 @@ import org.apache.spark.sql.functions._
 /** Sequential brute-force twins for the round-14 operators. */
 class Round14OpsSpec extends SparkSpec {
 
+  private def mergeWord(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+
   test("BPE training trace matches reference greedy merge loop") {
     // Reference BPE (Sennrich et al. 2016) on the driver: words as symbol
     // vectors, count every adjacent pair weighted by word frequency, take
@@ -18,17 +30,6 @@ class Round14OpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     var wf: Seq[(Vector[String], Long)] =
       words.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
-
-    def mergeWord(syms: Vector[String], a: String, b: String): Vector[String] = {
-      val out = Vector.newBuilder[String]
-      var i = 0
-      while (i < syms.length) {
-        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-          out += (a + b); i += 2
-        } else { out += syms(i); i += 1 }
-      }
-      out.result()
-    }
 
     val want = (1 to 5).map { k =>
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
@@ -80,6 +81,27 @@ class Round14OpsSpec extends SparkSpec {
     }.sortBy(_._1).toSeq
     val got = Registry.byId("corpus_perplexity_bigram_filter").run(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
+
+  test("BPE apply: per-doc subword counts match a driver re-encode") {
+    val merges = Registry.byId("text_bpe_train_merges").run(spark, sf)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    def encode(w: String): Long = {
+      var syms = w.map(_.toString).toVector
+      for ((a, b) <- merges) syms = mergeWord(syms, a, b)
+      syms.length.toLong
+    }
+    val want = Tables(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text")))
+      .collect().map { r =>
+        val ws = r.getString(1).split(" ", -1)
+        r.getLong(0) -> ws.map(w =>
+          if (w.length >= 2 && w.forall(c => c >= 'a' && c <= 'z')) encode(w)
+          else 1L).sum
+      }.toMap
+    val got = Registry.byId("text_bpe_encode_tokens").run(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(got == want)
   }
 }
