@@ -861,6 +861,103 @@ object SimOps extends QueryPack {
         pqOracle(cb, opqRotSql(rotW), "rot")
       })),
 
+    // HYBRID retrieval with reciprocal rank fusion (Cormack et al. 2009) —
+    // what a production RAG stack actually runs: a SEMANTIC ranking
+    // (cosine over the embedding modality) and a LEXICAL ranking
+    // (distinct-token Jaccard over the paired document text, doc_id ==
+    // vec_id as multimodal_join_textvec established) are each cut to a
+    // top-20 list per query, then fused by rrf = Σ 1/(60+rank) — rank
+    // fusion needs NO score calibration across modalities, which is why
+    // RRF won the cross-engine-fusion literature. The 100 TB shape: the
+    // 20 query vectors/token-sets broadcast; lexical candidates arrive by
+    // POSTING-LIST equi-join on the token (docs sharing no term never
+    // pair); both per-query lists are top-20 bounded so the fusion join
+    // touches ≤40 rows per query regardless of corpus size. Integer
+    // ranks → exact 1/(60+r) doubles → one rounded sum; fully
+    // oracle-checkable with a static SQL twin.
+    Q(
+      "sim_hybrid_rrf_topk",
+      Some("""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+             |p AS (
+             |  SELECT q.vec_id AS qa, e.vec_id AS qb,
+             |    ROUND(list_sum(list_transform(list_zip(q.embedding, e.embedding),
+             |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+             |  FROM q, embeddings e WHERE q.vec_id <> e.vec_id),
+             |sem AS (SELECT qa, qb, rn_s FROM (
+             |    SELECT qa, qb, row_number() OVER (PARTITION BY qa
+             |      ORDER BY cos DESC, qb) AS rn_s FROM p) WHERE rn_s <= 20),
+             |tok AS (SELECT DISTINCT doc_id, tok FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |    FROM documents) WHERE tok <> ''),
+             |nt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ntok
+             |       FROM tok GROUP BY 1),
+             |ov AS (
+             |  SELECT a.doc_id AS qa, b.doc_id AS qb, CAST(COUNT(*) AS BIGINT) AS i
+             |  FROM tok a JOIN tok b USING (tok)
+             |  WHERE a.doc_id < 20 AND a.doc_id <> b.doc_id GROUP BY 1, 2),
+             |jac AS (
+             |  SELECT ov.qa, ov.qb,
+             |    ROUND(ov.i / CAST(na.ntok + nb.ntok - ov.i AS DOUBLE), 6) AS jac
+             |  FROM ov JOIN nt na ON ov.qa = na.doc_id
+             |          JOIN nt nb ON ov.qb = nb.doc_id),
+             |lex AS (SELECT qa, qb, rn_l FROM (
+             |    SELECT qa, qb, row_number() OVER (PARTITION BY qa
+             |      ORDER BY jac DESC, qb) AS rn_l FROM jac) WHERE rn_l <= 20),
+             |fused AS (
+             |  SELECT coalesce(s.qa, l.qa) AS qa, coalesce(s.qb, l.qb) AS qb,
+             |    ROUND(coalesce(1e0 / (60 + s.rn_s), 0e0)
+             |        + coalesce(1e0 / (60 + l.rn_l), 0e0), 6) AS rrf
+             |  FROM sem s FULL JOIN lex l ON s.qa = l.qa AND s.qb = l.qb),
+             |r AS (SELECT qa, qb, rrf, row_number() OVER (PARTITION BY qa
+             |        ORDER BY rrf DESC, qb) AS rn FROM fused)
+             |SELECT qa, qb, rrf, CAST(rn AS INT) AS rn
+             |FROM r WHERE rn <= 3 ORDER BY qa, rn""".stripMargin),
+      (s, dir) => {
+        native(s)
+        val e = Tables(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qa"), col("embedding").as("ea"))
+        val all = e.select(col("vec_id").as("qb"), col("embedding").as("eb"))
+        val wS = Window.partitionBy("qa").orderBy(col("cos").desc, col("qb"))
+        val sem = broadcast(q).crossJoin(all)
+          .filter(col("qa") =!= col("qb"))
+          .select(col("qa"), col("qb"),
+            round(ncos(col("ea"), col("eb")), 6).as("cos"))
+          .withColumn("rn_s", row_number().over(wS))
+          .filter(col("rn_s") <= 20).select("qa", "qb", "rn_s")
+        val tok = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "").distinct()
+        val nt = tok.groupBy("doc_id").agg(cnt.as("ntok"))
+        val ov = broadcast(
+            tok.filter(col("doc_id") < 20)
+              .select(col("doc_id").as("qa"), col("tok")))
+          .join(tok.select(col("doc_id").as("qb"), col("tok")), "tok")
+          .filter(col("qa") =!= col("qb"))
+          .groupBy("qa", "qb").agg(cnt.as("i"))
+        val wL = Window.partitionBy("qa").orderBy(col("jac").desc, col("qb"))
+        val lex = ov
+          .join(broadcast(nt.select(col("doc_id").as("qa"), col("ntok").as("na"))), "qa")
+          .join(nt.select(col("doc_id").as("qb"), col("ntok").as("nb")), "qb")
+          .select(col("qa"), col("qb"),
+            round(col("i").cast("double") /
+              (col("na") + col("nb") - col("i")), 6).as("jac"))
+          .withColumn("rn_l", row_number().over(wL))
+          .filter(col("rn_l") <= 20).select("qa", "qb", "rn_l")
+        val wF = Window.partitionBy("qa").orderBy(col("rrf").desc, col("qb"))
+        sem.join(lex, Seq("qa", "qb"), "full_outer")
+          .select(col("qa"), col("qb"),
+            round(
+              coalesce(lit(1.0) / (lit(60) + col("rn_s")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60) + col("rn_l")), lit(0.0)),
+              6).as("rrf"))
+          .withColumn("rn", row_number().over(wF).cast("int"))
+          .filter(col("rn") <= 3)
+          .oracleOrder("qa", "rn")
+      }),
+
     // The same stub decode through the typed per-partition batch path
     // (Dataset.mapPartitions — the JVM analog of mapInPandas): one decoder
     // instance per partition processes an iterator of blob records, exactly

@@ -553,6 +553,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("hybrid RRF: broadcast query sides, posting-list equi join, no cartesian") {
+    val p = plan("sim_hybrid_rrf_topk")
+    // Semantic side = broadcast nested-loop of the 20 query vectors;
+    // lexical side = broadcast hash join on the token posting list.
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("DPP join injects a dynamic pruning filter into the fact scan") {
     val p = plan("join_dpp_partition_prune")
     assert(p.toLowerCase.contains("dynamicpruning"), p)

@@ -104,4 +104,50 @@ class Round14OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(got == want)
   }
+
+  test("hybrid RRF fuses the two driver-recomputed rank lists exactly") {
+    // Rebuild both modality rankings sequentially and fuse on the driver.
+    val e = Tables(spark, sf, "embeddings")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosR(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val toks = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ", -1).filter(_.nonEmpty).toSet).toMap
+    def topList(qa: Long, score: Long => Double): Seq[(Long, Int)] =
+      e.keys.filter(_ != qa).toSeq
+        .map(qb => (qb, score(qb)))
+        .sortBy { case (qb, sc) => (-sc, qb) }
+        .take(20).zipWithIndex.map { case ((qb, _), i) => (qb, i + 1) }
+    val want = (0L until 20L).flatMap { qa =>
+      val sem = topList(qa, qb => cosR(e(qa), e(qb))).toMap
+      val lex = topList(qa, { qb =>
+        val i = (toks(qa) & toks(qb)).size
+        if (i == 0) Double.MinValue
+        else BigDecimal(i.toDouble / (toks(qa).size + toks(qb).size - i))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }).filter { case (qb, _) => (toks(qa) & toks(qb)).nonEmpty }.toMap
+      (sem.keySet ++ lex.keySet).toSeq
+        .map { qb =>
+          val rrf = sem.get(qb).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+            lex.get(qb).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+          (qb, BigDecimal(rrf).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+        }
+        .sortBy { case (qb, sc) => (-sc, qb) }.take(3).zipWithIndex
+        .map { case ((qb, sc), i) => (qa, qb, sc, i + 1) }
+    }
+    val got = Registry.byId("sim_hybrid_rrf_topk").run(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got == want)
+  }
 }
