@@ -626,5 +626,61 @@ object GraphOps extends QueryPack {
           .agg(cnt.as("n_sessions"))
           .orderBy(col("n_sessions").desc, col("path"))
           .limit(20)
+      }),
+
+    // Label-propagation community detection (Raghavan et al. 2007), two
+    // SYNCHRONOUS rounds unrolled over the shared trade graph: every node
+    // starts in its own community (label = node id) and each round adopts
+    // the MOST FREQUENT label among its neighbors, ties to the smallest
+    // label — the deterministic synchronous variant (asynchronous LPA is
+    // order-dependent and unreproducible on a cluster, exactly what this
+    // engine refuses to ship). Differs from dedup_cc_clusters' min-label
+    // propagation: LPA finds DENSE communities, not mere connectivity.
+    // Scale shape: each round is ONE edges⋈labels equi-join on dst (the
+    // bucketed-edge layout's co-located probe) + a (node, label) count
+    // fold + a per-node max_by argmax with FULL map-side partials — no
+    // window, no driver state; labels are node-sized scalars. The readout
+    // is the community-size histogram (top-20) plus the global community
+    // count — integer-exact everywhere.
+    Q(
+      "graph_label_propagation",
+      Some(s"""WITH $edgesSql,
+              |nodes AS (SELECT DISTINCT src AS v FROM edges),
+              |l0 AS (SELECT v, v AS lab FROM nodes),
+              |n1 AS (SELECT e.src AS v, l.lab, CAST(COUNT(*) AS BIGINT) AS c
+              |       FROM edges e JOIN l0 l ON e.dst = l.v GROUP BY 1, 2),
+              |l1 AS (SELECT v, lab FROM (
+              |    SELECT v, lab, row_number() OVER (PARTITION BY v
+              |      ORDER BY c DESC, lab) AS rn FROM n1) WHERE rn = 1),
+              |n2 AS (SELECT e.src AS v, l.lab, CAST(COUNT(*) AS BIGINT) AS c
+              |       FROM edges e JOIN l1 l ON e.dst = l.v GROUP BY 1, 2),
+              |l2 AS (SELECT v, lab FROM (
+              |    SELECT v, lab, row_number() OVER (PARTITION BY v
+              |      ORDER BY c DESC, lab) AS rn FROM n2) WHERE rn = 1),
+              |com AS (SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n
+              |        FROM l2 GROUP BY 1),
+              |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities FROM com)
+              |SELECT community, n, n_communities
+              |FROM com, tot ORDER BY n DESC, community LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val edges = tradeEdges(s, dir)
+        var labels = edges.select(col("src").as("v")).distinct()
+          .select(col("v"), col("v").as("lab"))
+        for (_ <- 1 to 2) {
+          labels = edges
+            .join(labels.withColumnRenamed("v", "dst"), "dst")
+            .groupBy(col("src").as("v"), col("lab"))
+            .agg(cnt.as("c"))
+            .groupBy("v")
+            // argmax by (c DESC, lab ASC) with full map-side partials —
+            // max of the (c, -lab) struct picks the same label as the
+            // oracle's row_number form.
+            .agg(max_by(col("lab"), struct(col("c"), -col("lab"))).as("lab"))
+        }
+        val com = labels.groupBy(col("lab").as("community")).agg(cnt.as("n"))
+        val tot = com.agg(cnt.as("n_communities"))
+        com.crossJoin(broadcast(tot))
+          .orderBy(col("n").desc, col("community"))
+          .limit(20)
       }))
 }

@@ -150,4 +150,29 @@ class Round14OpsSpec extends SparkSpec {
         (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
     assert(got == want)
   }
+
+  test("label propagation matches a driver-side synchronous LPA") {
+    val edges = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables(spark, sf, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 2)
+      lab = adj.map { case (v, nbrs) =>
+        val counts = nbrs.groupBy(lab).view.mapValues(_.size).toSeq
+        v -> counts.minBy { case (l, c) => (-c, l) }._1
+      }
+    val com = lab.values.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val want = com.sortBy { case (l, n) => (-n, l) }.take(20)
+      .map { case (l, n) => (l, n, com.size.toLong) }
+    val got = Registry.byId("graph_label_propagation").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
 }
