@@ -649,6 +649,60 @@ object MLOps extends QueryPack {
         s.createDataFrame(hist).toDF("iter", "w", "b", "mse")
       }),
 
+    // LOGISTIC regression — the classifier counterpart of the GD family,
+    // trained on the COMPRESSED feature distribution: for a GLM on a
+    // discrete feature the 50-row (x, n, Σy) table IS a sufficient
+    // statistic, so training is ONE distributed scan + driver arithmetic
+    // at any epoch count (the GradientDescent shape extended to a
+    // non-quadratic loss — a naive implementation rescans the corpus per
+    // epoch for the per-row sigmoid). Cross-engine exactness: only 50
+    // distinct exp()/ln() inputs exist per iteration, each rounded (10dp
+    // sigmoid, 9dp log-likelihood terms — the perplexity-filter boundary
+    // argument), and every weighted term is a double cast to
+    // DECIMAL(30,10) (exact-expansion HALF_UP, the pcaDirection twin)
+    // summed exactly, so the driver BigDecimal fold and the oracle's
+    // relational decimal sums are bit-equal. Trace: (iter, post-update
+    // w/b, nll of incoming params) — the gdSql convention.
+    Q(
+      "ml_train_logreg_gd",
+      Some(TrainOracles.logregSql(3)),
+      (s, dir) => {
+        val rows = Tables(s, dir, "lineitem")
+          .groupBy(col("l_quantity").as("x"))
+          .agg(cnt.as("n"),
+            sum(when(col("l_returnflag") === "R", 1).otherwise(0))
+              .cast("long").as("sy"))
+          .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        val nn = rows.map(_._2).sum.toDouble
+        def r10(x: Double) =
+          BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+        def r9(x: Double) =
+          BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        def dec10(x: Double) = new java.math.BigDecimal(x)
+          .setScale(10, java.math.RoundingMode.HALF_UP)
+        var w = 0.0
+        var b = 0.0
+        val trace = (1 to 3).map { k =>
+          var gw = java.math.BigDecimal.ZERO
+          var gb = java.math.BigDecimal.ZERO
+          var ll = java.math.BigDecimal.ZERO
+          for ((x, n, sy) <- rows) {
+            val p = r10(1.0 / (1.0 + math.exp(-(w * x + b))))
+            gw = gw.add(dec10(x * (n * p - sy)))
+            gb = gb.add(dec10(n * p - sy))
+            ll = ll.add(dec10(
+              sy * r9(math.log(p)) + (n - sy) * r9(math.log(1.0 - p))))
+          }
+          val nll = BigDecimal(-ll.doubleValue / nn)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          w = w - (1e-2 * gw.doubleValue) / nn
+          b = b - (1e-2 * gb.doubleValue) / nn
+          (k, w, b, nll)
+        }
+        s.createDataFrame(trace).toDF("iter", "w", "b", "nll")
+      }),
+
     // The reference's epoch LOOP end-to-end (flax_model.py:349-375): per
     // epoch, train on the 90% split (Adam step), evaluate on the held-out
     // 10% split, log both losses — composed from the engine's own pieces:

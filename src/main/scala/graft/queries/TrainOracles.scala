@@ -97,6 +97,51 @@ private[queries] object TrainOracles {
     s"WITH $ctes\n$rows\nORDER BY iter"
   }
 
+  /** `ml_train_logreg_gd`: logistic regression of (l_returnflag='R') on
+    * l_quantity, GD over the COMPRESSED feature distribution. The
+    * sufficient statistic is the 50-row (x, n, Σy) table — for a GLM on a
+    * discrete feature the empirical distribution is the whole dataset, so
+    * training is ONE scan then driver arithmetic at any epoch count (the
+    * GradientDescent shape extended to a non-quadratic loss). Per-x
+    * sigmoids pass through ROUND 10dp (only 50 distinct exp() inputs per
+    * iteration — the perplexity-filter boundary argument), per-x ln terms
+    * through ROUND 9dp, and every weighted term is a double cast to
+    * DECIMAL(30,10) summed exactly — shuffle-order-free and bit-equal to
+    * the driver's BigDecimal fold. Trace rows: (iter, post-update w, b,
+    * nll of the INCOMING parameters) — the gdSql convention.
+    */
+  def logregSql(iters: Int): String = {
+    val lstats =
+      """t AS (
+        |  SELECT l_quantity AS x, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS sy
+        |  FROM lineitem GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM t)""".stripMargin
+    def iter(k: Int): String =
+      s"""p$k AS (
+         |  SELECT x, n, sy,
+         |    ROUND(1e0 / (1e0 + exp(-(w * x + b))), 10) AS p
+         |  FROM t, st${k - 1}),
+         |g$k AS (SELECT
+         |    ${d2d(s"SUM(CAST(x * (n * p - sy) AS DECIMAL(30,10)))")} AS gw,
+         |    ${d2d(s"SUM(CAST(n * p - sy AS DECIMAL(30,10)))")} AS gb,
+         |    ${d2d(s"SUM(CAST(sy * ROUND(ln(p), 9) + (n - sy) * ROUND(ln(1e0 - p), 9) AS DECIMAL(30,10)))")} AS ll
+         |  FROM p$k),
+         |st$k AS (
+         |  SELECT st${k - 1}.w - (1e-2 * g$k.gw) / nn.nn AS w,
+         |         st${k - 1}.b - (1e-2 * g$k.gb) / nn.nn AS b,
+         |         g$k.ll
+         |  FROM st${k - 1}, g$k, nn)""".stripMargin
+    val ctes = (lstats +: "st0 AS (SELECT 0e0 AS w, 0e0 AS b)" +:
+      (1 to iters).map(iter)).mkString(",\n")
+    val rows = (1 to iters)
+      .map(k =>
+        s"SELECT CAST($k AS INT) AS iter, st$k.w, st$k.b, " +
+          s"ROUND(-st$k.ll / nn.nn, 6) AS nll FROM st$k, nn")
+      .mkString("\nUNION ALL ")
+    s"WITH $ctes\n$rows\nORDER BY iter"
+  }
+
   /** `ml_train_adam_iterations`: same shape under Adam. */
   def adamSql(iters: Int): String = {
     val ctes = (stats +:

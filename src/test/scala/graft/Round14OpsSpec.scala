@@ -175,4 +175,28 @@ class Round14OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == want)
   }
+
+  test("logistic GD: loss decreases and step-1 gradient matches closed form") {
+    val rows = Registry.byId("ml_train_logreg_gd").run(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    // Training must make progress: nll strictly decreases across the trace
+    // (the incoming-params convention means row k holds nll BEFORE step k,
+    // so row1 = ln 2 exactly — the w=b=0 sigmoid is 0.5 for every row).
+    val nlls = rows.map(_._4).toSeq
+    assert(nlls == nlls.sorted.reverse && nlls.distinct.size == 3, nlls)
+    assert(math.abs(nlls.head - math.log(2)) < 1e-6, nlls.head)
+    // At w=b=0 the sigmoid is exactly 0.5, so the first update is the
+    // closed form w1 = -lr/n * sum x*(n_x/2 - sy_x) — recompute raw-row-wise
+    // (uncompressed) and compare.
+    val raw = Tables(spark, sf, "lineitem")
+      .select(col("l_quantity"), (col("l_returnflag") === "R").cast("int"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1)))
+    val gw = raw.map { case (x, y) => x * (0.5 - y) }.sum
+    val gb = raw.map { case (x, y) => 0.5 - y }.sum
+    val n = raw.length.toDouble
+    assert(math.abs(rows(0)._2 - (-(1e-2 * gw) / n)) < 1e-9, rows(0)._2)
+    assert(math.abs(rows(0)._3 - (-(1e-2 * gb) / n)) < 1e-9, rows(0)._3)
+  }
 }
