@@ -673,5 +673,55 @@ object Windows extends QueryPack {
             (unix_micros(col("next_p")) - unix_micros(col("ts")))
               .cast("long").as("us_to_purchase"))
           .oracleOrder("user_id", "event_id")
+      }),
+
+    // STL-lite seasonal decomposition of the hourly event series — the
+    // time-series readout behind capacity planning and anomaly baselines:
+    // per event_type, (1) the raw stream folds to the OBSERVED hourly
+    // count series (one partial-aggregated shuffle), (2) the trend is a
+    // centered 24-row moving average over that compact series (one
+    // event_type exchange — the series is hours-sized, never event-sized),
+    // (3) the hour-of-day seasonal profile is the mean DETRENDED count per
+    // (type, hod). Exactness: the trend is one double division of exact
+    // integer window sums; detrended values round 6dp before the decimal
+    // profile sum (shuffle-order-free — the chisq discipline); one closing
+    // double division per profile cell. Zero-event hours are absent by
+    // construction (observed-hour series, documented; a production
+    // deployment densifies against the calendar dimension first).
+    Q(
+      "window_seasonal_decompose",
+      Some("""WITH h AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS hb,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |t AS (
+             |  SELECT event_type, hb, n,
+             |    ROUND(CAST(SUM(n) OVER w AS DOUBLE) / COUNT(*) OVER w, 6)
+             |      AS trend
+             |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hb
+             |    ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+             |d AS (
+             |  SELECT event_type, CAST(extract(hour FROM hb) AS INT) AS hod,
+             |    ROUND(n - trend, 6) AS det
+             |  FROM t)
+             |SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n_obs,
+             |  ROUND(CAST(CAST(SUM(CAST(det AS DECIMAL(18,6))) AS VARCHAR)
+             |    AS DOUBLE) / COUNT(*), 6) AS seasonal
+             |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy("hb")
+          .rowsBetween(-11, 12)
+        Tables(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hb"))
+          .agg(cnt.as("n"))
+          .select(col("event_type"), col("hb"), col("n"),
+            round(sum("n").over(w).cast("double") /
+              count(lit(1)).over(w), 6).as("trend"))
+          .select(col("event_type"), hour(col("hb")).cast("int").as("hod"),
+            round(col("n") - col("trend"), 6).as("det"))
+          .groupBy("event_type", "hod")
+          .agg(cnt.as("n_obs"),
+            round(dsum(col("det")) / count(lit(1)), 6).as("seasonal"))
+          .oracleOrder("event_type", "hod")
       }))
 }

@@ -199,4 +199,40 @@ class Round14OpsSpec extends SparkSpec {
     assert(math.abs(rows(0)._2 - (-(1e-2 * gw) / n)) < 1e-9, rows(0)._2)
     assert(math.abs(rows(0)._3 - (-(1e-2 * gb) / n)) < 1e-9, rows(0)._3)
   }
+
+  test("seasonal decompose matches a driver-side trend-remove + profile") {
+    val hourly = Tables(spark, sf, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hb"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2.getTime).map(t => (t._2, t._3)).toIndexedSeq)
+      .toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cells = for {
+      (et, series) <- hourly.toSeq
+      i <- series.indices
+    } yield {
+      val lo = math.max(0, i - 11)
+      val hi = math.min(series.length - 1, i + 12)
+      val win = series.slice(lo, hi + 1)
+      val trend = r6(win.map(_._2).sum.toDouble / win.length)
+      val hod = {
+        val cal = java.util.Calendar.getInstance(
+          java.util.TimeZone.getTimeZone("UTC"))
+        cal.setTime(series(i)._1); cal.get(java.util.Calendar.HOUR_OF_DAY)
+      }
+      (et, hod, r6(series(i)._2 - trend))
+    }
+    val want = cells.groupBy(c => (c._1, c._2)).map { case ((et, hod), ds) =>
+      val s = ds.map(d => BigDecimal(d._3)).sum
+      (et, hod, ds.size.toLong, r6(s.toDouble / ds.size))
+    }.toSeq.sortBy(c => (c._1, c._2))
+    val got = Registry.byId("window_seasonal_decompose").run(spark, sf)
+      .collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+  }
 }
