@@ -426,6 +426,46 @@ object Scans extends QueryPack {
           .oracleOrder("o_orderstatus")
       }),
 
+    // DYNAMIC partition overwrite — the sink mode that makes partitioned
+    // rewrites scale: STATIC overwrite mode would truncate the WHOLE table
+    // before writing (losing every untouched partition); dynamic mode
+    // replaces ONLY the partitions the incoming batch contains. Here the
+    // two urgent-priority partitions are rewritten with a price uplift
+    // while the other three survive byte-identical (DynPartitionSpec pins
+    // the untouched files' mtimes). At 100 TB this is the difference
+    // between a 2-partition write and a full-table rewrite — the
+    // partition-targeted MERGE shape the CDC sink's comment promises.
+    Q(
+      "sink_dynamic_partition_overwrite",
+      Some("""WITH merged AS (
+             |  SELECT o_orderkey, o_orderpriority,
+             |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |         THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice
+             |  FROM orders)
+             |SELECT o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n,
+             |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS s
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val run = java.nio.file.Files
+          .createTempDirectory("graft_dpo").toString
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey"),
+            col("o_orderpriority").as("pri"), col("o_totalprice"))
+        base.write.partitionBy("pri").mode("overwrite").parquet(run)
+        val changes = base
+          .filter(col("pri").isin("1-URGENT", "2-HIGH"))
+          .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "dynamic")
+        try changes.write.mode("overwrite").partitionBy("pri").parquet(run)
+        finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+        s.read.parquet(run)
+          .groupBy(col("pri"))
+          .agg(cnt.as("n"), round(dsum(col("o_totalprice")), 4).as("s"))
+          .oracleOrder("pri")
+      }),
+
     // SCD Type-2 history build: applying a keyed change batch to a
     // dimension closes the prior version (valid_to = new version) and
     // appends the new open row — the warehouse pattern for tracking
