@@ -473,6 +473,55 @@ object Aggregations extends QueryPack {
           .agg(cnt.as("n"), round(dsum(col("v")), 4).as("s"))
           .oracleOrder("metric")),
 
+    // EQUI-DEPTH (equal-frequency) decile histogram — the complement of
+    // the fixed-width bins below and the statistic query optimizers and
+    // feature-bucketizers actually want (every bucket carries the same
+    // population, so tails are resolved instead of lumped). Computed on
+    // the COMPRESSED customer-spend domain (one partial-aggregated fold of
+    // the fact table to customer cardinality — the Gini discipline), then
+    // bucket = ((i-1)*10) div N on the LONG running rank: pure integer
+    // arithmetic, no quantile interpolation dialect to align cross-engine,
+    // and exactly the arithmetic ntile both engines agree on by
+    // construction. The rank window is single-partition over the
+    // customer-sized table only; per-bucket stats are decimal-exact.
+    Q(
+      "agg_equidepth_deciles",
+      Some("""WITH t AS (
+             |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS total
+             |  FROM orders GROUP BY 1),
+             |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM t),
+             |r AS (
+             |  SELECT total,
+             |    count(*) OVER (ORDER BY total, o_custkey
+             |      ROWS UNBOUNDED PRECEDING) AS i
+             |  FROM t),
+             |b AS (SELECT total,
+             |        CAST(((i - 1) * 10) // nn AS INT) + 1 AS bucket
+             |      FROM r, nn)
+             |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             |  ROUND(CAST(MIN(total) AS DOUBLE), 2) AS lo,
+             |  ROUND(CAST(MAX(total) AS DOUBLE), 2) AS hi,
+             |  ROUND(CAST(SUM(total) AS DOUBLE), 2) AS s
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val t = Tables(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 6))).as("total"))
+        val nn = t.agg(cnt.as("nn"))
+        val w = Window.orderBy("total", "o_custkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t.select(col("total"), count(lit(1)).over(w).as("i"))
+          .crossJoin(broadcast(nn))
+          .select(col("total"),
+            (expr("((i - 1) * 10) div nn").cast("int") + 1).as("bucket"))
+          .groupBy("bucket")
+          .agg(cnt.as("n"),
+            round(min("total").cast("double"), 2).as("lo"),
+            round(max("total").cast("double"), 2).as("hi"),
+            round(sum("total").cast("double"), 2).as("s"))
+          .oracleOrder("bucket")
+      }),
+
     // Fixed-width histogram — the engine staple behind every distribution
     // dashboard and the scale path for order statistics (AUC, quantile
     // sketches verify against it). Bin id = floor(x / width) is one

@@ -235,4 +235,21 @@ class Round14OpsSpec extends SparkSpec {
         (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(got == want)
   }
+
+  test("equi-depth deciles: populations balanced, ranges disjoint, total exact") {
+    val rows = Registry.byId("agg_equidepth_deciles").run(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(rows.map(_._1) == (1 to 10))
+    // Equal frequency by construction: bucket sizes differ by at most 1.
+    val ns = rows.map(_._2)
+    assert(ns.max - ns.min <= 1, ns)
+    val nCust = Tables(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(ns.sum == nCust)
+    // Value ranges are non-overlapping and ascending.
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._4 <= b._3, s"overlap between buckets ${a._1} and ${b._1}")
+    }
+  }
 }
