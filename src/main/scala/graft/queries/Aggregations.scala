@@ -473,6 +473,42 @@ object Aggregations extends QueryPack {
           .agg(cnt.as("n"), round(dsum(col("v")), 4).as("s"))
           .oracleOrder("metric")),
 
+    // Half-life–decayed activity score — the recency-weighted feature
+    // every ranking/engagement model keeps per user: score = Σ value·2^−k
+    // with k = whole hours of age against the corpus max timestamp
+    // (half-life = 1 h). The 2^−k weight is chosen deliberately: powers of
+    // two are EXACT doubles and multiplying by one is exact IEEE scaling,
+    // so unlike an e^−λt kernel there is no per-row libm boundary to align
+    // cross-engine — the age quantizes to an integer (exact µs
+    // arithmetic), the weight is exact, the product is one rounded double
+    // op from identical inputs, and the per-user sum is an exact decimal
+    // fold. ONE map-side pass + one partial-aggregated user shuffle; the
+    // 1-row max timestamp broadcasts.
+    Q(
+      "agg_halflife_decay",
+      Some("""WITH mx AS (SELECT max(epoch_us(ts)) AS mu FROM events),
+             |k AS (
+             |  SELECT user_id, value,
+             |    CAST((mu - epoch_us(ts)) // 3600000000 AS BIGINT) AS age_h
+             |  FROM events, mx),
+             |t AS (SELECT user_id, value * power(2, -age_h) AS term FROM k)
+             |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             |  ROUND(CAST(SUM(CAST(term AS DECIMAL(30,10))) AS DOUBLE), 6)
+             |    AS score
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val mx = ev.agg(max(unix_micros(col("ts"))).as("mu"))
+        ev.select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+          .crossJoin(broadcast(mx))
+          .select(col("user_id"),
+            (col("value") *
+              pow(lit(2.0), -expr("(mu - us) div 3600000000"))).as("term"))
+          .groupBy("user_id")
+          .agg(cnt.as("n"), round(dsumWide(col("term")), 6).as("score"))
+          .oracleOrder("user_id")
+      }),
+
     // EQUI-DEPTH (equal-frequency) decile histogram — the complement of
     // the fixed-width bins below and the statistic query optimizers and
     // feature-bucketizers actually want (every bucket carries the same

@@ -252,4 +252,24 @@ class Round14OpsSpec extends SparkSpec {
       assert(a._4 <= b._3, s"overlap between buckets ${a._1} and ${b._1}")
     }
   }
+
+  test("half-life decay matches a driver recompute with exact 2^-k weights") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("value"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val mu = ev.map(_._3).max
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = ev.groupBy(_._1).map { case (u, rows) =>
+      val s = rows.map { case (_, v, us) =>
+        val k = (mu - us) / 3600000000L
+        new java.math.BigDecimal(v * math.pow(2.0, -k.toDouble))
+          .setScale(10, java.math.RoundingMode.HALF_UP)
+      }.reduce(_.add(_))
+      (u, rows.length.toLong, r6(s.doubleValue))
+    }.toSeq.sortBy(_._1)
+    val got = Registry.byId("agg_halflife_decay").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
 }
