@@ -59,6 +59,40 @@ object CurationOps extends QueryPack {
   private val mgK = 32
 
   def queries: Seq[Q] = Seq(
+    // k-anonymity audit (Sweeney 2002) — the privacy gate a dataset
+    // release runs NEXT TO the PII scrub: even with direct identifiers
+    // redacted, a quasi-identifier combination shared by fewer than k
+    // records re-identifies people by linkage. Group by the
+    // quasi-identifier tuple (nation, market segment), flag every
+    // equivalence class smaller than k=5 for suppression, and carry the
+    // global suppressed-row total on every row (the release decision
+    // number). ONE partial-aggregated shuffle on the quasi tuple; the
+    // 1-row total broadcasts back. Integer-exact end to end.
+    Q(
+      "curation_k_anonymity",
+      Some("""WITH g AS (
+             |  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM customer GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0) AS BIGINT)
+             |    AS suppressed_rows
+             |  FROM g)
+             |SELECT c_nationkey, c_mktsegment, n, n < 5 AS suppressed,
+             |  suppressed_rows
+             |FROM g, tot ORDER BY c_nationkey, c_mktsegment""".stripMargin),
+      (s, dir) => {
+        val g = Tables(s, dir, "customer")
+          .groupBy("c_nationkey", "c_mktsegment")
+          .agg(cnt.as("n"))
+        val tot = g.agg(
+          coalesce(sum(when(col("n") < 5, col("n"))), lit(0L))
+            .cast("long").as("suppressed_rows"))
+        g.crossJoin(broadcast(tot))
+          .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+            (col("n") < 5).as("suppressed"), col("suppressed_rows"))
+          .oracleOrder("c_nationkey", "c_mktsegment")
+      }),
+
     // PII redaction: count matches per pattern, then nested global
     // replacement (email -> phone -> blocklist term). Pure per-row regex
     // work — zero shuffle, the whole table streams through one codegen

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, QueryPack, Tables}
 import graft.Fns._
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** SURVEY.md §2.A — sources / sinks.
   *
@@ -424,6 +425,52 @@ object Scans extends QueryPack {
           .groupBy("o_orderstatus")
           .agg(cnt.as("n"), round(dsum(col("o_totalprice")), 4).as("s"))
           .oracleOrder("o_orderstatus")
+      }),
+
+    // Incremental aggregate-view maintenance — the mergeable-state story
+    // made concrete: a serving aggregate (per-priority count + decimal
+    // revenue) is SNAPSHOT from the first 90% of the fact table, then a
+    // 10% delta batch arrives and the view updates by merging PARTIAL
+    // aggregates on the key (n := n₀+n₁, s := s₀+s₁ — decimal adds, exact)
+    // WITHOUT rescanning the base. At 100 TB the snapshot is
+    // key-cardinality-sized and each maintenance pass touches only the new
+    // data — the reason every serving-layer aggregate must be expressible
+    // as a commutative merge of partials (the same property the sketch
+    // family exploits). Oracle: the maintained view must equal the full
+    // recompute over all of orders.
+    Q(
+      "sink_incremental_agg_maintain",
+      Some("""SELECT o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n,
+             |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS s
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"),
+            col("o_orderpriority").as("pri"), col("o_totalprice"))
+        def partials(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("pri").agg(
+            cnt.as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 6))).as("s"))
+        val run = java.nio.file.Files
+          .createTempDirectory("graft_aggview").toString + "/view"
+        partials(orders.filter(col("o_orderkey") % 10 =!= 0))
+          .write.parquet(run)
+        val delta = partials(orders.filter(col("o_orderkey") % 10 === 0))
+          .withColumnRenamed("n", "dn").withColumnRenamed("s", "ds")
+        val snap = s.read.parquet(run)
+        val merged = snap.join(delta, Seq("pri"), "full_outer")
+          .select(col("pri"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n"),
+            (coalesce(col("s"), lit(0).cast(DecimalType(18, 6)))
+              + coalesce(col("ds"), lit(0).cast(DecimalType(18, 6))))
+              .as("s"))
+          .localCheckpoint()
+        merged.write.mode("overwrite").parquet(run)
+        s.read.parquet(run)
+          .select(col("pri"), col("n"),
+            round(col("s").cast("double"), 4).as("s"))
+          .oracleOrder("pri")
       }),
 
     // DYNAMIC partition overwrite — the sink mode that makes partitioned

@@ -272,4 +272,31 @@ class Round14OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got == want)
   }
+
+  test("k-anonymity totals are consistent with the flagged classes") {
+    val rows = Registry.byId("curation_k_anonymity").run(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4)))
+    val suppressedSum = rows.filter(_._4).map(_._3).sum
+    assert(rows.forall(_._5 == suppressedSum))
+    assert(rows.forall(r => r._4 == (r._3 < 5)))
+    assert(rows.map(_._3).sum ==
+      Tables(spark, sf, "customer").count())
+  }
+
+  test("incremental agg maintenance equals the monolithic recompute") {
+    val got = Registry.byId("sink_incremental_agg_maintain").run(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val want = Tables(spark, sf, "orders")
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(18, 6))).cast("double"), 4).as("s"))
+      .orderBy("pri")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got == want)
+  }
 }
