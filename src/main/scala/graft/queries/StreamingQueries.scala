@@ -323,6 +323,93 @@ object StreamingQueries extends QueryPack {
         s.read.parquet(out).oracleOrder("ws")
       }),
 
+    // Stream-stream FULL OUTER join — the family completion past the left
+    // outer variant: BOTH sides emit watermark-expiry nulls. A view's
+    // null row emits when the watermark passes its match horizon
+    // v_ts + 10 min (it can only pair with LATER clicks); a click's null
+    // row emits when the watermark passes c_ts itself (it can only pair
+    // with EARLIER-OR-EQUAL views, so once no older view can arrive its
+    // state is provably dead) — the asymmetry falls straight out of the
+    // time-bound direction and the oracle models both sides exactly.
+    Q(
+      "stream_stream_full_outer",
+      Some("""WITH wm AS (
+             |  SELECT least(
+             |    (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM events
+             |      WHERE event_type='view'),
+             |    (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM events
+             |      WHERE event_type='click')) - 86400000000 AS wm_us),
+             |matched AS (
+             |  SELECT v.event_id AS view_id, c.event_id AS click_id,
+             |    v.user_id, epoch_us(c.ts) - epoch_us(v.ts) AS delta_us
+             |  FROM events v JOIN events c
+             |    ON v.user_id = c.user_id
+             |   AND v.event_type = 'view' AND c.event_type = 'click'
+             |   AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE),
+             |unmatched_v AS (
+             |  SELECT v.event_id AS view_id, CAST(NULL AS BIGINT) AS click_id,
+             |    v.user_id, CAST(NULL AS BIGINT) AS delta_us
+             |  FROM events v, wm
+             |  WHERE v.event_type = 'view'
+             |    AND epoch_us(v.ts) + 600000000 < wm.wm_us
+             |    AND NOT EXISTS (
+             |      SELECT 1 FROM events c
+             |      WHERE c.user_id = v.user_id AND c.event_type = 'click'
+             |        AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE)),
+             |unmatched_c AS (
+             |  SELECT CAST(NULL AS BIGINT) AS view_id, c.event_id AS click_id,
+             |    c.user_id, CAST(NULL AS BIGINT) AS delta_us
+             |  FROM events c, wm
+             |  WHERE c.event_type = 'click'
+             |    AND epoch_us(c.ts) < wm.wm_us
+             |    AND NOT EXISTS (
+             |      SELECT 1 FROM events v
+             |      WHERE v.user_id = c.user_id AND v.event_type = 'view'
+             |        AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE))
+             |SELECT * FROM matched
+             |UNION ALL SELECT * FROM unmatched_v
+             |UNION ALL SELECT * FROM unmatched_c
+             |ORDER BY view_id NULLS FIRST, click_id""".stripMargin),
+      (s, dir) => withStreamPartitions(s, 8) {
+        val views = eventsStream(s, dir)
+          .filter(col("event_type") === "view")
+          .select(
+            col("event_id").as("view_id"), col("user_id"),
+            col("ts").as("v_ts"))
+          .withWatermark("v_ts", "1 day")
+        val clicks = eventsStream(s, dir)
+          .filter(col("event_type") === "click")
+          .select(
+            col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+          .withWatermark("c_ts", "1 day")
+        val sink = s"ssfo_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_ssfo_ckpt").toString
+        val q = views
+          .join(
+            clicks,
+            col("user_id") === col("c_user") &&
+              col("c_ts") >= col("v_ts") &&
+              col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"),
+            "full_outer")
+          .writeStream
+          .queryName(sink)
+          .outputMode("append")
+          .format("memory")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+          .select(
+            col("view_id"), col("click_id"),
+            coalesce(col("user_id"), col("c_user")).as("user_id"),
+            (unix_micros(col("c_ts")) - unix_micros(col("v_ts")))
+              .as("delta_us"))
+          .oracleOrder("view_id", "click_id")
+      }),
+
     // Streaming CDC upsert sink — the Delta-style streaming MERGE on
     // vanilla parquet: a change stream (updates keyed on o_orderkey,
     // status 'U', price uplift; inserts keyed past the base range, status

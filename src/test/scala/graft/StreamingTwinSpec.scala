@@ -144,4 +144,38 @@ class StreamingTwinSpec extends SparkSpec {
     assert(nulls.forall(_.isNullAt(3)))
     assert(nulls.nonEmpty)
   }
+
+  test("stream-stream full outer: left-outer rows plus expired unmatched clicks") {
+    val fo = Registry.byId("stream_stream_full_outer").run(spark, sf).collect()
+    val lo = Registry.byId("stream_stream_left_outer").run(spark, sf).collect()
+    // Every left-outer row (matched + expired view nulls) appears verbatim.
+    def key(r: org.apache.spark.sql.Row) =
+      (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))
+    val foKeys = fo.map(key).toSet
+    assert(lo.map(key).toSet.subsetOf(foKeys))
+    // The extras are exactly the click-side nulls: view_id null, and their
+    // click set equals the batch expiry model (no view within the bound,
+    // c_ts below the final watermark).
+    val extras = fo.filter(_.isNullAt(0))
+    assert(extras.length == fo.length - lo.length)
+    val ev = Tables(spark, sf, "events")
+    val maxSide = (t: String) =>
+      ev.filter(col("event_type") === t)
+        .agg((floor(unix_micros(max(col("ts"))) / 1000) * 1000).cast("long"))
+        .collect().head.getLong(0)
+    val wmUs = math.min(maxSide("view"), maxSide("click")) - 86400000000L
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), unix_micros(col("ts")).as("vts"))
+    val expiredClicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"),
+        unix_micros(col("ts")).as("cts"))
+      .join(views,
+        col("cu") === col("vu") && col("cts") >= col("vts") &&
+          col("cts") <= col("vts") + lit(600000000L),
+        "left_anti")
+      .filter(col("cts") < lit(wmUs))
+      .select("cid").collect().map(_.getLong(0)).toSet
+    assert(extras.map(_.getLong(1)).toSet == expiredClicks)
+  }
 }
