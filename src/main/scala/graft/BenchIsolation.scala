@@ -37,7 +37,14 @@ object BenchIsolation {
     // round 13: the current >2s tail after the events-ts restore.
     "sim_ann_pq_topk",
     "ml_linreg_normal_eq",
-    "agg_weighted_median")
+    "agg_weighted_median",
+    // round 14: the new >2s rows — the stream machinery floors (full
+    // outer emits ~38k rows at sf0.1; the CDC sink rewrites the target
+    // three times) and the rotated-ADC index.
+    "stream_stream_full_outer",
+    "stream_cdc_upsert_sink",
+    "sim_ann_opq_topk",
+    "ml_kfold_cv")
 
   private def newSession(cpus: String): SparkSession = {
     val s = SparkSession.builder()
