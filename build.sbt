@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bare child stdout (no sbt `[info] ` prefix): the bench/verify mains print
+// single-line JSON envelopes that line-oriented scrapers (the round driver)
+// must be able to parse from a bounded tail of the build output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

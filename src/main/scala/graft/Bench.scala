@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,7 +19,10 @@ object Bench {
     // never sets it, so the per-round capture is always the full registry).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    val results = SparkEntry.queries
+    val loadBefore =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val samples = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       // noop sink, not count(): count() lets Catalyst prune every computed
@@ -36,20 +41,41 @@ object Bench {
       // which is amortized index-build cost, not query cost) cannot
       // manufacture a 10x artifact in a single sample. Totals reproduce
       // within ~10% across runs.
-      name -> math.min(once(), once())
+      name -> ((once(), once()))
     }
+    val results = samples.map { case (k, (a, b)) => k -> math.min(a, b) }
+    val loadAfter =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Two lines, same shape: the full per-query map first, then a compact
-    // final line (top-15 slowest, 3 dp) that fits inside a bounded tail
-    // capture of stdout — the full 110-query map is ~4 KB, so a consumer
-    // keeping only the last ~2 KB would otherwise see a truncated JSON line.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val load = f""""load_avg_1m":{"before":$loadBefore%.2f,"after":$loadAfter%.2f}"""
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$load,"sf":"$sfDir"}"""
+    // The complete per-query envelope ALSO lands on disk (VERDICT r14 item
+    // 5: the driver keeps only a bounded tail of stdout, so the full
+    // 237-query map was only ever recoverable from a truncated log line).
+    // The file carries both raw samples per query so a post-hoc adjudicator
+    // can separate first-run one-offs (index training, codegen compile)
+    // from steady-state cost without re-running.
+    val both = samples.map { case (k, (a, b)) =>
+      f""""$k":[$a%.3f,$b%.3f]""" }.mkString("{", ",", "}")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    Files.writeString(Paths.get(outPath),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""samples":$both,$load,"sf":"$sfDir"}""" + "\n")
+    // Three stdout lines, same shape: the full per-query map first, then a
+    // compact final line (top-15 slowest, 3 dp) that fits inside a bounded
+    // tail capture of stdout — the full 237-query map is ~10 KB, so a
+    // consumer keeping only the last ~2 KB would otherwise see a truncated
+    // JSON line. (`run / outputStrategy := StdoutOutput` keeps these bare —
+    // no `[info] ` prefix — so a line-oriented JSON scraper can parse them.)
+    println(fullLine)
     val top = results.toSeq.sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$top,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$top,$load,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
@@ -27,7 +28,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * like the composed form.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with FloatArrayFusedNullability {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
@@ -67,30 +68,52 @@ case class CosineSim(left: Expression, right: Expression)
     if (anyNull) null else ab / (math.sqrt(aa) * math.sqrt(bb))
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val ab = ctx.freshName("ab")
-      val aa = ctx.freshName("aa")
-      val bb = ctx.freshName("bb")
-      val xi = ctx.freshName("xi")
-      val yi = ctx.freshName("yi")
-      val anyNull = ctx.freshName("anyNull")
+  /** Standard-contract codegen — see [[FloatArrayFusedNullability]]: fresh
+    * locals only, result surfaced via `ev.copy`, caller's `ev.isNull` never
+    * written; null-element scan dropped when neither input declares
+    * `containsNull`.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val a = leftGen.value
+    val b = rightGen.value
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    val ab = ctx.freshName("ab")
+    val aa = ctx.freshName("aa")
+    val bb = ctx.freshName("bb")
+    val xi = ctx.freshName("xi")
+    val yi = ctx.freshName("yi")
+    val resIsNull = ctx.freshName("cosIsNull")
+    val resValue = ctx.freshName("cosValue")
+    val elemCheck =
+      if (elemsNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $resIsNull = true; break; }"
+      else ""
+    val body =
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
-         |boolean $anyNull = false;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
-         |  $ab += $xi * $yi; $aa += $xi * $xi; $bb += $yi * $yi;
+         |boolean $resIsNull = ${leftGen.isNull} || ${rightGen.isNull};
+         |double $resValue = 0.0;
+         |if (!$resIsNull) {
+         |  int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |  double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemCheck
+         |    double $xi = (double) $a.getFloat($i);
+         |    double $yi = (double) $b.getFloat($i);
+         |    $ab += $xi * $yi; $aa += $xi * $xi; $bb += $yi * $yi;
+         |  }
+         |  if (!$resIsNull) {
+         |    $resValue = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+         |  }
          |}
-         |if ($anyNull) { ${ev.isNull} = true; }
-         |else { ${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb)); }
        """.stripMargin
-    })
+    ev.copy(
+      code = leftGen.code + rightGen.code + code"$body",
+      isNull = if (nullable) JavaCode.isNullVariable(resIsNull) else FalseLiteral,
+      value = JavaCode.variable(resValue, DoubleType))
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =

@@ -4,10 +4,35 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 import org.apache.spark.sql.SparkSessionExtensions
+
+/** Shared nullability contract for the fused float-array expressions
+  * ([[DotProduct]], [[CosineSim]]): the result can be null not only when a
+  * child array is null (what `BinaryExpression.nullable` covers) but also
+  * when a scanned ELEMENT slot is null — possible only when either input's
+  * `ArrayType.containsNull` is true. Declaring this matters for codegen
+  * correctness: with non-nullable children (e.g. `slice(col)` against a
+  * `lit(Array[Float])` codebook centroid in the PQ encode projection),
+  * `nullSafeCodeGen`'s non-nullable branch never declares `ev.isNull`, so a
+  * body that writes it emits a reference to an undeclared name and Janino
+  * rejects the whole generated class (`"isNull_26" is not an rvalue`) —
+  * silently dropping the projection to interpreted execution. The fix is
+  * twofold: declare the real nullability here, and generate into fresh
+  * locals returned via `ev.copy` (never write into a caller-provided
+  * `ev.isNull`).
+  */
+private[functions] trait FloatArrayFusedNullability { self: BinaryExpression =>
+  /** True iff either input's element type admits null slots. */
+  protected final def elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
+  override def nullable: Boolean = left.nullable || right.nullable || elemsNullable
+}
 
 /** Native Catalyst expression: IEEE left-to-right dot product of two
   * FLOAT-array columns, with whole-stage codegen.
@@ -31,7 +56,7 @@ import org.apache.spark.sql.SparkSessionExtensions
   * instead — do not feed ragged arrays).
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with FloatArrayFusedNullability {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
@@ -65,23 +90,49 @@ case class DotProduct(left: Expression, right: Expression)
     if (anyNull) null else acc
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val acc = ctx.freshName("acc")
-      val anyNull = ctx.freshName("anyNull")
+  /** Standard-contract codegen: all state lives in FRESH locals declared in
+    * this expression's own code block, and the result is surfaced by
+    * returning `ev.copy(isNull = <fresh>, value = <fresh>)` — the caller's
+    * `ev.isNull` is never written, so the code compiles identically whether
+    * the planner considers the expression nullable or not and however Janino
+    * splits the surrounding projection. When neither input can hold a null
+    * element (`containsNull = false`, e.g. literal codebook centroids), the
+    * per-element null scan is dropped entirely and the loop is a pure fused
+    * multiply-add.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val a = leftGen.value
+    val b = rightGen.value
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    val acc = ctx.freshName("acc")
+    val resIsNull = ctx.freshName("dotIsNull")
+    val resValue = ctx.freshName("dotValue")
+    val elemCheck =
+      if (elemsNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $resIsNull = true; break; }"
+      else ""
+    val body =
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |boolean $anyNull = false;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |boolean $resIsNull = ${leftGen.isNull} || ${rightGen.isNull};
+         |double $resValue = 0.0;
+         |if (!$resIsNull) {
+         |  int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemCheck
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  if (!$resIsNull) { $resValue = $acc; }
          |}
-         |if ($anyNull) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
        """.stripMargin
-    })
+    ev.copy(
+      code = leftGen.code + rightGen.code + code"$body",
+      isNull = if (nullable) JavaCode.isNullVariable(resIsNull) else FalseLiteral,
+      value = JavaCode.variable(resValue, DoubleType))
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
@@ -117,6 +168,18 @@ object Native {
     "graft_normalize" -> { args =>
       require(args.length == 2, "graft_normalize expects (str, form)")
       UnicodeNormalize(args(0), args(1))
+    },
+    "graft_matvec" -> { args =>
+      require(args.length == 2, "graft_matvec expects (vec, W)")
+      MatVec(args(0), args(1))
+    },
+    "graft_pq_encode" -> { args =>
+      require(args.length == 2, "graft_pq_encode expects (vec, codebook)")
+      PqEncode(args(0), args(1))
+    },
+    "graft_pq_lut" -> { args =>
+      require(args.length == 2, "graft_pq_lut expects (vec, codebook)")
+      PqLut(args(0), args(1))
     },
     "graft_might_contain" -> { args =>
       require(args.length == 2, "graft_might_contain expects 2 arguments")
@@ -161,6 +224,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifierHelper("graft_grams"),
       new ExpressionInfo(classOf[Grams].getName, "graft_grams"),
       (args: Seq[Expression]) => Grams(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifierHelper("graft_matvec"),
+      new ExpressionInfo(classOf[MatVec].getName, "graft_matvec"),
+      (args: Seq[Expression]) => MatVec(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifierHelper("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (args: Seq[Expression]) => PqEncode(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifierHelper("graft_pq_lut"),
+      new ExpressionInfo(classOf[PqLut].getName, "graft_pq_lut"),
+      (args: Seq[Expression]) => PqLut(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifierHelper("graft_might_contain"),
       new ExpressionInfo(

@@ -147,13 +147,15 @@ object Quantizers {
     */
   def opqRotate(e: DataFrame, rot: Array[Array[Float]]): DataFrame = {
     graft.functions.Native.register(e.sparkSession)
-    import org.apache.spark.sql.functions.{call_function => cf}
+    import org.apache.spark.sql.functions.{call_function => cf, typedLit}
+    // One fused graft_matvec kernel (graft.functions.MatVec): bit-equal to
+    // the 64-column `array(graft_dot(embedding, lit(row)).cast("float"))`
+    // projection it replaces, but a single JIT-compilable loop nest with the
+    // rotation attached as a reference object instead of 4096 literal nodes.
     e.select(
       col("vec_id"),
-      array(rot.toIndexedSeq.map(r =>
-        cf("graft_dot", col("embedding"),
-          array(r.toIndexedSeq.map(lit): _*)).cast("float")): _*)
-        .as("embedding"))
+      cf("graft_matvec", col("embedding"),
+        typedLit(rot.map(_.toIndexedSeq).toIndexedSeq)).as("embedding"))
   }
 
   // ---- SemDeDup coarse quantizer (k grows with n) ----

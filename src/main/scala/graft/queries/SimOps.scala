@@ -521,47 +521,48 @@ object SimOps extends QueryPack {
 
   // ---- shared PQ plan fragments (sim_ann_pq_topk / sim_ann_ivfpq_topk) ----
 
-  private def pqSubv(si: Int): Column =
-    slice(col("embedding"), si * PqSubDim + 1, PqSubDim)
+  /** The trained codebook as ONE literal (`typedLit` -> a single nested
+    * `Literal` node — not 4x16x16 `lit` leaves, which made every Catalyst
+    * pass over the PQ plans seconds-slow on the driver).
+    */
+  private def pqCbLit(cb: Array[Array[Array[Float]]]): Column =
+    typedLit(cb.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
 
-  private def pqCbLit(cb: Array[Array[Array[Float]]])(si: Int, c: Int): Column =
-    array(cb(si)(c).toIndexedSeq.map(lit): _*)
-
-  /** PQ-encode every embedding: (idAlias, code0..codeN). First-minimal
-    * argmin, LINEAR in the codeword count (see sim_ann_pq_topk's note —
-    * a pairwise when-chain is O(k^2) nodes and stalls Catalyst at k=16).
+  /** PQ-encode every embedding: (idAlias, code0..codeN). ONE fused
+    * `graft_pq_encode` kernel (graft.functions.PqEncode) computes all
+    * subspace argmins per row — bit-equal to the
+    * `array_position(ds, array_min(ds)) - 1` chain over
+    * `cc - 2*graft_dot(slice, codeword)` columns it replaces (first-minimal
+    * argmin, LINEAR in the codeword count; equality asserted in
+    * NativeDotSpec). The fused form exists because the 64-dot expression
+    * tree could not be split inside whole-stage codegen and ran as a
+    * non-JIT-able megamethod — the round-14 bench tail.
     */
   private def pqCodesDf(
       e: org.apache.spark.sql.DataFrame,
       cb: Array[Array[Array[Float]]],
-      idAlias: String): org.apache.spark.sql.DataFrame = {
-    val cc = pqCc(cb) _
-    val dsCols = (0 until PqSubs).map { si =>
-      array((0 until PqCodes).map(c =>
-        lit(cc(si, c)) - lit(2.0) * ndot(pqSubv(si), pqCbLit(cb)(si, c))): _*)
-        .as(s"ds$si")
-    }
-    e.select((col("vec_id").as(idAlias) +: dsCols): _*)
+      idAlias: String): org.apache.spark.sql.DataFrame =
+    e.select(
+      col("vec_id").as(idAlias),
+      call_function("graft_pq_encode", col("embedding"), pqCbLit(cb)).as("pc"))
       .select(
         col(idAlias) +:
           (0 until PqSubs).map(si =>
-            (array_position(col(s"ds$si"), array_min(col(s"ds$si"))) - 1)
-              .cast("int").as(s"code$si")): _*)
-  }
+            element_at(col("pc"), si + 1).as(s"code$si")): _*)
 
-  /** Per-query exact 4x16 ADC lookup table columns `ql_<sub>_<code>`. */
-  private def pqLutCols(cb: Array[Array[Array[Float]]]): Seq[Column] = {
-    val cc = pqCc(cb) _
-    for (si <- 0 until PqSubs; c <- 0 until PqCodes) yield
-      (ndot(pqSubv(si), pqSubv(si)) - lit(2.0) * ndot(pqSubv(si), pqCbLit(cb)(si, c)) +
-        lit(cc(si, c))).as(s"ql_${si}_$c")
-  }
+  /** Per-query exact 4x16 ADC lookup table as ONE `ARRAY<DOUBLE>` column
+    * `lut` (`lut[s*codes + c]`), fused by graft.functions.PqLut —
+    * value-identical to the 64 `ql_<sub>_<code>` projection columns it
+    * replaces (NativeDotSpec).
+    */
+  private def pqLutCol(cb: Array[Array[Array[Float]]]): Column =
+    call_function("graft_pq_lut", col("embedding"), pqCbLit(cb)).as("lut")
 
-  /** Approximate distance = sum over subspaces of LUT[code]. */
+  /** Approximate distance = sum over subspaces of LUT[code] (ascending
+    * subspace order — the oracle's CASE-chain summation order).
+    */
   private def pqAdistCol: Column = (0 until PqSubs).map { si =>
-    element_at(
-      array((0 until PqCodes).map(c => col(s"ql_${si}_$c")): _*),
-      col(s"code$si") + 1)
+    element_at(col("lut"), lit(si * PqCodes) + col(s"code$si") + 1)
   }.reduce(_ + _)
 
   def queries: Seq[Q] = Seq(
@@ -794,7 +795,7 @@ object SimOps extends QueryPack {
         // building blocks of the composed sim_ann_ivfpq_topk index).
         val codes = pqCodesDf(e, cb, "qb")
         val q = e.filter(col("vec_id") < 20)
-          .select((col("vec_id").as("qa") +: pqLutCols(cb)): _*)
+          .select(col("vec_id").as("qa"), pqLutCol(cb))
         // ADC shortlist over the code table, then exact re-rank of the
         // shortlist only (raw vectors re-join by key — never scanned).
         val wAd = Window.partitionBy("qa").orderBy(col("adist"), col("qb"))
@@ -838,7 +839,7 @@ object SimOps extends QueryPack {
         val rot = graft.ml.Quantizers.opqRotate(e, rotW).localCheckpoint()
         val codes = pqCodesDf(rot, cb, "qb")
         val q = rot.filter(col("vec_id") < 20)
-          .select((col("vec_id").as("qa") +: pqLutCols(cb)): _*)
+          .select(col("vec_id").as("qa"), pqLutCol(cb))
         val wAd = Window.partitionBy("qa").orderBy(col("adist"), col("qb"))
         val shortlist = broadcast(q).crossJoin(codes)
           .filter(col("qa") =!= col("qb"))
@@ -1034,7 +1035,7 @@ object SimOps extends QueryPack {
         // The persisted index: list id + PQ codes per vector.
         val codes = pqCodesDf(e, cb, "qb").join(assigned, "qb")
         val q = e.filter(col("vec_id") < 20)
-          .select((col("vec_id").as("qa") +: pqLutCols(cb)): _*)
+          .select(col("vec_id").as("qa"), pqLutCol(cb))
         // Each query expands to its <=2 probed lists; the join on cid is the
         // list-prune — candidates never leave their list partition.
         val probed = probes.join(q, "qa")
