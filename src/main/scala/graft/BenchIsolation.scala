@@ -44,7 +44,10 @@ object BenchIsolation {
     "stream_stream_full_outer",
     "stream_cdc_upsert_sink",
     "sim_ann_opq_topk",
-    "ml_kfold_cv")
+    "ml_kfold_cv",
+    // round 15: the round-14 worst row, previously missing from the set
+    // (VERDICT r14 item 3) — re-measured after the fused-kernel fix.
+    "sim_ann_ivfpq_topk")
 
   private def newSession(cpus: String): SparkSession = {
     val s = SparkSession.builder()

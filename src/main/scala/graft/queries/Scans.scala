@@ -502,11 +502,12 @@ object Scans extends QueryPack {
         val changes = base
           .filter(col("pri").isin("1-URGENT", "2-HIGH"))
           .withColumn("o_totalprice", col("o_totalprice") * 1.1)
-        val key = "spark.sql.sources.partitionOverwriteMode"
-        val prev = s.conf.getOption(key)
-        s.conf.set(key, "dynamic")
-        try changes.write.mode("overwrite").partitionBy("pri").parquet(run)
-        finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+        // Writer-scoped option, NOT a session-conf set/restore (ADVICE r14):
+        // a concurrent writer on a shared session can never observe dynamic
+        // mode this way.
+        changes.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("pri").parquet(run)
         s.read.parquet(run)
           .groupBy(col("pri"))
           .agg(cnt.as("n"), round(dsum(col("o_totalprice")), 4).as("s"))

@@ -265,7 +265,7 @@ object StreamingQueries extends QueryPack {
              |FROM r, mx
              |WHERE NOT (rn = 1 AND t_end > mts - INTERVAL 30 MINUTE)
              |ORDER BY user_id, s_start""".stripMargin),
-      (s, dir) => withStreamPartitions(s, 8) {
+      (s, dir) => withStreamPartitions(s, 2) {
         import s.implicits._
         import graft.streaming.Sessionize
         val sink = s"sess_${java.util.UUID.randomUUID.toString.replace("-", "")}"
@@ -301,7 +301,7 @@ object StreamingQueries extends QueryPack {
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
              |  CAST(COUNT(*) AS BIGINT) AS n
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
-      (s, dir) => withStreamPartitions(s, 8) {
+      (s, dir) => withStreamPartitions(s, 2) {
         val out = s"${System.getProperty("java.io.tmpdir")}/graft_feb_sink"
         val ckpt = java.nio.file.Files
           .createTempDirectory("graft_feb_ckpt").toString
@@ -370,7 +370,7 @@ object StreamingQueries extends QueryPack {
              |UNION ALL SELECT * FROM unmatched_v
              |UNION ALL SELECT * FROM unmatched_c
              |ORDER BY view_id NULLS FIRST, click_id""".stripMargin),
-      (s, dir) => withStreamPartitions(s, 8) {
+      (s, dir) => withStreamPartitions(s, 2) {
         val views = eventsStream(s, dir)
           .filter(col("event_type") === "view")
           .select(
@@ -441,7 +441,7 @@ object StreamingQueries extends QueryPack {
              |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
              |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS s
              |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin),
-      (s, dir) => withStreamPartitions(s, 8) {
+      (s, dir) => withStreamPartitions(s, 2) {
         val base = Tables(s, dir, "orders")
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
         // Stage the three key-disjoint change batches once per
@@ -475,7 +475,15 @@ object StreamingQueries extends QueryPack {
         val target = s"$run/target"
         val log = s"$run/log"
         val ckpt = s"$run/ckpt"
-        base.write.parquet(target)
+        // PARTITION-TARGETED merge (ADVICE r14): the target is laid out in
+        // key-hash buckets (`pb = o_orderkey % 3` — the same function that
+        // makes the staged change batches key-disjoint), so each
+        // micro-batch's merge reads and rewrites EXACTLY the one bucket its
+        // keys hash to instead of the whole table. This is the real
+        // lakehouse MERGE shape: at 100 TB a change batch touches its
+        // partitions, never the full target.
+        base.withColumn("pb", pmod(col("o_orderkey"), lit(3)))
+          .write.partitionBy("pb").parquet(target)
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log))
         batches.zipWithIndex.foreach { case (f, i) =>
           java.nio.file.Files.copy(
@@ -488,19 +496,25 @@ object StreamingQueries extends QueryPack {
           .writeStream
           .outputMode("append")
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            val merged = s.read.parquet(target).as("b")
-              .join(batch.as("c"),
-                col("b.o_orderkey") === col("c.o_orderkey"), "full_outer")
-              .select(
-                coalesce(col("c.o_orderkey"), col("b.o_orderkey"))
-                  .as("o_orderkey"),
-                coalesce(col("c.o_orderstatus"), col("b.o_orderstatus"))
-                  .as("o_orderstatus"),
-                coalesce(col("c.o_totalprice"), col("b.o_totalprice"))
-                  .as("o_totalprice"))
-              // Materialize BEFORE overwriting the directory being read.
-              .localCheckpoint()
-            merged.write.mode("overwrite").parquet(target)
+            // Every staged batch is key-pure in pb; an empty micro-batch
+            // (AvailableNow's trailing commit) merges nothing.
+            batch.select(pmod(col("o_orderkey"), lit(3)).as("pb"))
+              .distinct().collect().map(_.getLong(0)).foreach { b =>
+              val part = s"$target/pb=$b"
+              val merged = s.read.parquet(part).as("b")
+                .join(batch.as("c"),
+                  col("b.o_orderkey") === col("c.o_orderkey"), "full_outer")
+                .select(
+                  coalesce(col("c.o_orderkey"), col("b.o_orderkey"))
+                    .as("o_orderkey"),
+                  coalesce(col("c.o_orderstatus"), col("b.o_orderstatus"))
+                    .as("o_orderstatus"),
+                  coalesce(col("c.o_totalprice"), col("b.o_totalprice"))
+                    .as("o_totalprice"))
+                // Materialize BEFORE overwriting the directory being read.
+                .localCheckpoint()
+              merged.write.mode("overwrite").parquet(part)
+            }
           }
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
@@ -530,7 +544,7 @@ object StreamingQueries extends QueryPack {
              |         + (CASE WHEN MIN(day(ts)) <= 20 THEN 1 ELSE 0 END) AS INT)
              |    AS n_versions
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-      (s, dir) => withStreamPartitions(s, 8) {
+      (s, dir) => withStreamPartitions(s, 2) {
         // One file per generation so the stream genuinely tails the log
         // incrementally (3 micro-batches), not as one bulk load.
         val logDir = metricsSpools.getOrElseUpdate(
@@ -598,7 +612,7 @@ object StreamingQueries extends QueryPack {
              |     (SELECT DISTINCT event_type, date_trunc('month', ts) FROM events))
              |    AS run2_input_rows
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-      (s, dir) => withStreamPartitions(s, 8) {
+      (s, dir) => withStreamPartitions(s, 2) {
         val base = java.nio.file.Files
           .createTempDirectory("graft_restart").toString
         val logDir = s"$base/log"
@@ -678,7 +692,7 @@ object StreamingQueries extends QueryPack {
              |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v
              |FROM events JOIN customer ON user_id = c_custkey
              |GROUP BY 1 ORDER BY 1""".stripMargin),
-      (s, dir) => withStreamPartitions(s, 8) {
+      (s, dir) => withStreamPartitions(s, 2) {
         val dim = Tables(s, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment"))
         val sink = s"sse_${java.util.UUID.randomUUID.toString.replace("-", "")}"
@@ -718,7 +732,7 @@ object StreamingQueries extends QueryPack {
              | AND v.event_type = 'view' AND c.event_type = 'click'
              | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
              |ORDER BY view_id, click_id""".stripMargin),
-      (s, dir) => withStreamPartitions(s, 8) {
+      (s, dir) => withStreamPartitions(s, 2) {
         val views = eventsStream(s, dir)
           .filter(col("event_type") === "view")
           .select(
@@ -801,7 +815,7 @@ object StreamingQueries extends QueryPack {
              |SELECT * FROM matched
              |UNION ALL SELECT * FROM unmatched
              |ORDER BY view_id, click_id""".stripMargin),
-      (s, dir) => withStreamPartitions(s, 8) {
+      (s, dir) => withStreamPartitions(s, 2) {
         val views = eventsStream(s, dir)
           .filter(col("event_type") === "view")
           .select(
@@ -863,7 +877,7 @@ object StreamingQueries extends QueryPack {
              |FROM agg, mx
              |WHERE epoch_us(w_start) + 3600000000 <= wm_us
              |ORDER BY ws, event_type""".stripMargin),
-      (s, dir) => withStreamPartitions(s, 8) {
+      (s, dir) => withStreamPartitions(s, 2) {
         val sink = s"mem_${java.util.UUID.randomUUID.toString.replace("-", "")}"
         val ckpt = java.nio.file.Files
           .createTempDirectory("graft_stream_ckpt").toString
@@ -916,7 +930,7 @@ object StreamingQueries extends QueryPack {
              |FROM agg, mx
              |WHERE epoch_us(w_start) + 3600000000 <= wm_us
              |ORDER BY ws""".stripMargin),
-      (s, dir) => withStreamPartitions(s, 8) {
+      (s, dir) => withStreamPartitions(s, 2) {
         val sink = s"mem_${java.util.UUID.randomUUID.toString.replace("-", "")}"
         val ckpt = java.nio.file.Files
           .createTempDirectory("graft_stream_ckpt").toString
