@@ -61,10 +61,15 @@ object Bench {
     // from steady-state cost without re-running.
     val both = samples.map { case (k, (a, b)) =>
       f""""$k":[$a%.3f,$b%.3f]""" }.mkString("{", ",", "}")
+    // Declared output-linear queries (Q.outputLinear): the scale probe
+    // (tools/bench_scale.py) prices their slope as expected result volume
+    // instead of flagging them super-linear every round.
+    val outLinear = Registry.all.filter(_.outputLinear).map(q => s""""${q.id}"""")
+      .mkString("[", ",", "]")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     Files.writeString(Paths.get(outPath),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""samples":$both,$load,"sf":"$sfDir"}""" + "\n")
+        s""""samples":$both,"output_linear":$outLinear,$load,"sf":"$sfDir"}""" + "\n")
     // Three stdout lines, same shape: the full per-query map first, then a
     // compact final line (top-15 slowest, 3 dp) that fits inside a bounded
     // tail capture of stdout — the full 237-query map is ~10 KB, so a

@@ -18,7 +18,8 @@ final case class Q(
     id: String,
     oracle: Option[String],
     run: (SparkSession, String) => DataFrame,
-    oracleGen: Option[(SparkSession, String) => String] = None) {
+    oracleGen: Option[(SparkSession, String) => String] = None,
+    outputLinear: Boolean = false) {
   def oracleFor(s: SparkSession, dir: String): Option[String] =
     oracleGen.map(_(s, dir)).orElse(oracle)
 }

@@ -598,7 +598,12 @@ object MLOps extends QueryPack {
           .select(
             col("event_id"), col("cls"),
             col("idx").cast("int").as("idx"), col("bit").cast("int").as("bit"))
-          .oracleOrder("event_id", "idx")),
+          .oracleOrder("event_id", "idx"),
+      // Output is one row per input event x 9 classes — declared
+      // output-linear so the scale probe prices the presentation-sorted
+      // result volume as expected, not as a super-linear flag (VERDICT r14
+      // item 8; isolated re-measures adjudicated it linear every round).
+      outputLinear = true),
 
     // The training loop: 3 fixed gradient-descent steps for
     // l_extendedprice ~ l_quantity. Sufficient statistics: for a quadratic

@@ -55,5 +55,8 @@ object SetOps extends QueryPack {
       (s, dir) =>
         Tables(s, dir, "lineitem").select(col("l_partkey").as("p_partkey"))
           .intersect(Tables(s, dir, "part").filter(col("p_size") > 25).select("p_partkey"))
-          .oracleOrder("p_partkey")))
+          .oracleOrder("p_partkey"),
+      // Output cardinality tracks the distinct-key volume (data-linear) —
+      // declared for the scale probe (VERDICT r14 item 8).
+      outputLinear = true))
 }

@@ -18,8 +18,16 @@ def main():
     small_path, big_path, factor = sys.argv[1], sys.argv[2], float(sys.argv[3])
     small = json.load(open(small_path))
     big = json.load(open(big_path))
+    # Queries the registry DECLARES output-linear (Q.outputLinear, emitted
+    # by graft.Bench as "output_linear"): their result volume scales with
+    # the input by design, so a slope tracking the data factor is the
+    # EXPECTED price of the presentation-sorted output, not a regression.
+    # They are reported separately instead of flagged (VERDICT r14 item 8).
+    declared_linear = set(small.get("output_linear", [])) | \
+        set(big.get("output_linear", []))
     qs = {}
     flagged = []
+    expected_linear = []
     for name, t_small in sorted(small["queries"].items()):
         # A query absent from the big capture (added/removed between runs)
         # is skipped; a PRESENT-but-null timing is a FAILURE at that scale
@@ -37,7 +45,11 @@ def main():
         qs[name] = {"t_small": round(t_small, 3), "t_big": round(t_big, 3),
                     "slope": slope}
         if slope is not None and slope > factor and t_big > 1.0:
-            flagged.append(name)
+            if name in declared_linear:
+                expected_linear.append(name)
+                qs[name]["output_linear"] = True
+            else:
+                flagged.append(name)
     # Totals over the SHARED query set only, so a query present on one side
     # only (added/removed between captures) cannot skew the slope.
     ts = sum(v["t_small"] for v in qs.values() if not v.get("failed"))
@@ -51,6 +63,7 @@ def main():
         "total_big": round(tb, 2),
         "total_slope": round(tb / ts, 2) if ts > 0 else None,
         "flagged_superlinear": flagged,
+        "expected_output_linear": expected_linear,
         "queries": qs,
     }
     json.dump(out, sys.stdout, indent=1)
