@@ -17,9 +17,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Q(
     id: String,
     oracle: Option[String],
-    run: (SparkSession, String) => DataFrame,
+    body: (SparkSession, String) => DataFrame,
     oracleGen: Option[(SparkSession, String) => String] = None,
     outputLinear: Boolean = false) {
+  /** Build the query plan. Registers the native function surface first:
+    * most builders hit it via [[Tables]], but a few read files directly
+    * (e.g. the bloom-filter join, which must see real scans, not
+    * InMemoryRelations), and they still resolve `graft_*` functions.
+    */
+  def run(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Native.register(s)
+    body(s, dir)
+  }
+
   def oracleFor(s: SparkSession, dir: String): Option[String] =
     oracleGen.map(_(s, dir)).orElse(oracle)
 }

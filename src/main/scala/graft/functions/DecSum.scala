@@ -1,0 +1,123 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal, BigInteger, RoundingMode}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType, IntegerType}
+
+/** Mutable exact-decimal running sum ([[DecSum]]'s aggregation buffer). */
+final class DecSumBuffer(var sum: JBigDecimal, var seen: Boolean)
+
+/** `graft_dsum(x, p, s)`: the engine's exact-decimal sum dialect
+  * (`SUM(CAST(x AS DECIMAL(p,s)))` cast back to DOUBLE) as a typed
+  * imperative aggregate with ONE mutable `java.math.BigDecimal` accumulator
+  * per group.
+  *
+  * Why: the declarative `sum(col.cast(DecimalType(p,s)))` form pays a
+  * per-ROW round-trip through the unsafe aggregation buffer — for p > 18
+  * that is a BigInteger byte-array serialize/deserialize per input row —
+  * which made every decimal-exact aggregate scan-bound at ~1.5M rows/s
+  * (profiled: 1.9s for five decimal sums over 600k rows where the same five
+  * double sums run 0.3s). Here the buffer is a live object (the
+  * ObjectHashAggregate path), each row pays one `BigDecimal.valueOf` + one
+  * `add`, and serialization happens once per GROUP at partial/final merge.
+  *
+  * Exactness contract (bit-equal to the replaced form, DecSumSpec):
+  * - per-row cast replicates Spark's `Cast(double -> DecimalType(p,s))`:
+  *   `BigDecimal.valueOf(d)` (shortest-repr semantics, exactly Spark's
+  *   `Decimal(d)`) then `setScale(s, HALF_UP)`; a value whose integral
+  *   digits exceed p-s casts to null and is SKIPPED, like the row-level
+  *   cast-overflow null the decimal form produced;
+  * - NaN/Infinity cast to null and are skipped (same as Cast);
+  * - decimal addition is exact, so accumulation/merge order cannot change
+  *   the sum — partial aggregation and any shuffle merge order are safe;
+  * - the result replays `SUM(DECIMAL(p,s))`'s type contract: result
+  *   precision `min(38, p+10)`, overflow => null, else the same
+  *   `Decimal.toDouble` (correctly-rounded `BigDecimal.doubleValue`).
+  */
+case class DecSum(
+    child: Expression,
+    precExpr: Expression,
+    scaleExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[DecSumBuffer] {
+
+  private lazy val prec: Int = precExpr.eval(null).asInstanceOf[Int]
+  private lazy val scale: Int = scaleExpr.eval(null).asInstanceOf[Int]
+  /** Input digits cap (integral part) replicating Cast's per-row overflow. */
+  @transient private lazy val rowCap: JBigDecimal =
+    JBigDecimal.TEN.pow(prec - scale)
+  /** Result digits cap replicating SUM(DECIMAL(p,s))'s `min(38, p+10)`. */
+  @transient private lazy val sumCap: JBigDecimal =
+    JBigDecimal.TEN.pow(math.min(38, prec + 10) - scale)
+
+  override def children: Seq[Expression] = Seq(child, precExpr, scaleExpr)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a DOUBLE child, got ${child.dataType.catalogString}")
+    else if (!precExpr.foldable || !scaleExpr.foldable ||
+      precExpr.dataType != IntegerType || scaleExpr.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires literal INT (precision, scale)")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dsum"
+
+  override def createAggregationBuffer(): DecSumBuffer =
+    new DecSumBuffer(JBigDecimal.ZERO.setScale(scale), false)
+
+  override def update(buf: DecSumBuffer, input: InternalRow): DecSumBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val d = v.asInstanceOf[Double]
+      if (!d.isNaN && !d.isInfinite) {
+        val dec = JBigDecimal.valueOf(d).setScale(scale, RoundingMode.HALF_UP)
+        if (dec.abs.compareTo(rowCap) < 0) {
+          buf.sum = buf.sum.add(dec)
+          buf.seen = true
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: DecSumBuffer, other: DecSumBuffer): DecSumBuffer = {
+    if (other.seen) {
+      buf.sum = buf.sum.add(other.sum)
+      buf.seen = true
+    }
+    buf
+  }
+
+  override def eval(buf: DecSumBuffer): Any =
+    if (!buf.seen) null
+    else if (buf.sum.abs.compareTo(sumCap) >= 0) null // sum-type overflow
+    else buf.sum.doubleValue
+
+  override def serialize(buf: DecSumBuffer): Array[Byte] = {
+    if (!buf.seen) Array.emptyByteArray
+    else buf.sum.unscaledValue.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): DecSumBuffer =
+    if (bytes.isEmpty) createAggregationBuffer()
+    else new DecSumBuffer(
+      new JBigDecimal(new BigInteger(bytes), scale), true)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): DecSum =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DecSum =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DecSum =
+    copy(child = newChildren(0), precExpr = newChildren(1),
+      scaleExpr = newChildren(2))
+}

@@ -140,7 +140,7 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object Native {
-  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[functions] val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> { args =>
       require(args.length == 2, "graft_dot expects 2 arguments")
       DotProduct(args(0), args(1))
@@ -181,6 +181,10 @@ object Native {
       require(args.length == 2, "graft_pq_lut expects (vec, codebook)")
       PqLut(args(0), args(1))
     },
+    "graft_dsum" -> { args =>
+      require(args.length == 3, "graft_dsum expects (x, precision, scale)")
+      DecSum(args(0), args(1), args(2))
+    },
     "graft_might_contain" -> { args =>
       require(args.length == 2, "graft_might_contain expects 2 arguments")
       org.apache.spark.sql.catalyst.expressions
@@ -194,11 +198,26 @@ object Native {
     })
 
   /** Idempotent per-session registration (temp functions live in the
-    * session's registry).
+    * session's registry). Called from every `Tables` access, so it probes
+    * the session's OWN registry as the done-marker — an identity-hash
+    * memo would mistake a fresh session for a seen one after GC reuses
+    * the hash (sessions are cheap and plentiful in fresh-REPL tests).
     */
-  def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction(name, b, "built-in")
+  def register(spark: SparkSession): Unit = {
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dsum"))) return
+    fns.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
+    // DecSum runs on the ObjectHashAggregate path, whose default in-memory
+    // hash map capacity (spark.sql.objectHashAggregate.sortBased.
+    // fallbackThreshold = 128 keys) silently degrades any >128-group
+    // aggregate to SORT-BASED execution — a full sort of the input for a
+    // hash-shaped query. One live BigDecimal per (group, function) is tiny,
+    // so size the map for real group cardinalities instead.
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
   }
 }
 
@@ -208,48 +227,14 @@ object Native {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifierHelper("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifierHelper("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifierHelper("graft_gram_hashes"),
-      new ExpressionInfo(classOf[GramHashes].getName, "graft_gram_hashes"),
-      (args: Seq[Expression]) => GramHashes(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifierHelper("graft_grams"),
-      new ExpressionInfo(classOf[Grams].getName, "graft_grams"),
-      (args: Seq[Expression]) => Grams(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifierHelper("graft_matvec"),
-      new ExpressionInfo(classOf[MatVec].getName, "graft_matvec"),
-      (args: Seq[Expression]) => MatVec(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifierHelper("graft_pq_encode"),
-      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
-      (args: Seq[Expression]) => PqEncode(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifierHelper("graft_pq_lut"),
-      new ExpressionInfo(classOf[PqLut].getName, "graft_pq_lut"),
-      (args: Seq[Expression]) => PqLut(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifierHelper("graft_might_contain"),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
-        "graft_might_contain"),
-      (args: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifierHelper("graft_bloom_agg"),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
-        "graft_bloom_agg"),
-      (args: Seq[Expression]) => new org.apache.spark.sql.catalyst.expressions
-        .aggregate.BloomFilterAggregate(args(0), args(1), args(2))))
+    // One source of truth: inject exactly the temp-function surface
+    // (`Native.fns`) so the two deployment paths cannot drift.
+    Native.fns.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifierHelper(name),
+        new ExpressionInfo(classOf[Native.type].getName, name),
+        builder))
+    }
     ext.injectOptimizerRule(_ => graft.plans.RewritePowAsMultiply)
   }
 }

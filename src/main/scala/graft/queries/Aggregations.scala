@@ -55,8 +55,8 @@ object Aggregations extends QueryPack {
           .agg(
             dsum(col("l_quantity")).as("sum_qty"),
             dsum(col("l_extendedprice")).as("sum_base"),
-            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-              .cast(DecimalType(18, 6))).cast("double").as("sum_disc"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .as("sum_disc"),
             round(davg(col("l_quantity")), 6).as("avg_qty"),
             cnt.as("n"))
           .oracleOrder("l_returnflag", "l_linestatus")),
@@ -997,10 +997,18 @@ object Aggregations extends QueryPack {
             .when(h < 981012, 3).when(h < 996340, 4).when(h < 999406, 5)
             .otherwise(6)
         }
+        // This ONE aggregate is pinned to the DECLARATIVE decimal dialect:
+        // 96 aggregate functions over a single global group is the shape
+        // where codegen'd unsafe-buffer sums beat the typed DecSum (one
+        // buffer total, so there is no per-group serialization to save,
+        // while DecSum would pay 64 interpreted child evals + BigDecimal
+        // allocs per row; measured +0.7 s). Aggregates stay all-typed or
+        // all-declarative — mixing forces the slow configuration of both.
         val aggExprs: Seq[Column] =
-          Seq(cnt.as("n"), (dsum(col("value")) / cnt).as("mean")) ++
+          Seq(cnt.as("n"), (dsumDecl(col("value")) / cnt).as("mean")) ++
             (0 until 32).flatMap(r => Seq(
-              sum((wt(r) * col("value")).cast(DecimalType(20, 6))).as(s"sv$r"),
+              sum((wt(r) * col("value")).cast(DecimalType(20, 6)))
+                .cast("double").as(s"sv$r"),
               sum(wt(r)).as(s"sw$r")))
         // ONE scan, one global partial-aggregated fold of all replicas +
         // base stats; the single output row is materialized for its three

@@ -44,9 +44,11 @@ object Joins extends QueryPack {
 
   @volatile private[graft] var lastBloomPlan: String = ""
 
+  /** Declarative decimal dialect on purpose: these joins' pinned plan
+    * shapes stay pure whole-stage-codegen HashAggregate pipelines.
+    */
   private val revenue =
-    sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-      .cast(DecimalType(18, 6))).cast("double")
+    dsumDecl(col("l_extendedprice") * (lit(1) - col("l_discount")))
 
   def queries: Seq[Q] = Seq(
     Q(

@@ -229,7 +229,7 @@ object MLOps extends QueryPack {
           .select(col("c_mktsegment").as("seg"), col("o_orderkey"), col("o_totalprice").as("v"))
         val stats = j.groupBy("seg").agg(
           dsum(col("v")).as("s1"),
-          sum((col("v") * col("v")).cast(DecimalType(30, 10))).cast("double").as("s2"),
+          dsumWide(col("v") * col("v")).as("s2"),
           cnt.as("n"))
         j.join(broadcast(stats), "seg")
           .select(
@@ -489,8 +489,10 @@ object MLOps extends QueryPack {
       (s, dir) => {
         val x1 = col("l_quantity"); val x2 = col("l_discount")
         val y = col("l_extendedprice")
-        def wide(c: org.apache.spark.sql.Column) =
-          sum(c.cast(DecimalType(30, 10))).cast("double")
+        // All-typed with the dsum siblings below: one declarative decimal
+        // sum in this aggregate would ride the ObjectHashAggregate path
+        // without the mutable-buffer win.
+        def wide(c: org.apache.spark.sql.Column) = dsumWide(c)
         val nd = col("n").cast("double")
         val m11 = (nd * col("s11") - col("sx1") * col("sx1")).as("m11")
         val m12 = (nd * col("s12") - col("sx1") * col("sx2")).as("m12")

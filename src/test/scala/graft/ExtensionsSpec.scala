@@ -13,18 +13,15 @@ class ExtensionsSpec extends SparkSpec {
     val reg = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
     val before = reg.listFunction().size
     org.apache.spark.sql.GraftTestHooks.registerFunctions(ext, reg)
-    assert(reg.listFunction().size == before + 6)
-    assert(reg.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
-    assert(reg.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine")))
-    assert(reg.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_gram_hashes")))
-    assert(reg.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_grams")))
-    assert(reg.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_might_contain")))
-    assert(reg.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_agg")))
+    // The whole temp-function surface rides the extension (one source of
+    // truth — Native.fns drives both paths).
+    val names = Seq(
+      "graft_dot", "graft_cosine", "graft_gram_hashes", "graft_grams",
+      "graft_normalize", "graft_matvec", "graft_pq_encode", "graft_pq_lut",
+      "graft_dsum", "graft_might_contain", "graft_bloom_agg")
+    assert(reg.listFunction().size == before + names.size)
+    for (n <- names)
+      assert(reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(n)), n)
   }
 }

@@ -246,7 +246,9 @@ class PlanShapeSpec extends SparkSpec {
     val p = graft.queries.MLOps.pcaGram(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("partial_sum"), p)
+    // Map-side partials, whichever exact-sum dialect implements them (the
+    // declarative decimal sum or the typed DecSum aggregate).
+    assert(p.contains("partial_sum") || p.contains("partial_graft_dsum"), p)
   }
 
   test("full outer cohort join pre-aggregates both sides below the SMJ") {
@@ -295,7 +297,8 @@ class PlanShapeSpec extends SparkSpec {
     val df = Registry.byId("agg_skew_kurtosis").run(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert("partial_sum".r.findAllIn(p).size >= 4, p)
+    assert("partial_sum".r.findAllIn(p).size +
+      "partial_graft_dsum".r.findAllIn(p).size >= 4, p)
     assert(!p.contains("Join"), p)
   }
 
