@@ -699,15 +699,25 @@ object Aggregations extends QueryPack {
              |FROM c WHERE 2 * cw >= tot GROUP BY flag
              |ORDER BY flag""".stripMargin),
       (s, dir) => {
-        val byV = Window.partitionBy("flag").orderBy("v")
+        // The oracle's per-value pre-aggregation exists for SQL clarity, not
+        // efficiency: `v` is near-unique (rounded price), so a groupBy
+        // (flag, v) is a ~|rows|-group hash aggregate that reduces nothing —
+        // two exchanges plus corpus-sized hash tables before the window even
+        // starts. The default SQL window frame (RANGE UNBOUNDED PRECEDING ..
+        // CURRENT ROW) already folds ties into one bucket, so the cumulative
+        // weight over RAW rows is identical to the grouped form: one
+        // flag-partitioned sort, no aggregate. Decimal window sums keep the
+        // result order-independent and bit-equal to the oracle.
+        val byVRange = Window.partitionBy("flag").orderBy("v")
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
         val whole = Window.partitionBy("flag")
         Tables(s, dir, "lineitem")
-          .groupBy(
+          .select(
             col("l_returnflag").as("flag"),
-            round(col("l_extendedprice"), 2).cast(DecimalType(14, 2)).as("v"))
-          .agg(sum(round(col("l_quantity"), 2).cast(DecimalType(12, 2))).as("q"))
-          .select(col("flag"), col("v"), col("q"),
-            sum("q").over(byV).as("cw"),
+            round(col("l_extendedprice"), 2).cast(DecimalType(14, 2)).as("v"),
+            round(col("l_quantity"), 2).cast(DecimalType(12, 2)).as("q"))
+          .select(col("flag"), col("v"),
+            sum("q").over(byVRange).as("cw"),
             sum("q").over(whole).as("tot"))
           .filter(col("cw") * 2 >= col("tot"))
           .groupBy("flag")

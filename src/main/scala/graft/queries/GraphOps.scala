@@ -141,9 +141,12 @@ object GraphOps extends QueryPack {
             // binary value, so the raw quotient's 18th fractional digit
             // can diverge; a fixed 15dp round first makes both engines sum
             // identical decimals.
-            round(col("r") / col("d"), 15).cast(DecimalType(28, 18)).as("w"))
+            round(col("r") / col("d"), 15).as("w"))
           .groupBy("dst")
-          .agg(sum("w").as("sw"))
+          // Typed exact-decimal sum (Fns.dsumP): precision 28 is past the
+          // long-backed decimal range, so the declarative form paid a
+          // BigInteger byte-array round-trip per EDGE per iteration.
+          .agg(dsumP(col("w"), 28, 18).as("sw"))
           .select(
             col("dst").as("node"),
             (lit(tp) + lit(0.85) * col("sw").cast("double")).as("r"))

@@ -1631,13 +1631,10 @@ object MLOps extends QueryPack {
         val f = li.groupBy((col("l_orderkey") % 5).cast("int").as("fold"))
           .agg(
             cnt.as("n"),
-            sum(col("l_quantity").cast(DecimalType(18, 6)))
-              .cast("double").as("sx"),
-            sum(y.cast(DecimalType(14, 2))).cast("double").as("sy"),
-            sum((col("l_quantity") * col("l_quantity"))
-              .cast(DecimalType(30, 10))).cast("double").as("sxx"),
-            sum((col("l_quantity") * y).cast(DecimalType(30, 10)))
-              .cast("double").as("sxy"))
+            dsumP(col("l_quantity"), 18, 6).as("sx"),
+            dsumP(y, 14, 2).as("sy"),
+            dsumWide(col("l_quantity") * col("l_quantity")).as("sxx"),
+            dsumWide(col("l_quantity") * y).as("sxy"))
           .localCheckpoint()
         val tot = f.agg(
           sum("n").as("tn"),
@@ -1669,8 +1666,7 @@ object MLOps extends QueryPack {
           .select(col("fold"), col("n_train"), col("n_val"), col("slope"),
             col("icept"), e.as("e"))
           .groupBy("fold", "n_train", "n_val", "slope", "icept")
-          .agg(sum((col("e") * col("e")).cast(DecimalType(30, 8)))
-            .cast("double").as("sse"))
+          .agg(dsumP(col("e") * col("e"), 30, 8).as("sse"))
           .select(col("fold"), col("n_train"), col("n_val"),
             round(col("slope"), 6).as("slope"),
             round(col("icept"), 4).as("icept"),
