@@ -70,6 +70,7 @@ object Registry {
     queries.Scalars,
     queries.StreamingQueries,
     queries.MLOps,
+    queries.TransformerOps,
     queries.TextOps,
     queries.TextAnalysis,
     queries.CurationOps,

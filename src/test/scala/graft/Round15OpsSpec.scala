@@ -23,4 +23,104 @@ class Round15OpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) == wantLens(r.getLong(0)),
       s"doc ${r.getLong(0)}: blob length ${r.getLong(2)} != source ${wantLens(r.getLong(0))}"))
   }
+
+  // ---- transformer-component twins: naive per-element recomputations that
+  // pin the algebraic rearrangements (sufficient-stats LayerNorm, merged
+  // RoPE cache, merged LoRA checksum) to the textbook formulas.
+
+  private def embRows(): Array[(Long, Int, Array[Double])] =
+    Tables(spark, sf, "embeddings")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+
+  private def avgBy[K: Ordering](xs: Seq[(K, Double)]): Map[K, Double] =
+    xs.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum / vs.size }
+
+  test("layernorm/rmsnorm sufficient-stats form matches the naive two-pass formula") {
+    val got = Registry.byId("ml_layernorm_rmsnorm").run(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val w = (1 to 64).map(i => ((i * 37) % 11 - 5).toDouble)
+    val v = (1 to 64).map(i => ((i * 23) % 13 - 6).toDouble)
+    val naive = embRows().map { case (_, label, x) =>
+      val mu = x.sum / 64.0
+      val sd = math.sqrt(x.map(e => (e - mu) * (e - mu)).sum / 64.0 + 1e-5)
+      val rms = math.sqrt(x.map(e => e * e).sum / 64.0 + 1e-5)
+      val ln = x.zip(w).map { case (e, wi) => (e - mu) / sd * wi }.sum
+      val rm = x.zip(v).map { case (e, vi) => e / rms * vi }.sum
+      (label, ln, rm)
+    }
+    val lnAvg = avgBy(naive.map(t => t._1 -> t._2).toSeq)
+    val rmAvg = avgBy(naive.map(t => t._1 -> t._3).toSeq)
+    got.foreach { case (label, (lnGot, rmGot)) =>
+      assert(math.abs(lnGot - lnAvg(label)) < 1e-4, s"ln label $label")
+      assert(math.abs(rmGot - rmAvg(label)) < 1e-4, s"rms label $label")
+    }
+  }
+
+  test("rope merged coefficient cache matches direct per-pair rotation") {
+    val got = Registry.byId("ml_rope_rotate").run(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val naive = embRows().map { case (id, _, x) =>
+      val p = (id % 32).toInt
+      val chk = (1 to 32).map { j =>
+        val theta = p * math.pow(10000.0, -(2.0 * (j - 1)) / 64.0)
+        val c = math.cos(theta); val sn = math.sin(theta)
+        val x1 = x(2 * j - 2); val x2 = x(2 * j - 1)
+        val y1 = x1 * c - x2 * sn; val y2 = x1 * sn + x2 * c
+        y1 * ((j * 29) % 13 - 6) + y2 * ((j * 19) % 11 - 5)
+      }.sum
+      (p, chk)
+    }
+    avgBy(naive.toSeq).foreach { case (p, want) =>
+      assert(math.abs(got(p) - want) < 1e-3, s"pos $p: ${got(p)} vs $want")
+    }
+  }
+
+  test("attention entropy matches brute-force softmax per sequence") {
+    val got = Registry.byId("ml_attention_entropy").run(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(2), r.getLong(4))).toMap
+    val groups = embRows().groupBy(_._1 / 8)
+    val perGid = groups.toSeq.map { case (gid, rows) =>
+      val sorted = rows.sortBy(_._1)
+      val qe = sorted.head._3
+      val scores = sorted.map { case (_, _, ke) =>
+        qe.zip(ke).map { case (a, b) => a * b }.sum * 4.0
+      }
+      val mx = scores.max
+      val ex = scores.map(sc => math.exp(sc - mx))
+      val se = ex.sum
+      val ws = ex.map(_ / se)
+      val h = ws.map(wi => if (wi > 0) -wi * math.log(wi) else 0.0).sum
+      val topK = ws.indexOf(ws.max) + 1
+      (gid, h, topK)
+    }
+    val hAvg = avgBy(perGid.map(t => (t._1 % 16).toInt -> t._2))
+    val kSum = perGid.groupBy(t => (t._1 % 16).toInt)
+      .map { case (b, vs) => b -> vs.map(_._3.toLong).sum }
+    got.foreach { case (bucket, (hGot, kGot)) =>
+      assert(math.abs(hGot - hAvg(bucket)) < 1e-3, s"h bucket $bucket")
+      assert(kGot == kSum(bucket), s"topk bucket $bucket: $kGot vs ${kSum(bucket)}")
+    }
+  }
+
+  test("lora merged checksum matches the naive y = Dx + 0.5*B(Ax) probe fold") {
+    val got = Registry.byId("ml_lora_matvec").run(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val naive = embRows().map { case (_, label, x) =>
+      val h = (1 to 4).map { j =>
+        (1 to 64).map(i => x(i - 1) * (((j * 31 + i * 17) % 19 - 9) / 16.0)).sum
+      }
+      val chk = (1 to 64).map { i =>
+        val d = 1.0 + (i % 7) / 128.0
+        val bh = (1 to 4).map(j => (((i * 13 + j * 7) % 17 - 8) / 16.0) * h(j - 1)).sum
+        val v = ((i * 23 + 5) % 13 - 6).toDouble
+        (d * x(i - 1) + 0.5 * bh) * v
+      }.sum
+      (label, chk)
+    }
+    avgBy(naive.toSeq).foreach { case (label, want) =>
+      assert(math.abs(got(label) - want) < 1e-4, s"label $label")
+    }
+  }
 }
