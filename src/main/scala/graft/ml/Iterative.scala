@@ -275,13 +275,17 @@ object KMeansLloyd {
     // ONE job per iteration: per-cluster count, per-dim sums (new centroid
     // numerators) and sum|x|^2 — WCSS for the old centroids follows in
     // closed form: sum|x|^2 - 2 c.Sx + n|c|^2 per cluster.
+    // Typed DecSum (bit-equal to sum(cast(DECIMAL(30,10)))): precision 30
+    // is past the long-backed decimal range, so the declarative form paid
+    // a BigInteger byte-array round-trip per (row, dim); the mutable
+    // BigDecimal buffer pays serialization once per (cluster, partition).
     val aggCols =
       count(lit(1)).as("cnt") +:
-        sum(cf("graft_dot", col("embedding"), col("embedding"))
-          .cast(DecimalType(30, 10))).cast("double").as("sxx") +:
+        dsumP(cf("graft_dot", col("embedding"), col("embedding")), 30, 10)
+          .as("sxx") +:
         (0 until dim).map(j =>
-          sum(element_at(col("embedding"), j + 1)
-            .cast(DecimalType(30, 10))).cast("double").as(s"s$j"))
+          dsumP(element_at(col("embedding"), j + 1).cast("double"), 30, 10)
+            .as(s"s$j"))
     val rows = withCluster.groupBy("cluster")
       .agg(aggCols.head, aggCols.tail: _*)
       .collect()

@@ -954,8 +954,9 @@ object Aggregations extends QueryPack {
     // works at 100 TB: classic bootstrap needs n draws WITH replacement
     // per replica (a global shuffle per replica); the Poisson(1)
     // approximation gives each row an independent per-replica weight, so
-    // ALL B=32 replicas fold in ONE scan as 64 columns of a single global
-    // partial aggregate — no ×B row explosion, bounded state. Draws are
+    // ALL B=32 replicas fold in ONE scan — the ×B explode is a codegen
+    // loop feeding partial aggregation in the SAME stage (transient rows,
+    // no extra I/O or shuffle; state = B groups per partition). Draws are
     // a two-round Lehmer generator mod the Mersenne prime 2^31-1 seeded
     // by (event_id, rep) — pure 64-bit integer arithmetic both engines
     // compute identically (and, unlike md5-hex draws, survives
@@ -998,42 +999,44 @@ object Aggregations extends QueryPack {
         import org.apache.spark.sql.expressions.Window
         val ev = Tables(s, dir, "events")
         val M = 2147483647L
-        def wt(rep: Int): Column = {
-          // rep-dependent seed offset folds to one literal per replica.
-          val x1 = (col("event_id") % M * 48271L +
-            lit(rep * 16807L + 11213L)) % M
-          val h = x1 * 48271L % M * 48271L % M % 1000000L
-          when(h < 367879, 0).when(h < 735759, 1).when(h < 919699, 2)
-            .when(h < 981012, 3).when(h < 996340, 4).when(h < 999406, 5)
-            .otherwise(6)
-        }
-        // This ONE aggregate is pinned to the DECLARATIVE decimal dialect:
-        // 96 aggregate functions over a single global group is the shape
-        // where codegen'd unsafe-buffer sums beat the typed DecSum (one
-        // buffer total, so there is no per-group serialization to save,
-        // while DecSum would pay 64 interpreted child evals + BigDecimal
-        // allocs per row; measured +0.7 s). Aggregates stay all-typed or
-        // all-declarative — mixing forces the slow configuration of both.
-        val aggExprs: Seq[Column] =
-          Seq(cnt.as("n"), (dsumDecl(col("value")) / cnt).as("mean")) ++
-            (0 until 32).flatMap(r => Seq(
-              sum((wt(r) * col("value")).cast(DecimalType(20, 6)))
-                .cast("double").as(s"sv$r"),
-              sum(wt(r)).as(s"sw$r")))
-        // ONE scan, one global partial-aggregated fold of all replicas +
-        // base stats; the single output row is materialized for its three
-        // consumers (base, ci_lo, ci_hi).
-        val one = ev.agg(aggExprs.head, aggExprs.tail: _*).localCheckpoint()
-        val reps = one
-          .selectExpr((0 until 32).map(r => s"$r, sv$r, sw$r")
-            .mkString("stack(32, ", ", ", ") as (rep, sv, sw)"))
-          .select(col("rep"), (col("sv").cast("double") / col("sw")).as("mean_b"))
+        // The oracle's own shape — explode the 32 replicas into rows and
+        // aggregate per rep with ONE parametric weight expression — beats
+        // the previous 96-aggregate single-row fold ~3x: the unrolled form
+        // generated a megabyte-scale codegen function whose per-execution
+        // Janino compile (~0.8 s) plus 64 expression evals per row
+        // dominated, while here the explode + 32-group hash aggregate is a
+        // few hundred bytes of code and one weight eval per (row, rep).
+        // 32 groups × 32 partitions of partial state keep the shuffle nil.
+        val x1 = (col("event_id") % M * 48271L +
+          (col("rep") * 16807L + 11213L)) % M
+        val h = x1 * 48271L % M * 48271L % M % 1000000L
+        val w = when(h < 367879, 0).when(h < 735759, 1).when(h < 919699, 2)
+          .when(h < 981012, 3).when(h < 996340, 4).when(h < 999406, 5)
+          .otherwise(6)
+        // The exact sum runs as the typed DecSum aggregate (one mutable
+        // BigDecimal per (partition, rep) group): the declarative
+        // sum(cast(decimal)) pays a per-row Decimal cast + unsafe-buffer
+        // write (~3x slower here), and a pre-explode long-micro-unit
+        // array gets CollapseProject'd through the Generate back into a
+        // per-exploded-row form — the typed aggregate is the shape the
+        // optimizer cannot pessimize. Value-identical to the oracle's
+        // SUM(CAST(w·v AS DECIMAL(20,6))): DecSum replays the cast/sum
+        // contract bit-for-bit (DecSumSpec) and (20,6) vs (18,6) cannot
+        // diverge below 1e12.
+        val reps = ev
+          .select(col("event_id"), col("value"),
+            explode(sequence(lit(0), lit(31))).as("rep"))
+          .select(col("rep"), col("value"), w.as("w"))
+          .groupBy("rep")
+          .agg(dsumP(col("w") * col("value"), 18, 6).as("sv"),
+            sum("w").as("sw"))
+          .select(col("rep"), (col("sv") / col("sw")).as("mean_b"))
           .withColumn("rn", row_number().over(Window.orderBy("mean_b", "rep")))
-        val lo = reps.filter(col("rn") === 2).select(col("mean_b").as("lo"))
-        val hi = reps.filter(col("rn") === 31).select(col("mean_b").as("hi"))
-        one.select(col("n"), col("mean"))
-          .crossJoin(broadcast(lo))
-          .crossJoin(broadcast(hi))
+        val ci = reps.agg(
+          min(when(col("rn") === 2, col("mean_b"))).as("lo"),
+          max(when(col("rn") === 31, col("mean_b"))).as("hi"))
+        ev.agg(cnt.as("n"), (dsumDecl(col("value")) / cnt).as("mean"))
+          .crossJoin(broadcast(ci))
           .select(col("n"), round(col("mean"), 6).as("mean"),
             round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"),
             lit(32).as("n_boot"))
