@@ -1516,16 +1516,20 @@ object MLOps extends QueryPack {
         val wAll = Window.rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)
         val li = Tables(s, dir, "lineitem")
+        // Exact-cents fast path (see ml_kfold_cv): price is an exact 2-dp
+        // decimal, so the oracle's ROUND(·,2) is the identity and its
+        // DECIMAL(14,2) sums are integer cents sums — longs hold them
+        // exactly through the histogram AND the cumulative windows, and
+        // one /100.0 per window output reproduces the decimal→double cast.
+        val cents = expr("CAST(rint(l_extendedprice * 100) AS LONG)")
         val c = li
           .groupBy(col("l_quantity").cast("int").as("bin"))
-          .agg(cnt.as("n"),
-            sum(round(col("l_extendedprice"), 2).cast(DecimalType(14, 2)))
-              .as("sy"))
+          .agg(cnt.as("n"), sum(cents).as("sy"))
           .select(col("bin"),
             sum("n").over(wCum).as("nl"),
-            sum("sy").over(wCum).cast("double").as("syl"),
+            (sum("sy").over(wCum).cast("double") / 100.0).as("syl"),
             sum("n").over(wAll).as("nt"),
-            sum("sy").over(wAll).cast("double").as("syt"))
+            (sum("sy").over(wAll).cast("double") / 100.0).as("syt"))
         val best1 = c.filter(col("nl") < col("nt"))
           .select(col("bin").as("split"),
             (col("syl") / col("nl")).as("mean_left"),
@@ -1540,7 +1544,9 @@ object MLOps extends QueryPack {
         val res = li.crossJoin(broadcast(best1))
           .select(
             (col("l_partkey") % 32).cast("int").as("bin2"),
-            (round(col("l_extendedprice"), 2) -
+            // ROUND(price,2) is the identity on the 2-dp data — drop the
+            // per-row BigDecimal it would otherwise cost.
+            (col("l_extendedprice") -
               when(col("l_quantity").cast("int") <= col("split"),
                 col("mean_left")).otherwise(col("mean_right"))).as("r"),
             col("split").as("split1"), col("gain").as("gain1"))
@@ -1548,13 +1554,17 @@ object MLOps extends QueryPack {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         res
           .groupBy("bin2", "split1", "gain1")
+          // round(r,4) stays (the proven cross-engine dialect); its output
+          // is an exact multiple of 1e-4, so rint(·1e4) recovers the
+          // unscaled DECIMAL(18,4) integer exactly and longs carry the
+          // histogram and both windows; /10000.0 = the decimal double cast.
           .agg(cnt.as("n"),
-            sum(round(col("r"), 4).cast(DecimalType(18, 4))).as("sr"))
+            sum(expr("CAST(rint(round(r, 4) * 10000) AS LONG)")).as("sr"))
           .select(col("bin2"), col("split1"), col("gain1"),
             sum("n").over(wCum2).as("nl"),
-            sum("sr").over(wCum2).cast("double").as("srl"),
+            (sum("sr").over(wCum2).cast("double") / 10000.0).as("srl"),
             sum("n").over(wAll).as("nt"),
-            sum("sr").over(wAll).cast("double").as("srt"))
+            (sum("sr").over(wAll).cast("double") / 10000.0).as("srt"))
           .filter(col("nl") < col("nt"))
           .select(
             col("bin2").as("split2"),
@@ -1628,13 +1638,23 @@ object MLOps extends QueryPack {
         // The 5-row sufficient-statistics table feeds THREE consumers (tot,
         // coef, and through coef the scoring join): materialize it once so
         // the corpus-wide decimal fold runs a single time, not per consumer.
+        // Exact integer fast path for the sufficient statistics: quantity
+        // is integral (1..50) and price is an exact 2-dp decimal, so every
+        // decimal sum here is an integer (or cents-integer) sum — plain
+        // long aggregates hold them exactly (Σq·cents ≤ 5e8·2e7 rows
+        // < 2^63) and one correctly-rounded /100.0 reproduces the decimal
+        // sums' double cast bit-for-bit. rint(p·100) is exact: the true
+        // cents value is an integer and the double product's error is
+        // ~1e-9 ≪ 0.5.
+        val cents = expr("CAST(rint(l_extendedprice * 100) AS LONG)")
+        val qLong = col("l_quantity").cast("long")
         val f = li.groupBy((col("l_orderkey") % 5).cast("int").as("fold"))
           .agg(
             cnt.as("n"),
-            dsumP(col("l_quantity"), 18, 6).as("sx"),
-            dsumP(y, 14, 2).as("sy"),
-            dsumWide(col("l_quantity") * col("l_quantity")).as("sxx"),
-            dsumWide(col("l_quantity") * y).as("sxy"))
+            sum(qLong).cast("double").as("sx"),
+            (sum(cents).cast("double") / 100.0).as("sy"),
+            sum(qLong * qLong).cast("double").as("sxx"),
+            (sum(qLong * cents).cast("double") / 100.0).as("sxy"))
           .localCheckpoint()
         val tot = f.agg(
           sum("n").as("tn"),

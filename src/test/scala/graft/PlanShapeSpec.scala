@@ -416,18 +416,18 @@ class PlanShapeSpec extends SparkSpec {
     assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
   }
 
-  test("bootstrap CI terminal plan: materialized one-row fold + 2 broadcasts, no shuffle") {
-    // All 32 replica sums + base stats fold in ONE localCheckpoint-
-    // materialized global aggregate over events (64+2 columns, no ×B row
-    // explosion), so the terminal plan is just that single-row RDD scan
-    // with the ci_lo/ci_hi order statistics broadcast back — no explode,
-    // no shuffle, no shuffle join.
+  test("bootstrap CI terminal plan: exploded replicas, typed fold, ci broadcast back") {
+    // The 32 replicas explode into rows inside the scan stage (a codegen
+    // loop feeding partial aggregation — transient rows, no extra I/O) and
+    // fold through the typed DecSum ObjectHashAggregate into 32 groups; the
+    // two order statistics broadcast back onto the one-row base aggregate.
+    // No row-explosion shuffle: the only hash exchange moves 32·partitions
+    // partial rows.
     val p = plan("agg_bootstrap_ci")
-    assert(p.contains("ExistingRDD"), p)
-    assert("IdentityBroadcastMode".r.findAllIn(p).size == 2, p)
-    assert(!p.contains("Generate explode"), p)
-    assert(p.contains("Generate stack"), p)
-    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("ObjectHashAggregate") && p.contains("graft_dsum"), p)
+    assert("Exchange hashpartitioning\\(rep".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
