@@ -653,13 +653,23 @@ object Aggregations extends QueryPack {
       (s, dir) => {
         val x = col("l_quantity")
         val y = col("l_extendedprice")
+        // Exact integer fast path (see ml_kfold_cv): quantity integral,
+        // price an exact 2-dp decimal, so four of the five moments are
+        // integer / cents sums that plain longs hold exactly; only
+        // Σ price² stays on the typed decimal aggregate (cents² sums
+        // approach 2^63). One correctly-rounded division per statistic
+        // reproduces the decimal sums' double cast bit-for-bit.
+        val qL = x.cast("long")
+        val pC = rint(y * 100).cast("long")
         Tables(s, dir, "lineitem")
           .groupBy(col("l_returnflag").as("flag"))
           .agg(
             cnt.as("n"),
-            dsum(x).as("sx"), dsum(y).as("sy"),
-            dsumWide(x * x).as("sxx"), dsumWide(y * y).as("syy"),
-            dsumWide(x * y).as("sxy"))
+            sum(qL).cast("double").as("sx"),
+            (sum(pC).cast("double") / 100.0).as("sy"),
+            sum(qL * qL).cast("double").as("sxx"),
+            dsumP(y * y, 30, 10).as("syy"),
+            (sum(qL * pC).cast("double") / 100.0).as("sxy"))
           .select(
             col("flag"), col("n"),
             round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 4)

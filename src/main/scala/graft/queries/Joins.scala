@@ -44,11 +44,19 @@ object Joins extends QueryPack {
 
   @volatile private[graft] var lastBloomPlan: String = ""
 
-  /** Declarative decimal dialect on purpose: these joins' pinned plan
-    * shapes stay pure whole-stage-codegen HashAggregate pipelines.
+  /** Exact revenue sum on the long fast path: price and discount are
+    * exact 2-dp decimals, so price·(1−disc) is an exact multiple of 1e-4
+    * and cents·(100−dcents) longs hold the group sums exactly (≤ ~1e9 per
+    * row; group sums stay well under 2^53, so the one final division is
+    * the decimal sum's correctly-rounded double cast). Value-identical to
+    * `SUM(CAST(p·(1−d) AS DECIMAL(18,6)))` cast to DOUBLE, and — being a
+    * plain long sum — an even purer whole-stage-codegen HashAggregate
+    * pipeline than the decimal form it replaces (the pinned plan shape).
     */
   private val revenue =
-    dsumDecl(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    sum(rint(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - rint(col("l_discount") * 100).cast("long")))
+      .cast("double") / 10000.0
 
   def queries: Seq[Q] = Seq(
     Q(

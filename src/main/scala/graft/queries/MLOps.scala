@@ -487,12 +487,16 @@ object MLOps extends QueryPack {
              |  ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2
              |FROM b""".stripMargin),
       (s, dir) => {
-        val x1 = col("l_quantity"); val x2 = col("l_discount")
-        val y = col("l_extendedprice")
-        // All-typed with the dsum siblings below: one declarative decimal
-        // sum in this aggregate would ride the ObjectHashAggregate path
-        // without the mutable-buffer win.
-        def wide(c: org.apache.spark.sql.Column) = dsumWide(c)
+        // Exact integer fast path (see ml_kfold_cv): quantity is integral,
+        // discount and price are exact 2-dp decimals, so every moment here
+        // is an integer / cents / 1e-4-unit sum — plain longs hold them
+        // exactly and one correctly-rounded division per statistic
+        // reproduces the decimal sums' double cast bit-for-bit.
+        val qL = col("l_quantity").cast("long")
+        val dC = rint(col("l_discount") * 100).cast("long")
+        val pC = rint(col("l_extendedprice") * 100).cast("long")
+        def over(c: org.apache.spark.sql.Column, k: Double) =
+          c.cast("double") / k
         val nd = col("n").cast("double")
         val m11 = (nd * col("s11") - col("sx1") * col("sx1")).as("m11")
         val m12 = (nd * col("s12") - col("sx1") * col("sx2")).as("m12")
@@ -502,10 +506,14 @@ object MLOps extends QueryPack {
         Tables(s, dir, "lineitem")
           .agg(
             cnt.as("n"),
-            dsum(x1).as("sx1"), dsum(x2).as("sx2"), dsum(y).as("sy"),
-            wide(x1 * x1).as("s11"), wide(x1 * x2).as("s12"),
-            wide(x2 * x2).as("s22"),
-            wide(x1 * y).as("s1y"), wide(x2 * y).as("s2y"))
+            sum(qL).cast("double").as("sx1"),
+            over(sum(dC), 100.0).as("sx2"),
+            over(sum(pC), 100.0).as("sy"),
+            sum(qL * qL).cast("double").as("s11"),
+            over(sum(qL * dC), 100.0).as("s12"),
+            over(sum(dC * dC), 10000.0).as("s22"),
+            over(sum(qL * pC), 100.0).as("s1y"),
+            over(sum(dC * pC), 10000.0).as("s2y"))
           .select(col("n"), col("sx1"), col("sx2"), col("sy"),
             m11, m12, m22, v1, v2)
           .select(col("n"), col("sx1"), col("sx2"), col("sy"),

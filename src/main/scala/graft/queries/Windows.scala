@@ -619,19 +619,28 @@ object Windows extends QueryPack {
             col("value").as("x"),
             lag(col("value"), 1).over(lagW).as("y"))
           .filter(col("y").isNotNull)
+        // Exact-unit long path for the five sliding sums: value is an
+        // exact 2-dp decimal, so x (and the lagged y) are integer cents
+        // and the products are exact multiples of 1e-4 — rint(·10^k)
+        // recovers the unscaled decimal integer exactly (true value is an
+        // integer, double error ~1e-7 ≪ 0.5) and plain long window sums
+        // (≤ 20·3.1e9 per frame) replace the DECIMAL(30,10) sliding
+        // frames, whose past-18-digit BigInteger buffer cost 10M slow ops
+        // per pass here. One correctly-rounded division per output frame
+        // reproduces the decimal→double cast bit-for-bit.
+        def u(c: org.apache.spark.sql.Column, k: Long): org.apache.spark.sql.Column =
+          rint(c * k).cast("long")
         val w = f.select(
           col("user_id").cast("long"), col("event_id").cast("long"),
           count(lit(1)).over(win).as("n"),
-          sum(col("x").cast(DecimalType(18, 6))).over(win)
-            .cast("double").as("sx"),
-          sum(col("y").cast(DecimalType(18, 6))).over(win)
-            .cast("double").as("sy"),
-          sum((col("x") * col("x")).cast(DecimalType(30, 10))).over(win)
-            .cast("double").as("sxx"),
-          sum((col("y") * col("y")).cast(DecimalType(30, 10))).over(win)
-            .cast("double").as("syy"),
-          sum((col("x") * col("y")).cast(DecimalType(30, 10))).over(win)
-            .cast("double").as("sxy"))
+          (sum(u(col("x"), 100L)).over(win).cast("double") / 100.0).as("sx"),
+          (sum(u(col("y"), 100L)).over(win).cast("double") / 100.0).as("sy"),
+          (sum(u(col("x") * col("x"), 10000L)).over(win).cast("double")
+            / 10000.0).as("sxx"),
+          (sum(u(col("y") * col("y"), 10000L)).over(win).cast("double")
+            / 10000.0).as("syy"),
+          (sum(u(col("x") * col("y"), 10000L)).over(win).cast("double")
+            / 10000.0).as("sxy"))
         val den = (col("n") * col("sxx") - col("sx") * col("sx")) *
           (col("n") * col("syy") - col("sy") * col("sy"))
         val r = (col("n") * col("sxy") - col("sx") * col("sy")) / sqrt(den)
