@@ -41,6 +41,22 @@ object Fns {
   /** COUNT(*) as BIGINT in both engines. */
   def cnt: Column = count(lit(1)).cast(LongType)
 
+  /** Exact integer cents of an exact-2-dp double column (price, discount,
+    * events.value in this dataset): the true value ·100 is an integer and
+    * the double product's error is ≪ 0.5, so rint recovers it exactly.
+    * Long sums of cents (or of cents products) ARE the decimal-exact sums
+    * as long as they stay under 2^53 for the final double cast — one
+    * correctly-rounded division then reproduces `SUM(CAST(x AS
+    * DECIMAL(p,s))) :: DOUBLE` bit-for-bit, ~6x cheaper than the per-row
+    * decimal cast (see ml_kfold_cv / window_rolling_corr).
+    */
+  def cents(c: Column): Column = rint(c * 100).cast(LongType)
+
+  /** `SUM(CAST(x AS DECIMAL(18,6)))::DOUBLE` for an exact-2-dp column,
+    * on the long fast path.
+    */
+  def dsumCents(c: Column): Column = sum(cents(c)).cast("double") / 100.0
+
   /** Deterministic mean: exact decimal sum / count, both in double space. */
   def davg(c: Column): Column = dsum(c) / cnt
 

@@ -50,14 +50,20 @@ object Aggregations extends QueryPack {
              |  CAST(COUNT(*) AS BIGINT) AS n
              |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       (s, dir) =>
+        // Long fast paths throughout (Fns.cents): quantity integral,
+        // price/discount exact 2-dp, so every decimal sum here is an
+        // integer / cents / 1e-4-unit sum — value-identical to the
+        // oracle's decimal dialect, pure codegen long aggregates.
         Tables(s, dir, "lineitem")
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            dsum(col("l_quantity")).as("sum_qty"),
-            dsum(col("l_extendedprice")).as("sum_base"),
-            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-              .as("sum_disc"),
-            round(davg(col("l_quantity")), 6).as("avg_qty"),
+            sum(col("l_quantity").cast("long")).cast("double").as("sum_qty"),
+            dsumCents(col("l_extendedprice")).as("sum_base"),
+            (sum(cents(col("l_extendedprice")) *
+                (lit(100L) - cents(col("l_discount")))).cast("double")
+              / 10000.0).as("sum_disc"),
+            round(sum(col("l_quantity").cast("long")).cast("double") / cnt, 6)
+              .as("avg_qty"),
             cnt.as("n"))
           .oracleOrder("l_returnflag", "l_linestatus")),
 

@@ -169,10 +169,13 @@ object Windows extends QueryPack {
              |        4) AS ma3
              |FROM d ORDER BY day""".stripMargin),
       (s, dir) => {
+        // Revenue on the long fast path (Fns.cents): p·(1−d) is an exact
+        // multiple of 1e-4, value-identical to the oracle's decimal sum.
         val daily = Tables(s, dir, "lineitem")
           .groupBy(date_trunc("day", col("l_shipdate")).cast("date").as("day"))
-          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast(DecimalType(18, 6))).cast("double").as("rev"))
+          .agg((sum(cents(col("l_extendedprice")) *
+              (lit(100L) - cents(col("l_discount")))).cast("double")
+            / 10000.0).as("rev"))
         // Unpartitioned window is SAFE here: it runs over the daily
         // aggregate, whose cardinality is bounded by distinct ship days
         // (~2.5k rows at any fact-table scale), not over lineitem.
