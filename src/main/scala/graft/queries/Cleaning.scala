@@ -120,13 +120,16 @@ object Cleaning extends QueryPack {
              |    CASE WHEN v < 10 OR v > 180 THEN smoothed ELSE v END)) AS cleaned
              |FROM sm ORDER BY u, d""".stripMargin),
       (s, dir) => {
+        // Cell sums as exact cents longs (Fns.cents — value is exact 2-dp):
+        // value-identical to the oracle's DECIMAL(18,6) cell sums, with the
+        // /100.0 folded into each consumer's double conversion.
         val grid = Tables(s, dir, "events")
           .groupBy(
             col("user_id").as("u"),
             datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
               .cast("int").as("d"))
           .agg(
-            sum(col("value").cast(DecimalType(18, 6))).as("sv"),
+            sum(cents(col("value"))).as("sv"),
             cnt.as("n"))
         // Binomial sigma=1 kernel: weight = wy(dy) * wx(dx), wy = (1,2,1).
         def bw(o: Int): Int = if (o == 0) 2 else 1
@@ -141,9 +144,9 @@ object Cleaning extends QueryPack {
           .join(ng, col("nu") === col("u") + col("dy") && col("nd") === col("d") + col("dx"))
           .groupBy("u", "d", "sv", "n")
           .agg(
-            (sum(col("w") * col("nsv")).cast("double") / sum(col("w") * col("nn")))
-              .as("smoothed"))
-          .withColumn("v", col("sv").cast("double") / col("n"))
+            (sum(col("w") * col("nsv")).cast("double") / 100.0 /
+              sum(col("w") * col("nn"))).as("smoothed"))
+          .withColumn("v", col("sv").cast("double") / 100.0 / col("n"))
         sm.select(
           col("u"), col("d"),
           greatest(lit(10.0), least(lit(180.0),
