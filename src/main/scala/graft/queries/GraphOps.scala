@@ -685,5 +685,87 @@ object GraphOps extends QueryPack {
         com.crossJoin(broadcast(tot))
           .orderBy(col("n").desc, col("community"))
           .limit(20)
+      }),
+
+    // Strongly connected components of the DIRECTED top-3 kNN digraph
+    // (A→B when B is among A's 3 nearest — kNN is asymmetric, so mutual
+    // reachability is a real signal: an SCC is a set of vectors that all
+    // lead back to each other through nearest-neighbor hops, the recurrent
+    // cores of a retrieval graph; transient satellites point in but are
+    // never pointed back to). kNN edges reuse sim_cosine_topk's exact
+    // dialect (fused native cosine, ROUND 6, neighbor-id tie-break) on a
+    // bounded 60-vector slice; the closure is PATH DOUBLING — 6 unrolled
+    // rounds of the bounded pair relation composed with itself (with
+    // identity seeded, round k holds all paths ≤ 2^k, and 2^6 = 64 > 59
+    // covers any simple path on 60 nodes) — and scc_id(v) = MIN over the
+    // forward∩backward pair intersection, exactly the oracle's
+    // recursive-CTE closure. Scale shape: transitive closure is only sane
+    // on BOUNDED node sets, which is how a production dedup uses it — the
+    // LSH/banding stages emit candidate clusters and the per-cluster
+    // closure is pairs ≤ |cluster|², materialized per round
+    // (localCheckpoint, like dedup_cc_clusters) on a handful of
+    // partitions; the doubling keeps rounds logarithmic in diameter where
+    // min-label propagation pays one round per hop.
+    Q(
+      "graph_scc_knn",
+      Some("""WITH RECURSIVE q AS (SELECT vec_id, embedding FROM embeddings
+             |           WHERE vec_id < 60),
+             |p AS (
+             |  SELECT x.vec_id AS src, y.vec_id AS dst,
+             |    list_sum(list_transform(list_zip(x.embedding, y.embedding),
+             |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS dot,
+             |    sqrt(list_sum(list_transform(x.embedding,
+             |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS na,
+             |    sqrt(list_sum(list_transform(y.embedding,
+             |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
+             |  FROM q x, q y WHERE x.vec_id <> y.vec_id),
+             |c AS (SELECT src, dst, ROUND(dot / (na * nb), 6) AS cos FROM p),
+             |r AS (SELECT src, dst, row_number() OVER (PARTITION BY src
+             |        ORDER BY cos DESC, dst) AS rn FROM c),
+             |e AS (SELECT src, dst FROM r WHERE rn <= 3),
+             |reach(src, dst) AS (
+             |  SELECT vec_id, vec_id FROM q
+             |  UNION
+             |  SELECT h.src, e.dst FROM reach h JOIN e ON h.dst = e.src),
+             |scc AS (
+             |  SELECT f.src AS v, MIN(f.dst) AS scc_id
+             |  FROM reach f JOIN reach b ON f.src = b.dst AND f.dst = b.src
+             |  GROUP BY 1)
+             |SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS csize
+             |FROM scc GROUP BY 1 ORDER BY scc_id""".stripMargin),
+      (s, dir) => {
+        graft.functions.Native.register(s)
+        val q = Tables(s, dir, "embeddings").filter(col("vec_id") < 60)
+        val a = q.select(col("vec_id").as("src"), col("embedding").as("ea"))
+        val b = q.select(col("vec_id").as("dst"), col("embedding").as("eb"))
+        val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+        val e = broadcast(a).crossJoin(b)
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"),
+            round(SimOps.ncos(col("ea"), col("eb")), 6).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("src"), col("dst"))
+        var reach = e
+          .union(q.select(col("vec_id").as("src"), col("vec_id").as("dst")))
+          .distinct()
+          .repartition(4, col("src"))
+          .localCheckpoint()
+        for (_ <- 1 to 6) {
+          reach = reach.as("x")
+            .join(reach.as("y"), col("x.dst") === col("y.src"))
+            .select(col("x.src").as("src"), col("y.dst").as("dst"))
+            .distinct()
+            .repartition(4, col("src"))
+            .localCheckpoint()
+        }
+        reach.as("f")
+          .join(reach.as("b"),
+            col("f.src") === col("b.dst") && col("f.dst") === col("b.src"))
+          .groupBy(col("f.src").as("v"))
+          .agg(min(col("f.dst")).as("scc_id"))
+          .groupBy("scc_id")
+          .agg(cnt.as("csize"))
+          .oracleOrder("scc_id")
       }))
 }

@@ -104,6 +104,40 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("scc of the knn digraph matches a driver-side Floyd-Warshall closure") {
+    val got = Registry.byId("graph_scc_knn").run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Recompute edges naively (top-3 cosine, 6dp, id tie-break) and close
+    // reachability with Floyd-Warshall, then scc_id = min mutual partner.
+    val vecs = embRows().filter(_._1 < 60).sortBy(_._1)
+    val n = vecs.length
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val raw = dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      // Spark round() semantics (HALF_UP on the shortest repr), so rank
+      // tie-breaks match the query exactly.
+      java.math.BigDecimal.valueOf(raw)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    }
+    val reach = Array.fill(n, n)(false)
+    for (i <- 0 until n) {
+      reach(i)(i) = true
+      val sims = (0 until n).filter(_ != i)
+        .map(j => (cos(vecs(i)._3, vecs(j)._3), j))
+        .sortBy { case (c, j) => (-c, j) }
+        .take(3)
+      sims.foreach { case (_, j) => reach(i)(j) = true }
+    }
+    for (k <- 0 until n; i <- 0 until n if reach(i)(k);
+         j <- 0 until n if reach(k)(j)) reach(i)(j) = true
+    val sccId = (0 until n).map(i =>
+      (0 until n).filter(j => reach(i)(j) && reach(j)(i)).min)
+    val want = sccId.groupBy(identity).map { case (id, vs) =>
+      id.toLong -> vs.size.toLong }
+    assert(got == want, s"$got vs $want")
+  }
+
   test("lora merged checksum matches the naive y = Dx + 0.5*B(Ax) probe fold") {
     val got = Registry.byId("ml_lora_matvec").run(spark, sf).collect()
       .map(r => r.getInt(0) -> r.getDouble(2)).toMap
