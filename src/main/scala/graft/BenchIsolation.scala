@@ -47,7 +47,14 @@ object BenchIsolation {
     "ml_kfold_cv",
     // round 15: the round-14 worst row, previously missing from the set
     // (VERDICT r14 item 3) — re-measured after the fused-kernel fix.
-    "sim_ann_ivfpq_topk")
+    "sim_ann_ivfpq_topk",
+    // round 15 tail after the exact-integer perf pass: the remaining
+    // >1.4s rows are stream machinery floors plus the iterative graph
+    // pair — adjudicate them up front.
+    "stream_stream_left_outer",
+    "stream_stream_join",
+    "graph_pagerank_unrolled",
+    "graph_label_propagation")
 
   private def newSession(cpus: String): SparkSession = {
     val s = SparkSession.builder()
