@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, QueryPack, Tables}
+import graft.Fns.{cnt, dsum}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -281,6 +282,235 @@ object TransformerOps extends QueryPack {
             round(sum(col("h1r").cast(DecimalType(18, 6))).cast("double")
               / count(lit(1)), 6).as("h1_avg"))
           .oracleOrder("label")
+      }),
+
+    // Mixture-of-experts top-2 routing (Shazeer et al. 2017 / Switch-style
+    // gating, k=2): 8 gate scores + 8 expert outputs per token are 16
+    // native dots against literal k/16 weight vectors — ENTIRELY map-side,
+    // no per-token shuffle. Top-2 selection is array argmax twice (second
+    // pass masks the winner with -1e18; first-occurrence position is the
+    // deterministic tie-break, identical 1-based semantics in both
+    // engines), the 2-way softmax follows the exp dialect (ROUND 8dp), and
+    // the routed output y = w1*o[e1] + w2*o[e2] rolls up per expert PAIR —
+    // the load-balance view an MoE trainer actually monitors. At 100 TB
+    // the only exchange is the ≤64-row (e1,e2) rollup: 1000 executors
+    // fold partials map-side and ship a few KB.
+    //
+    // Rollup outputs are exact decimal SUMS (not rounded averages): with
+    // small power-of-two group counts, ROUND(sum/n, 6) can land on an
+    // exact 7-dp midpoint (e.g. 2.094530/4 = 0.5236325) where Spark
+    // rounds the shortest-repr STRING up but DuckDB rounds the BINARY
+    // value (just below the midpoint) down — a real divergence hit by
+    // this query's (e1,e2)=(7,5) group at sf0.001.
+    Q(
+      "ml_moe_route_top2",
+      Some {
+        def fold(w: Seq[Double]): String =
+          s"list_sum(list_transform(list_zip(embedding, ${list(w, exact)}), z -> CAST(z[1] AS DOUBLE) * z[2]))"
+        val sarr = (0 until 8).map(e => fold(MoeGate(e))).mkString("[", ",\n      ", "]")
+        val oarr = (0 until 8).map(e => fold(MoeOut(e))).mkString("[", ",\n      ", "]")
+        s"""WITH s AS (
+           |  SELECT
+           |    $sarr AS sarr,
+           |    $oarr AS oarr
+           |  FROM embeddings),
+           |r1 AS (
+           |  SELECT sarr, oarr, list_max(sarr) AS m1,
+           |    CAST(list_position(sarr, list_max(sarr)) AS INT) AS e1
+           |  FROM s),
+           |r2 AS (
+           |  SELECT oarr, m1, e1,
+           |    list_transform(range(1, 9),
+           |      i -> CASE WHEN i = e1 THEN -1e18 ELSE sarr[i] END) AS masked
+           |  FROM r1),
+           |r3 AS (
+           |  SELECT oarr, m1, e1, list_max(masked) AS m2,
+           |    CAST(list_position(masked, list_max(masked)) AS INT) AS e2
+           |  FROM r2),
+           |g AS (
+           |  SELECT e1, e2, oarr,
+           |    ROUND(exp(ROUND(m2 - m1, 8)), 8) AS ed
+           |  FROM r3),
+           |c AS (
+           |  SELECT e1, e2,
+           |    ROUND(1.0 / (1.0 + ed), 6) AS w1,
+           |    ROUND(ed / (1.0 + ed), 6) AS w2
+           |    , oarr FROM g),
+           |y AS (
+           |  SELECT e1, e2, w1,
+           |    ROUND(w1 * oarr[e1] + w2 * oarr[e2], 6) AS y
+           |  FROM c)
+           |SELECT e1, e2, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS y_sum,
+           |  CAST(SUM(CAST(w1 AS DECIMAL(18,6))) AS DOUBLE) AS w1_sum
+           |FROM y GROUP BY e1, e2 ORDER BY e1, e2""".stripMargin
+      },
+      (s, dir) => {
+        val x = col("embedding")
+        val sarr = array((0 until 8).map(e => ndot(x, fvec(MoeGate(e)))): _*)
+        val oarr = array((0 until 8).map(e => ndot(x, fvec(MoeOut(e)))): _*)
+        Tables(s, dir, "embeddings")
+          .select(sarr.as("sarr"), oarr.as("oarr"))
+          .withColumn("m1", array_max(col("sarr")))
+          .withColumn("e1", array_position(col("sarr"), col("m1")).cast("int"))
+          .withColumn("masked", transform(sequence(lit(1), lit(8)),
+            i => when(i === col("e1"), lit(-1e18))
+              .otherwise(element_at(col("sarr"), i))))
+          .withColumn("m2", array_max(col("masked")))
+          .withColumn("e2", array_position(col("masked"), col("m2")).cast("int"))
+          .withColumn("ed", round(exp(round(col("m2") - col("m1"), 8)), 8))
+          .withColumn("w1", round(lit(1.0) / (lit(1.0) + col("ed")), 6))
+          .withColumn("w2", round(col("ed") / (lit(1.0) + col("ed")), 6))
+          .withColumn("y", round(
+            col("w1") * element_at(col("oarr"), col("e1")) +
+              col("w2") * element_at(col("oarr"), col("e2")), 6))
+          .groupBy("e1", "e2")
+          .agg(cnt.as("n"),
+            dsum(col("y")).as("y_sum"),
+            dsum(col("w1")).as("w1_sum"))
+          .oracleOrder("e1", "e2")
+      }),
+
+    // Transformer FFN forward pass with tanh-approximation GELU (Hendrycks
+    // & Gimpel 2016, the GPT-2 form): h_j = GELU(x·W_j + b_j) for 8 hidden
+    // units, folded against an integer probe to a per-row checksum. tanh is
+    // EXPANDED to its exp form 1 − 2/(e^{2u}+1) so the only transcendental
+    // is exp, under the softmax dialect (ROUND 8dp before and after);
+    // everything else is IEEE-identical arithmetic on both engines (weights
+    // k/16, biases k/128 — exact binary rationals; √(2/π) and 0.044715 are
+    // shortest-repr double literals that parse identically). Map-only scan
+    // + 10-group rollup: embarrassingly parallel at any scale.
+    Q(
+      "ml_mlp_gelu_forward",
+      Some {
+        val C = math.sqrt(2.0 / math.Pi)
+        val zs = (1 to 8).map { j =>
+          s"list_sum(list_transform(list_zip(embedding, ${list(MlpW(j - 1), exact)}), z -> CAST(z[1] AS DOUBLE) * z[2])) + (${exact(MlpB(j - 1))}) AS z$j"
+        }.mkString(",\n    ")
+        val us = (1 to 8).map { j =>
+          s"ROUND(CAST($C AS DOUBLE) * (z$j + CAST(0.044715 AS DOUBLE) * z$j * z$j * z$j), 8) AS u$j"
+        }.mkString(",\n    ")
+        val hs = (1 to 8).map { j =>
+          s"ROUND(0.5 * z$j * (1.0 + (1.0 - 2.0 / (ROUND(exp(2.0 * u$j), 8) + 1.0))), 6) AS h$j"
+        }.mkString(",\n    ")
+        val chk = (1 to 8).map(j => s"h$j * (${MlpV(j - 1)}.0)").mkString(" + ")
+        s"""WITH s AS (
+           |  SELECT label,
+           |    $zs
+           |  FROM embeddings),
+           |u AS (
+           |  SELECT label, ${(1 to 8).map(j => s"z$j").mkString(", ")},
+           |    $us
+           |  FROM s),
+           |h AS (
+           |  SELECT label,
+           |    $hs
+           |  FROM u),
+           |c AS (
+           |  SELECT label, ROUND($chk, 6) AS chk, h1 FROM h)
+           |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(chk AS DECIMAL(18,6))) AS DOUBLE) AS chk_sum,
+           |  CAST(SUM(CAST(h1 AS DECIMAL(18,6))) AS DOUBLE) AS h1_sum
+           |FROM c GROUP BY label ORDER BY label""".stripMargin
+      },
+      (s, dir) => {
+        val C = math.sqrt(2.0 / math.Pi)
+        val x = col("embedding")
+        val zs = (1 to 8).map(j =>
+          (ndot(x, fvec(MlpW(j - 1))) + lit(MlpB(j - 1))).as(s"z$j"))
+        def u(j: Int): Column = {
+          val z = col(s"z$j")
+          round(lit(C) * (z + lit(0.044715) * z * z * z), 8)
+        }
+        def h(j: Int): Column = {
+          val t = lit(1.0) - lit(2.0) / (round(exp(lit(2.0) * col(s"u$j")), 8) + lit(1.0))
+          round(lit(0.5) * col(s"z$j") * (lit(1.0) + t), 6)
+        }
+        val chk = (1 to 8).map(j => col(s"h$j") * lit(MlpV(j - 1).toDouble))
+          .reduceLeft(_ + _)
+        Tables(s, dir, "embeddings")
+          .select(col("label") +: zs: _*)
+          .select(col("label") +: (1 to 8).map(j => col(s"z$j")) ++:
+            (1 to 8).map(j => u(j).as(s"u$j")): _*)
+          .select(col("label") +: (1 to 8).map(j => h(j).as(s"h$j")): _*)
+          .select(col("label"), round(chk, 6).as("chk"), col("h1"))
+          .groupBy("label")
+          .agg(cnt.as("n"),
+            dsum(col("chk")).as("chk_sum"),
+            dsum(col("h1")).as("h1_sum"))
+          .oracleOrder("label")
+      }),
+
+    // Top-p (nucleus) sampling support filter (Holtzman et al. 2020): per
+    // 8-token sequence, token probabilities are a max-subtracted softmax
+    // (exp dialect, ROUND 8/6dp), tokens sort by (w DESC, kpos) and the
+    // nucleus keeps every token whose PRECEDING cumulative mass is < 0.8
+    // (so the crossing token is included — the standard inclusive
+    // nucleus). The cumulative sum runs in exact DECIMAL so the keep
+    // boundary cannot wobble with partial-agg order; kept mass renormalizes
+    // with one double division. All windows share ONE gid exchange (the
+    // attention-entropy policy), then a 16-bucket rollup.
+    Q(
+      "ml_topp_nucleus_sample",
+      Some("""WITH t AS (
+             |  SELECT vec_id // 8 AS gid, CAST(vec_id % 8 + 1 AS INT) AS kpos,
+             |    ROUND(4.0 * list_sum(list_transform(list_zip(embedding, NUCPROBE), z -> CAST(z[1] AS DOUBLE) * z[2])), 8) AS s
+             |  FROM embeddings),
+             |x AS (
+             |  SELECT gid, kpos,
+             |    ROUND(exp(s - MAX(s) OVER (PARTITION BY gid)), 8) AS ex
+             |  FROM t),
+             |w AS (
+             |  SELECT gid, kpos,
+             |    ROUND(ex / CAST(SUM(CAST(ex AS DECIMAL(18,8))) OVER (PARTITION BY gid) AS DOUBLE), 6) AS w
+             |  FROM x),
+             |o AS (
+             |  SELECT gid, kpos, w,
+             |    ROW_NUMBER() OVER (PARTITION BY gid ORDER BY w DESC, kpos) AS rn,
+             |    SUM(CAST(w AS DECIMAL(18,6))) OVER (PARTITION BY gid ORDER BY w DESC, kpos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+             |  FROM w),
+             |k AS (
+             |  SELECT gid, kpos, w, rn FROM o
+             |  WHERE cumw - CAST(w AS DECIMAL(18,6)) < CAST(0.8 AS DECIMAL(18,6))),
+             |a AS (
+             |  SELECT gid, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             |    MIN(CASE WHEN rn = 1 THEN kpos END) AS top_kpos,
+             |    ROUND(MAX(w) / CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE), 6) AS top_renorm
+             |  FROM k GROUP BY gid)
+             |SELECT CAST(gid % 16 AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_seq,
+             |  CAST(SUM(n_kept) AS BIGINT) AS kept_sum,
+             |  CAST(SUM(top_kpos) AS BIGINT) AS topk_sum,
+             |  CAST(SUM(CAST(top_renorm AS DECIMAL(18,6))) AS DOUBLE) AS renorm_sum
+             |FROM a GROUP BY 1 ORDER BY bucket""".stripMargin
+        .replace("NUCPROBE", list(NucProbe, exact))),
+      (s, dir) => {
+        val byGid = Window.partitionBy("gid")
+        val ord = byGid.orderBy(col("w").desc, col("kpos"))
+        val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val dec6 = DecimalType(18, 6)
+        val t = Tables(s, dir, "embeddings")
+          .select(expr("vec_id div 8").as("gid"),
+            (col("vec_id") % 8 + 1).cast("int").as("kpos"),
+            round(lit(4.0) * ndot(col("embedding"), fvec(NucProbe)), 8).as("s"))
+          .withColumn("ex", round(exp(col("s") - max("s").over(byGid)), 8))
+          .withColumn("w", round(col("ex") /
+            sum(col("ex").cast(DecimalType(18, 8))).over(byGid).cast("double"), 6))
+          .withColumn("rn", row_number().over(ord))
+          .withColumn("cumw", sum(col("w").cast(dec6)).over(cum))
+          .filter(col("cumw") - col("w").cast(dec6) <
+            lit(new java.math.BigDecimal("0.8")).cast(dec6))
+        t.groupBy("gid")
+          .agg(cnt.as("n_kept"),
+            min(when(col("rn") === 1, col("kpos"))).as("top_kpos"),
+            round(max("w") / sum(col("w").cast(dec6)).cast("double"), 6)
+              .as("top_renorm"))
+          .groupBy((col("gid") % 16).cast("int").as("bucket"))
+          .agg(cnt.as("n_seq"),
+            sum("n_kept").cast("long").as("kept_sum"),
+            sum("top_kpos").cast("long").as("topk_sum"),
+            dsum(col("top_renorm")).as("renorm_sum"))
+          .oracleOrder("bucket")
       }))
 
   /** Rotary cache: per position p ∈ [0,32), the 64-wide merged coefficient
@@ -322,4 +552,26 @@ object TransformerOps extends QueryPack {
   private[queries] val LoraDv: Seq[Double] = (1 to 64).map { i =>
     (1.0 + (i % 7) / 128.0) * (((i * 23 + 5) % 13) - 6).toDouble
   }
+
+  /** MoE gate vectors (8×64), entries k/16 — exact binary rationals. */
+  private[queries] val MoeGate: Seq[Seq[Double]] = (0 until 8).map { e =>
+    (1 to 64).map(i => ((e * 37 + i * 13) % 17 - 8) / 16.0)
+  }
+
+  /** MoE per-expert output projections folded to scalars (8×64), k/16. */
+  private[queries] val MoeOut: Seq[Seq[Double]] = (0 until 8).map { e =>
+    (1 to 64).map(i => ((e * 29 + i * 19) % 15 - 7) / 16.0)
+  }
+
+  /** FFN hidden weights (8×64) k/16, biases k/128, integer probe. */
+  private[queries] val MlpW: Seq[Seq[Double]] = (1 to 8).map { j =>
+    (1 to 64).map(i => ((j * 41 + i * 23) % 19 - 9) / 16.0)
+  }
+  private[queries] val MlpB: Seq[Double] =
+    (1 to 8).map(j => ((j * 5) % 9 - 4) / 128.0)
+  private[queries] val MlpV: Seq[Int] = (1 to 8).map(j => (j * 13) % 11 - 5)
+
+  /** Nucleus-sampling score probe, k/16. */
+  private[queries] val NucProbe: Seq[Double] =
+    (1 to 64).map(i => ((i * 7) % 15 - 7) / 16.0)
 }

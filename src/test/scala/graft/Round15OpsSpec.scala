@@ -157,4 +157,71 @@ class Round15OpsSpec extends SparkSpec {
       assert(math.abs(got(label) - want) < 1e-4, s"label $label")
     }
   }
+
+  test("moe top-2 routing matches a naive per-token gate/softmax/mix") {
+    val got = Registry.byId("ml_moe_route_top2").run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    def gate(e: Int, i: Int) = ((e * 37 + i * 13) % 17 - 8) / 16.0
+    def out(e: Int, i: Int) = ((e * 29 + i * 19) % 15 - 7) / 16.0
+    val naive = embRows().map { case (_, _, x) =>
+      val s = (0 until 8).map(e => (1 to 64).map(i => x(i - 1) * gate(e, i)).sum)
+      val o = (0 until 8).map(e => (1 to 64).map(i => x(i - 1) * out(e, i)).sum)
+      val e1 = s.indexOf(s.max)
+      val masked = s.zipWithIndex.map { case (v, i) => if (i == e1) -1e18 else v }
+      val e2 = masked.indexOf(masked.max)
+      val ed = math.exp(s(e2) - s(e1))
+      val w1 = 1.0 / (1.0 + ed); val w2 = ed / (1.0 + ed)
+      ((e1 + 1, e2 + 1), w1 * o(e1) + w2 * o(e2))
+    }
+    naive.groupBy(_._1).foreach { case (pair, vs) =>
+      val (n, ySum) = got(pair)
+      assert(n == vs.length.toLong, s"pair $pair count")
+      assert(math.abs(ySum - vs.map(_._2).sum) < 1e-3, s"pair $pair y_sum")
+    }
+  }
+
+  test("gelu ffn checksum matches a naive tanh-GELU forward pass") {
+    val got = Registry.byId("ml_mlp_gelu_forward").run(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val C = math.sqrt(2.0 / math.Pi)
+    val naive = embRows().map { case (_, label, x) =>
+      val chk = (1 to 8).map { j =>
+        val z = (1 to 64).map(i =>
+          x(i - 1) * (((j * 41 + i * 23) % 19 - 9) / 16.0)).sum +
+          ((j * 5) % 9 - 4) / 128.0
+        val h = 0.5 * z * (1.0 + math.tanh(C * (z + 0.044715 * z * z * z)))
+        h * ((j * 13) % 11 - 5)
+      }.sum
+      (label, chk)
+    }
+    naive.groupBy(_._1).foreach { case (label, vs) =>
+      val (n, chkSum) = got(label)
+      assert(n == vs.length.toLong, s"label $label count")
+      assert(math.abs(chkSum - vs.map(_._2).sum) < 1e-3, s"label $label chk_sum")
+    }
+  }
+
+  test("nucleus keep counts match a naive softmax + cumulative-mass filter") {
+    val got = Registry.byId("ml_topp_nucleus_sample").run(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def probe(i: Int) = ((i * 7) % 15 - 7) / 16.0
+    val perGid = embRows().groupBy(_._1 / 8).toSeq.map { case (gid, rows) =>
+      val scores = rows.sortBy(_._1).map { case (_, _, x) =>
+        4.0 * (1 to 64).map(i => x(i - 1) * probe(i)).sum
+      }
+      val mx = scores.max
+      val ex = scores.map(sc => math.exp(sc - mx))
+      val ws = ex.map(_ / ex.sum)
+      // sort desc with kpos tie-break; keep while preceding cum mass < 0.8
+      val ordered = ws.zipWithIndex.sortBy { case (w, i) => (-w, i) }
+      val kept = ordered.scanLeft(0.0)(_ + _._1).dropRight(1)
+        .zip(ordered).takeWhile { case (prev, _) => prev < 0.8 }
+      (gid, kept.length.toLong)
+    }
+    perGid.groupBy(t => (t._1 % 16).toInt).foreach { case (bucket, vs) =>
+      val (nSeq, keptSum) = got(bucket)
+      assert(nSeq == vs.length.toLong, s"bucket $bucket n_seq")
+      assert(keptSum == vs.map(_._2).sum, s"bucket $bucket kept_sum")
+    }
+  }
 }
