@@ -767,5 +767,128 @@ object GraphOps extends QueryPack {
           .groupBy("scc_id")
           .agg(cnt.as("csize"))
           .oracleOrder("scc_id")
+      }),
+
+    // HITS hubs & authorities (Kleinberg 1999), two UNNORMALIZED rounds
+    // unrolled on the DIRECTED customer→supplier trade digraph (hubs =
+    // buyers, authorities = suppliers — the natural bipartite reading).
+    // Unnormalized scores stay INTEGERS (a1 = indegree; h1 = Σ a1 over
+    // out-neighbors; a2 = Σ h1 over in-neighbors; h2 = Σ a2), so the whole
+    // query is integer-exact — the usual per-round L2 normalization only
+    // rescales and cannot change the ranking this query reports. Each round
+    // is ONE edges⋈scores equi-join + a grouped sum with full map-side
+    // partials over the localCheckpoint-materialized edge list (compact
+    // (src,dst) scalars, reread 4x instead of re-running the fact join);
+    // at cluster scale the edge table is bucketed by its join key and each
+    // round is one shuffle.
+    Q(
+      "graph_hits_hubs_auth",
+      Some("""WITH eds AS (
+             |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |a1 AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS a1 FROM eds GROUP BY dst),
+             |h1 AS (SELECT src, CAST(SUM(a1) AS BIGINT) AS h1
+             |       FROM eds JOIN a1 USING (dst) GROUP BY src),
+             |a2 AS (SELECT dst, CAST(SUM(h1) AS BIGINT) AS a2
+             |       FROM eds JOIN h1 USING (src) GROUP BY dst),
+             |h2 AS (SELECT src, CAST(SUM(a2) AS BIGINT) AS h2
+             |       FROM eds JOIN a2 USING (dst) GROUP BY src),
+             |auth AS (
+             |  SELECT 'auth' AS kind, dst AS node, a1 AS r1, a2 AS r2
+             |  FROM a1 JOIN a2 USING (dst) ORDER BY r2 DESC, node LIMIT 10),
+             |hub AS (
+             |  SELECT 'hub' AS kind, src AS node, h1 AS r1, h2 AS r2
+             |  FROM h1 JOIN h2 USING (src) ORDER BY r2 DESC, node LIMIT 10)
+             |SELECT * FROM (SELECT * FROM auth UNION ALL SELECT * FROM hub)
+             |ORDER BY kind, node""".stripMargin),
+      (s, dir) => {
+        val eds = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+          .localCheckpoint()
+        val a1 = eds.groupBy("dst").agg(cnt.as("a1"))
+        val h1 = eds.join(a1, "dst").groupBy("src")
+          .agg(sum("a1").cast("long").as("h1"))
+        val a2 = eds.join(h1, "src").groupBy("dst")
+          .agg(sum("h1").cast("long").as("a2"))
+        val h2 = eds.join(a2, "dst").groupBy("src")
+          .agg(sum("a2").cast("long").as("h2"))
+        val auth = a1.join(a2, "dst")
+          .select(lit("auth").as("kind"), col("dst").as("node"),
+            col("a1").as("r1"), col("a2").as("r2"))
+          .orderBy(col("r2").desc, col("node")).limit(10)
+        val hub = h1.join(h2, "src")
+          .select(lit("hub").as("kind"), col("src").as("node"),
+            col("h1").as("r1"), col("h2").as("r2"))
+          .orderBy(col("r2").desc, col("node")).limit(10)
+        auth.union(hub).oracleOrder("kind", "node")
+      }),
+
+    // Bipartite co-purchase projection: parts that appear on the SAME
+    // order, counted per unordered pair — the classic market-basket /
+    // "customers also bought" projection of the order↔part bipartite
+    // graph. The self-join fans out at most C(k,2) pairs per order (TPC-H
+    // orders hold ≤ 7 lines), so the pair table is linear in the fact
+    // table with a small constant — the property that keeps the projection
+    // tractable at 100 TB, where it shuffles once on orderkey (both sides
+    // the same scan: Catalyst reuses the exchange) and once on the pair.
+    Q(
+      "graph_bipartite_copurchase",
+      Some("""WITH pairs AS (
+             |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+             |SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM pairs GROUP BY pa, pb
+             |ORDER BY n DESC, pa, pb LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(cnt.as("n"))
+          .orderBy(col("n").desc, col("pa"), col("pb")).limit(20)
+      },
+      outputLinear = true),
+
+    // First-order Markov transition matrix over the event stream: per
+    // user, each event's successor type (lead over the (ts, event_id)
+    // order), counted per (src_type, dst_type) and normalized per source
+    // row — the behavioral model behind next-action prediction and
+    // anomaly scoring. ONE user_id exchange feeds the lead window; the
+    // transition matrix is ≤ |types|² rows, so the final fold is tiny at
+    // any scale. p = n/tot is a single int/int double division of
+    // identical operands — bit-equal cross-engine, no rounding needed.
+    Q(
+      "funnel_markov_transitions",
+      Some("""WITH nxt AS (
+             |  SELECT event_type AS src_type,
+             |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+             |  FROM events),
+             |t AS (
+             |  SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM nxt WHERE dst_type IS NOT NULL GROUP BY src_type, dst_type)
+             |SELECT src_type, dst_type, n,
+             |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY src_type) AS DOUBLE) AS p
+             |FROM t ORDER BY src_type, dst_type""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val bySrc = Window.partitionBy("src_type")
+        Tables(s, dir, "events")
+          .select(col("event_type").as("src_type"),
+            lead(col("event_type"), 1).over(w).as("dst_type"))
+          .filter(col("dst_type").isNotNull)
+          .groupBy("src_type", "dst_type")
+          .agg(cnt.as("n"))
+          .withColumn("p", col("n").cast("double") /
+            sum("n").over(bySrc).cast("double"))
+          .oracleOrder("src_type", "dst_type")
       }))
 }

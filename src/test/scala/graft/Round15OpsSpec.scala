@@ -224,4 +224,45 @@ class Round15OpsSpec extends SparkSpec {
       assert(keptSum == vs.map(_._2).sum, s"bucket $bucket kept_sum")
     }
   }
+
+  test("hits rounds match a driver-side recomputation on the trade digraph") {
+    val got = Registry.byId("graph_hits_hubs_auth").run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val eds = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("s"), (col("l_suppkey") * 2 + 1).as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a1 = eds.groupBy(_._2).map { case (d, es) => d -> es.length.toLong }
+    val h1 = eds.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(e => a1(e._2)).sum }
+    val a2 = eds.groupBy(_._2).map { case (d, es) =>
+      d -> es.map(e => h1(e._1)).sum }
+    val h2 = eds.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(e => a2(e._2)).sum }
+    got.foreach {
+      case (("auth", node), (r1, r2)) =>
+        assert(r1 == a1(node) && r2 == a2(node), s"auth $node")
+      case (("hub", node), (r1, r2)) =>
+        assert(r1 == h1(node) && r2 == h2(node), s"hub $node")
+      case other => fail(s"unexpected row $other")
+    }
+    // the reported authorities are the true top-10 by (a2 DESC, node)
+    val wantAuth = a2.toSeq.map { case (n, v) => (-v, n) }.sorted.take(10)
+      .map(_._2).toSet
+    assert(got.keys.collect { case ("auth", n) => n }.toSet == wantAuth)
+  }
+
+  test("markov transition probabilities sum to 1 per source type") {
+    val rows = Registry.byId("funnel_markov_transitions").run(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (src, vs) =>
+      val p = vs.map(_._3).sum
+      assert(math.abs(p - 1.0) < 1e-9, s"$src sums to $p")
+      val tot = vs.map(_._2).sum
+      vs.foreach { case (_, n, pi) =>
+        assert(pi == n.toDouble / tot, s"$src p not the exact ratio") }
+    }
+  }
 }
