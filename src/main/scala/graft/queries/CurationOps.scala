@@ -1118,6 +1118,66 @@ object CurationOps extends QueryPack {
               .as("first_tok"),
             col("n_tok"))
           .oracleOrder("doc_id", "start_tok")
+      }),
+
+    // Differentially-private (source, lang) cell-count release: Laplace
+    // noise with scale b = 2 (sensitivity 1 / ε = 0.5) via the inverse-CDF
+    // transform of a DETERMINISTIC uniform draw — the polynomial hash of
+    // the cell key (the text_rolling_hash fold) mapped to u ∈ (−½, ½)
+    // strictly (the +0.5/2^20 offset keeps ln's argument > 0), then
+    // noise = −b·sign(u)·ln(1−2|u|). The deterministic draw is the
+    // standard test-harness seeding of a DP release (a production release
+    // swaps ONLY the uniform for a real RNG); cells whose noisy count
+    // falls below the release threshold are suppressed-flagged, not
+    // dropped, so the output schema is stable. ln follows the
+    // perplexity-gate dialect: only |cells| ≤ ~100 DISTINCT values pass
+    // through it, each rounded 9dp (boundary-coincidence risk nil), and
+    // the rest of the pipeline is identical IEEE arithmetic — no terminal
+    // rounding. Scale shape: one grouped count (map-side partials) + a
+    // per-cell scalar transform; nothing grows with the corpus.
+    Q(
+      "curation_dp_count_laplace",
+      Some("""WITH c AS (
+             |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY source, lang),
+             |h AS (
+             |  SELECT source, lang, n,
+             |    list_reduce(
+             |      list_prepend(7::BIGINT,
+             |        list_transform(split(source || '|' || lang, ''), x -> ascii(x)::BIGINT)),
+             |      (acc, x) -> (acc * 31 + x) % 2147483647) AS hv
+             |  FROM c),
+             |u AS (
+             |  SELECT source, lang, n,
+             |    ((hv % 1048575) + 0.5) / 1048576.0 - 0.5 AS uu
+             |  FROM h),
+             |z AS (
+             |  SELECT source, lang, n,
+             |    -2.0 * (CASE WHEN uu >= 0 THEN 1.0 ELSE -1.0 END)
+             |      * ROUND(ln(1.0 - 2.0 * abs(uu)), 9) AS noise
+             |  FROM u)
+             |SELECT source, lang,
+             |  CAST(n AS DOUBLE) + noise AS noisy_n,
+             |  (CAST(n AS DOUBLE) + noise) < 5.0 AS suppressed
+             |FROM z ORDER BY source, lang""".stripMargin),
+      (s, dir) => {
+        val key = concat(col("source"), lit("|"), col("lang"))
+        val hv = aggregate(
+          transform(split(key, ""), x => ascii(x).cast("long")),
+          lit(7L),
+          (acc, x) => (acc * 31 + x) % 2147483647L)
+        val uu = ((hv % 1048575L) + 0.5) / 1048576.0 - 0.5
+        val noise = lit(-2.0) *
+          when(col("uu") >= 0, 1.0).otherwise(-1.0) *
+          round(log(lit(1.0) - lit(2.0) * abs(col("uu"))), 9)
+        Tables(s, dir, "documents")
+          .groupBy("source", "lang")
+          .agg(cnt.as("n"))
+          .withColumn("uu", uu)
+          .select(col("source"), col("lang"),
+            (col("n").cast("double") + noise).as("noisy_n"))
+          .withColumn("suppressed", col("noisy_n") < 5.0)
+          .oracleOrder("source", "lang")
       }))
 
   /** Per-source cap + its sampling seed for `corpus_cap_per_source`. */

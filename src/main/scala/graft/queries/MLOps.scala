@@ -1700,6 +1700,72 @@ object MLOps extends QueryPack {
             round(col("icept"), 4).as("icept"),
             round(col("sse") / col("n_val"), 2).as("val_mse"))
           .oracleOrder("fold")
+      }),
+
+    // One ALS half-step (Koren/Hu-style alternating least squares, k=2,
+    // λ=1/4): item factors FIXED (deterministic k/16 rationals of the part
+    // key — the "previous iteration" in a real alternation), per-user
+    // factors solved in closed form from the 2×2 regularized normal
+    // equations. The ENTIRE training step is one groupBy(user) over the
+    // ratings join — 5 sufficient-statistic sums per user — exactly how a
+    // distributed ALS scales (users partition independently; the item
+    // half-step is the transpose). Exactness with NO rounding anywhere:
+    // f ∈ k/16 ⇒ f², f·f' ∈ k/256 and f·r ∈ k/16 × integer quantities —
+    // every partial sum is an exact multiple of 1/256 far below 2^53, so
+    // double addition is exact and order-free; the λ-shifted solve
+    // (det ≥ λ² > 0) is one fixed IEEE expression tree, bit-equal across
+    // engines. Reported on the bounded custkey ≤ 300 slice (constant-size
+    // output; the unfiltered sweep is the same plan minus the pushed-down
+    // scan filter).
+    Q(
+      "ml_als_step",
+      Some("""WITH r AS (
+             |  SELECT o_custkey AS u, l_partkey AS p, l_quantity AS rt
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |  WHERE o_custkey <= 300),
+             |f AS (
+             |  SELECT u, rt,
+             |    ((p * 17) % 13 - 6) / 16.0 AS f1,
+             |    ((p * 11) % 7 - 3) / 16.0 AS f2
+             |  FROM r),
+             |s AS (
+             |  SELECT u, CAST(COUNT(*) AS BIGINT) AS n_items,
+             |    SUM(f1 * f1) AS s11, SUM(f1 * f2) AS s12, SUM(f2 * f2) AS s22,
+             |    SUM(f1 * rt) AS b1, SUM(f2 * rt) AS b2
+             |  FROM f GROUP BY u)
+             |SELECT u, n_items,
+             |  (b1 * (s22 + 0.25) - s12 * b2)
+             |    / ((s11 + 0.25) * (s22 + 0.25) - s12 * s12) AS u1,
+             |  ((s11 + 0.25) * b2 - s12 * b1)
+             |    / ((s11 + 0.25) * (s22 + 0.25) - s12 * s12) AS u2
+             |FROM s ORDER BY u""".stripMargin),
+      (s, dir) => {
+        val p = col("l_partkey")
+        val f1 = ((p * 17) % 13 - 6) / 16.0
+        val f2 = ((p * 11) % 7 - 3) / 16.0
+        val det = (col("s11") + 0.25) * (col("s22") + 0.25) -
+          col("s12") * col("s12")
+        Tables(s, dir, "orders")
+          .filter(col("o_custkey") <= 300)
+          .select(col("o_orderkey"), col("o_custkey").as("u"))
+          .join(Tables(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey"),
+              col("l_quantity").as("rt")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("u"), f1.as("f1"), f2.as("f2"), col("rt"))
+          .groupBy("u")
+          .agg(cnt.as("n_items"),
+            sum(col("f1") * col("f1")).as("s11"),
+            sum(col("f1") * col("f2")).as("s12"),
+            sum(col("f2") * col("f2")).as("s22"),
+            sum(col("f1") * col("rt")).as("b1"),
+            sum(col("f2") * col("rt")).as("b2"))
+          .select(col("u"), col("n_items"),
+            ((col("b1") * (col("s22") + 0.25) - col("s12") * col("b2")) / det)
+              .as("u1"),
+            (((col("s11") + 0.25) * col("b2") - col("s12") * col("b1")) / det)
+              .as("u2"))
+          .oracleOrder("u")
       }))
 
   /** Forward-pass trunk shared by `ml_cnn_forward_compose` and

@@ -1273,6 +1273,58 @@ object SimOps extends QueryPack {
           .oracleOrder("vec_id")
       }),
 
+    // Symmetric int4 quantization + nibble packing — the 8x compression
+    // tier below int8 (weight-only int4 GEMM, 2 codes/byte). Unlike
+    // ml_quantize_int8's exploded-cell window, this runs as PURE ARRAY
+    // KERNELS inside one projection — amax, the 64 int4 codes
+    // (floor(x·7/amax + 0.5) ∈ [−7,7], the engine-neutral half spelling;
+    // no clamp needed since |x| ≤ amax bounds the argument), the 32
+    // packed bytes (qhi+8)·16 + (qlo+8), and the reconstruction-error max
+    // — ZERO shuffles, zero explode: the at-scale shape for a
+    // billion-vector quantization sweep. Codes and packed-byte checksums
+    // are integer-exact; amax and the error max are selections of
+    // identical IEEE doubles (no sums, no rounding).
+    Q(
+      "ml_int4_quantize_pack",
+      Some("""WITH s AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+             |  FROM embeddings),
+             |m AS (
+             |  SELECT vec_id, xd,
+             |    list_max(list_transform(xd, x -> abs(x))) AS amax
+             |  FROM s),
+             |q AS (
+             |  SELECT vec_id, amax, xd,
+             |    list_transform(xd, x -> CAST(floor(x * 7.0 / amax + 0.5) AS BIGINT)) AS qv
+             |  FROM m WHERE amax > 0)
+             |SELECT vec_id, amax,
+             |  CAST(list_sum(list_transform(range(1, 33),
+             |    k -> (qv[2 * k - 1] + 8) * 16 + (qv[2 * k] + 8))) AS BIGINT) AS packed_sum,
+             |  list_max(list_transform(range(1, 65),
+             |    i -> abs(xd[i] - CAST(qv[i] AS DOUBLE) * amax / 7.0))) AS max_abs_err
+             |FROM q ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("xd"))
+          .withColumn("amax", array_max(transform(col("xd"), x => abs(x))))
+          .filter(col("amax") > 0)
+          .withColumn("qv", transform(col("xd"),
+            x => floor(x * 7.0 / col("amax") + 0.5)))
+          .select(col("vec_id"), col("amax"),
+            aggregate(
+              transform(sequence(lit(1), lit(32)), k =>
+                (element_at(col("qv"), k * 2 - 1) + 8) * 16 +
+                  (element_at(col("qv"), k * 2) + 8)),
+              lit(0L), (acc, v) => acc + v).as("packed_sum"),
+            array_max(transform(sequence(lit(1), lit(64)), i =>
+              abs(element_at(col("xd"), i) -
+                element_at(col("qv"), i).cast("double") * col("amax") / 7.0)))
+              .as("max_abs_err"))
+          .oracleOrder("vec_id")
+      }),
+
     // k-NN majority-vote classification over the embedding store — the
     // label-propagation primitive behind weak supervision and
     // auto-labeling sweeps. Per query (broadcast slice): rank ALL

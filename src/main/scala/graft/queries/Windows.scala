@@ -735,5 +735,74 @@ object Windows extends QueryPack {
           .agg(cnt.as("n_obs"),
             round(dsum(col("det")) / count(lit(1)), 6).as("seasonal"))
           .oracleOrder("event_type", "hod")
+      }),
+
+    // Bollinger bands on the daily order-revenue series: 20-day trailing
+    // mean ± 2σ with breakout flags — the rolling-volatility envelope
+    // (same family as window_anomaly_zscore, but band OUTPUTS and a
+    // FULL-frame-only discipline: rows before day 20 are suppressed, so no
+    // partial-frame denominators). Exactness at ANY scale: the daily value
+    // is exact integer cents (long), the frame's Σc is a long window sum,
+    // and Σc² runs as a DECIMAL(38,0) window sum of (19,0)×(19,0) products
+    // — immune to the long overflow a cents² sum would hit at the 10x/30x
+    // scale probes. Both exact sums convert to double over the VARCHAR
+    // route (string→double is correctly rounded in both engines), and
+    // every downstream op (variance expansion, sqrt, bands, flags) is the
+    // identical IEEE expression tree — no terminal ROUND anywhere, so no
+    // midpoint hazard. One unpartitioned window over the ~2.4k-day
+    // aggregate (bounded by calendar days, not fact rows — the
+    // window_moving_avg policy).
+    Q(
+      "window_bollinger_bands",
+      Some("""WITH d AS (
+             |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+             |  FROM orders GROUP BY 1),
+             |w AS (
+             |  SELECT day, c,
+             |    ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             |    CAST(SUM(c) OVER (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
+             |    SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+             |      OVER (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s2
+             |  FROM d),
+             |v AS (
+             |  SELECT day, c, s,
+             |    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d
+             |  FROM w WHERE rn >= 20),
+             |b AS (
+             |  SELECT day, CAST(c AS DOUBLE) / 100.0 AS close,
+             |    CAST(s AS DOUBLE) / 20.0 / 100.0 AS mid,
+             |    sqrt((s2d - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / 20.0) / 19.0) / 100.0 AS sd
+             |  FROM v)
+             |SELECT day, close, mid, sd,
+             |  mid + 2.0 * sd AS upper, mid - 2.0 * sd AS lower,
+             |  close > mid + 2.0 * sd AS above, close < mid - 2.0 * sd AS below
+             |FROM b ORDER BY day""".stripMargin),
+      (s, dir) => {
+        val daily = Tables(s, dir, "orders")
+          .groupBy(date_trunc("day", col("o_orderdate")).cast("date").as("day"))
+          .agg(sum(cents(col("o_totalprice"))).cast("long").as("c"))
+        val w = Window.orderBy("day")
+        val frame = w.rowsBetween(-19, Window.currentRow)
+        val dec19 = DecimalType(19, 0)
+        val sd = col("s").cast("double")
+        val sdev = sqrt((col("s2d") - sd * sd / 20.0) / 19.0) / 100.0
+        val mid = sd / 20.0 / 100.0
+        val close = col("c").cast("double") / 100.0
+        daily
+          .select(col("day"), col("c"),
+            row_number().over(w).as("rn"),
+            sum("c").over(frame).cast("long").as("s"),
+            sum(col("c").cast(dec19) * col("c").cast(dec19)).over(frame).as("s2"))
+          .filter(col("rn") >= 20)
+          .select(col("day"), col("c"), col("s"),
+            col("s2").cast("string").cast("double").as("s2d"))
+          .select(col("day"), close.as("close"), mid.as("mid"), sdev.as("sd"))
+          .select(col("day"), col("close"), col("mid"), col("sd"),
+            (col("mid") + lit(2.0) * col("sd")).as("upper"),
+            (col("mid") - lit(2.0) * col("sd")).as("lower"),
+            (col("close") > col("mid") + lit(2.0) * col("sd")).as("above"),
+            (col("close") < col("mid") - lit(2.0) * col("sd")).as("below"))
+          .oracleOrder("day")
       }))
 }

@@ -254,6 +254,98 @@ class Round15OpsSpec extends SparkSpec {
     assert(got.keys.collect { case ("auth", n) => n }.toSet == wantAuth)
   }
 
+  test("bollinger bands match a naive 20-day mean/stddev recomputation") {
+    val got = Registry.byId("window_bollinger_bands").run(spark, sf).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(6)))
+      .toMap
+    val daily = Tables(spark, sf, "orders")
+      .groupBy(date_trunc("day", col("o_orderdate")).cast("date").as("day"))
+      .agg(sum(Fns.cents(col("o_totalprice"))).cast("long").as("c"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).sortBy(_._1)
+    daily.indices.drop(19).foreach { i =>
+      val frame = daily.slice(i - 19, i + 1).map(_._2.toDouble / 100.0)
+      val mean = frame.sum / 20.0
+      val sd = math.sqrt(frame.map(v => (v - mean) * (v - mean)).sum / 19.0)
+      val (close, mid, sdGot, above) = got(daily(i)._1)
+      assert(math.abs(close - daily(i)._2 / 100.0) < 1e-9)
+      assert(math.abs(mid - mean) < 1e-6, s"day ${daily(i)._1} mid")
+      assert(math.abs(sdGot - sd) < 1e-4, s"day ${daily(i)._1} sd")
+      assert(above == (close > mid + 2.0 * sdGot))
+    }
+    assert(got.size == daily.length - 19)
+  }
+
+  test("als half-step factors satisfy the regularized normal equations") {
+    val rows = Registry.byId("ml_als_step").run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val ratings = Tables(spark, sf, "orders")
+      .filter(col("o_custkey") <= 300)
+      .join(Tables(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"), col("l_quantity"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    ratings.groupBy(_._1).foreach { case (u, items) =>
+      val fs = items.map { case (_, p, rt) =>
+        (((p * 17) % 13 - 6) / 16.0, ((p * 11) % 7 - 3) / 16.0, rt)
+      }
+      val s11 = fs.map(t => t._1 * t._1).sum + 0.25
+      val s12 = fs.map(t => t._1 * t._2).sum
+      val s22 = fs.map(t => t._2 * t._2).sum + 0.25
+      val b1 = fs.map(t => t._1 * t._3).sum
+      val b2 = fs.map(t => t._2 * t._3).sum
+      val (u1, u2) = rows(u)
+      // A·u == b within fp noise: the definition of the half-step solve.
+      assert(math.abs(s11 * u1 + s12 * u2 - b1) < 1e-9, s"user $u eq1")
+      assert(math.abs(s12 * u1 + s22 * u2 - b2) < 1e-9, s"user $u eq2")
+    }
+  }
+
+  test("int4 pack round-trips: codes within [-7,7], bytes reconstruct codes") {
+    val got = Registry.byId("ml_int4_quantize_pack").run(spark, sf).collect()
+    val emb = Tables(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    got.foreach { r =>
+      val (id, amax, packed, err) =
+        (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3))
+      val x = emb(id)
+      assert(math.abs(amax - x.map(math.abs).max) < 1e-12)
+      val q = x.map(v => math.floor(v * 7.0 / amax + 0.5).toLong)
+      assert(q.forall(c => c >= -7 && c <= 7), s"vec $id code range")
+      val bytes = (1 to 32).map(k => (q(2 * k - 2) + 8) * 16 + (q(2 * k - 1) + 8))
+      assert(bytes.forall(b => b >= 0 && b <= 255))
+      assert(packed == bytes.sum, s"vec $id packed_sum")
+      // unpack: hi nibble / lo nibble recover the codes
+      bytes.zipWithIndex.foreach { case (b, k) =>
+        assert(b / 16 - 8 == q(2 * k) && b % 16 - 8 == q(2 * k + 1))
+      }
+      val wantErr = x.zip(q).map { case (v, c) =>
+        math.abs(v - c.toDouble * amax / 7.0) }.max
+      assert(math.abs(err - wantErr) < 1e-12, s"vec $id err")
+    }
+  }
+
+  test("dp laplace counts: noise is the declared transform of the cell-key hash") {
+    val got = Registry.byId("curation_dp_count_laplace").run(spark, sf)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    val cells = Tables(spark, sf, "documents").groupBy("source", "lang")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    cells.foreach { case (src, lang, n) =>
+      val h = s"$src|$lang".foldLeft(7L)((acc, c) => (acc * 31 + c.toLong) % 2147483647L)
+      val uu = ((h % 1048575L) + 0.5) / 1048576.0 - 0.5
+      val lnr = BigDecimal(math.log(1.0 - 2.0 * math.abs(uu)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val noise = -2.0 * (if (uu >= 0) 1.0 else -1.0) * lnr
+      val (noisy, sup) = got((src, lang))
+      assert(noisy == n.toDouble + noise, s"cell ($src,$lang)")
+      assert(sup == (noisy < 5.0))
+    }
+    assert(got.size == cells.length)
+  }
+
   test("markov transition probabilities sum to 1 per source type") {
     val rows = Registry.byId("funnel_markov_transitions").run(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
