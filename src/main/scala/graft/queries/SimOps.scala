@@ -1378,5 +1378,187 @@ object SimOps extends QueryPack {
           .select(col("qa"), col("lb").cast("int").as("pred_label"),
             col("votes"))
           .oracleOrder("qa")
+      }),
+
+    // Graph-walk ANN (the HNSW/NSG layer-0 idea): greedy best-first ascent
+    // over a prebuilt kNN proximity graph — start at a fixed entry node,
+    // hop to whichever neighbor (or self) has the highest similarity to
+    // the query, repeat. Expressed RELATIONALLY: the per-(query, node)
+    // transition function `next(q, v) = argmax over {v} ∪ N(v)` is
+    // precomputed ONCE as a small table, and the walk is 8 unrolled
+    // compositions of that table with itself — a graph traversal as plain
+    // equi-joins, no recursion, no driver loop (the same unrolling
+    // discipline as the SCC path doubling). Greedy stalls at a local
+    // optimum are handled by construction (self is always a candidate, so
+    // a converged walk keeps mapping to itself; n_moves counts real hops).
+    // Exactness: the sim_cosine dialect end to end (fused native cosine
+    // ROUND 6dp, node-id tie-breaks). Scale: nodes here are the bounded
+    // graph slice (the per-LSH-cluster shard a production graph index
+    // partitions into); queries broadcast, the transition table is
+    // |Q|·|V| scalars, and each hop is a broadcast join — the corpus never
+    // re-shuffles.
+    Q(
+      "sim_ann_graph_greedy",
+      Some("""WITH n AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+             |qs AS (SELECT vec_id AS q, embedding AS qe FROM embeddings
+             |       WHERE vec_id >= 200 AND vec_id < 205),
+             |pc AS (
+             |  SELECT x.vec_id AS src, y.vec_id AS dst,
+             |    ROUND(list_sum(list_transform(list_zip(x.embedding, y.embedding),
+             |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+             |       * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS cos
+             |  FROM n x, n y WHERE x.vec_id <> y.vec_id),
+             |e AS (
+             |  SELECT src, dst FROM (
+             |    SELECT src, dst, row_number() OVER (PARTITION BY src
+             |      ORDER BY cos DESC, dst) AS rn FROM pc) t
+             |  WHERE rn <= 4
+             |  UNION ALL SELECT vec_id AS src, vec_id AS dst FROM n),
+             |qd AS (
+             |  SELECT qs.q, n.vec_id AS node,
+             |    ROUND(list_sum(list_transform(list_zip(qs.qe, n.embedding),
+             |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(qs.qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+             |       * sqrt(list_sum(list_transform(n.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS cos
+             |  FROM qs, n),
+             |m AS (
+             |  SELECT q, src, dst AS nxt FROM (
+             |    SELECT qd.q, e.src, e.dst, row_number() OVER (
+             |      PARTITION BY qd.q, e.src ORDER BY qd.cos DESC, e.dst) AS rn
+             |    FROM e JOIN qd ON e.dst = qd.node) t
+             |  WHERE rn = 1),
+             |w0 AS (SELECT q, CAST(0 AS BIGINT) AS cur, 0 AS mv FROM qs),
+             |w1 AS (SELECT w.q, m.nxt AS cur, w.mv + (CASE WHEN m.nxt <> w.cur THEN 1 ELSE 0 END) AS mv FROM w0 w JOIN m ON m.q = w.q AND m.src = w.cur),
+             |w2 AS (SELECT w.q, m.nxt AS cur, w.mv + (CASE WHEN m.nxt <> w.cur THEN 1 ELSE 0 END) AS mv FROM w1 w JOIN m ON m.q = w.q AND m.src = w.cur),
+             |w3 AS (SELECT w.q, m.nxt AS cur, w.mv + (CASE WHEN m.nxt <> w.cur THEN 1 ELSE 0 END) AS mv FROM w2 w JOIN m ON m.q = w.q AND m.src = w.cur),
+             |w4 AS (SELECT w.q, m.nxt AS cur, w.mv + (CASE WHEN m.nxt <> w.cur THEN 1 ELSE 0 END) AS mv FROM w3 w JOIN m ON m.q = w.q AND m.src = w.cur),
+             |w5 AS (SELECT w.q, m.nxt AS cur, w.mv + (CASE WHEN m.nxt <> w.cur THEN 1 ELSE 0 END) AS mv FROM w4 w JOIN m ON m.q = w.q AND m.src = w.cur),
+             |w6 AS (SELECT w.q, m.nxt AS cur, w.mv + (CASE WHEN m.nxt <> w.cur THEN 1 ELSE 0 END) AS mv FROM w5 w JOIN m ON m.q = w.q AND m.src = w.cur),
+             |w7 AS (SELECT w.q, m.nxt AS cur, w.mv + (CASE WHEN m.nxt <> w.cur THEN 1 ELSE 0 END) AS mv FROM w6 w JOIN m ON m.q = w.q AND m.src = w.cur),
+             |w8 AS (SELECT w.q, m.nxt AS cur, w.mv + (CASE WHEN m.nxt <> w.cur THEN 1 ELSE 0 END) AS mv FROM w7 w JOIN m ON m.q = w.q AND m.src = w.cur)
+             |SELECT w8.q AS q, w8.cur AS found, qd.cos AS cos6,
+             |  CAST(w8.mv AS INT) AS n_moves
+             |FROM w8 JOIN qd ON qd.q = w8.q AND qd.node = w8.cur
+             |ORDER BY w8.q""".stripMargin),
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val n = emb.filter(col("vec_id") < 200)
+          .select(col("vec_id"), col("embedding"))
+        val qs = emb.filter(col("vec_id") >= 200 && col("vec_id") < 205)
+          .select(col("vec_id").as("q"), col("embedding").as("qe"))
+        val wr = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+        val knn = broadcast(n.select(col("vec_id").as("src"), col("embedding").as("ea")))
+          .crossJoin(n.select(col("vec_id").as("dst"), col("embedding").as("eb")))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"), round(ncos(col("ea"), col("eb")), 6).as("cos"))
+          .withColumn("rn", row_number().over(wr))
+          .filter(col("rn") <= 4)
+          .select(col("src"), col("dst"))
+        val e = knn.union(n.select(col("vec_id").as("src"), col("vec_id").as("dst")))
+        val qd = broadcast(qs).crossJoin(n)
+          .select(col("q"), col("vec_id").as("node"),
+            round(ncos(col("qe"), col("embedding")), 6).as("cos"))
+        val wm = Window.partitionBy("q", "src").orderBy(col("cos").desc, col("dst"))
+        val m = e.join(qd, col("dst") === col("node"))
+          .select(col("q"), col("src"), col("dst"), col("cos"))
+          .withColumn("rn", row_number().over(wm))
+          .filter(col("rn") === 1)
+          .select(col("q"), col("src"), col("dst").as("nxt"))
+          .localCheckpoint()
+        var walk = qs.select(col("q"), lit(0L).as("cur"), lit(0).as("mv"))
+        for (_ <- 1 to 8) {
+          walk = walk.join(broadcast(m),
+              walk("q") === m("q") && col("cur") === col("src"))
+            .select(walk("q").as("q"), col("nxt").as("cur"),
+              (col("mv") + when(col("nxt") =!= col("cur"), 1).otherwise(0)).as("mv"))
+        }
+        walk.join(qd, walk("q") === qd("q") && col("cur") === col("node"))
+          .select(walk("q").as("q"), col("cur").as("found"),
+            col("cos").as("cos6"), col("mv").cast("int").as("n_moves"))
+          .oracleOrder("q")
+      }),
+
+    // Perceptual hash (pHash) fingerprint of the deterministic fake-decoded
+    // "image" of each document — the dedup fingerprint family's multimodal
+    // member: decode (stub: an 8×8 luma grid read off the text's
+    // codepoints, the scan_binary_blobs stub policy — a production decode
+    // swaps ONLY the pixel source), 2-D DCT-II, low-frequency 4×4 block
+    // minus DC (15 coefficients), median-threshold bits → one 15-bit code,
+    // equal codes = perceptual near-dup cluster. The DCT runs as 15
+    // zip-fold dot products against JVM-PRECOMPUTED basis rows inlined as
+    // literals in both engines (the RoPE trig-cache discipline — query
+    // time is trig-free); the median is an order-statistic selection of
+    // identical IEEE doubles and the bits/code are integer-exact. Shape:
+    // entirely map-side per doc + one phash-partitioned window over the
+    // 15-bit (32768-key) code space — embarrassingly parallel at 100 TB.
+    Q(
+      "multimodal_image_phash",
+      Some {
+        val xs = PhashBasis.zipWithIndex.map { case ((_, _, k), j0 ) =>
+          s"list_sum(list_transform(list_zip(p, ${k.map(_.toString).mkString("[", ", ", "]")}), z -> z[1] * z[2])) AS x${j0 + 1}"
+        }.mkString(",\n    ")
+        val bits = (1 to 15).map(j => s"(CASE WHEN xs[$j] > med THEN ${1L << (j - 1)} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH d AS (
+           |  SELECT doc_id, split(lower(text), '') AS arr FROM documents
+           |  WHERE doc_id < 300 AND len(text) > 0),
+           |px AS (
+           |  SELECT doc_id,
+           |    list_transform(range(0, 64),
+           |      i -> CAST(ascii(arr[(i % len(arr)) + 1]) AS DOUBLE)) AS p
+           |  FROM d),
+           |x AS (
+           |  SELECT doc_id,
+           |    $xs
+           |  FROM px),
+           |v AS (
+           |  SELECT doc_id, [${(1 to 15).map(j => s"x$j").mkString(", ")}] AS xs
+           |  FROM x),
+           |m AS (SELECT doc_id, xs, list_sort(xs)[8] AS med FROM v),
+           |h AS (SELECT doc_id, CAST($bits AS BIGINT) AS phash FROM m)
+           |SELECT doc_id, phash,
+           |  CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same
+           |FROM h ORDER BY doc_id""".stripMargin
+      },
+      (s, dir) => {
+        val chars = split(lower(col("text")), "")
+        val p = transform(sequence(lit(0), lit(63)),
+          i => ascii(element_at(chars, (i % size(chars)) + 1)).cast("double"))
+        val xcols = PhashBasis.zipWithIndex.map { case ((_, _, k), j0) =>
+          aggregate(
+            zip_with(col("p"), typedlit(k), (a, b) => a * b),
+            lit(0.0), (acc, v) => acc + v).as(s"x${j0 + 1}")
+        }
+        val xs = array((1 to 15).map(j => col(s"x$j")): _*)
+        val phash = (1 to 15).map(j =>
+          when(element_at(col("xs"), j) > col("med"), lit(1L << (j - 1)))
+            .otherwise(0L)).reduceLeft(_ + _)
+        val byHash = Window.partitionBy("phash")
+        Tables(s, dir, "documents")
+          .filter(col("doc_id") < 300 && length(col("text")) > 0)
+          .select(col("doc_id"), p.as("p"))
+          .select(col("doc_id") +: xcols: _*)
+          .select(col("doc_id"), xs.as("xs"))
+          .withColumn("med", element_at(array_sort(col("xs")), 8))
+          .select(col("doc_id"), phash.cast("long").as("phash"))
+          .withColumn("n_same", count(lit(1)).over(byHash).cast("long"))
+          .oracleOrder("doc_id")
       }))
+
+  /** pHash DCT-II basis: for each low-frequency (u, v) in the 4×4 block
+    * minus DC, the flattened 64-length row K[i = r*8+c] = C(u,r)·C(v,c)
+    * with C(u,r) = cos(π(2r+1)u/16) — precomputed once on the JVM, inlined
+    * as shortest-repr double literals in BOTH engines (RoPE discipline).
+    */
+  private[graft] val PhashBasis: Seq[(Int, Int, Seq[Double])] =
+    for {
+      u <- 0 to 3
+      v <- 0 to 3
+      if !(u == 0 && v == 0)
+    } yield {
+      def c(f: Int, r: Int) = math.cos(math.Pi * (2 * r + 1) * f / 16.0)
+      val k = for (r <- 0 until 8; cc <- 0 until 8) yield c(u, r) * c(v, cc)
+      (u, v, k: Seq[Double])
+    }
 }

@@ -346,6 +346,57 @@ class Round15OpsSpec extends SparkSpec {
     assert(got.size == cells.length)
   }
 
+  test("greedy graph-walk ANN matches a driver-side greedy ascent") {
+    val got = Registry.byId("sim_ann_graph_greedy").run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(3))).toMap
+    val all = embRows().map { case (id, _, x) => id -> x }.toMap
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      val ab = a.zip(b).map { case (u, v) => u * v }.sum
+      val na = math.sqrt(a.map(u => u * u).sum)
+      val nb = math.sqrt(b.map(u => u * u).sum)
+      BigDecimal(ab / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val nodes = all.keys.filter(_ < 200).toSeq.sorted
+    val edges = nodes.map { v =>
+      v -> nodes.filter(_ != v)
+        .map(u => (-cos6(all(v), all(u)), u)).sorted.take(4).map(_._2)
+    }.toMap
+    (200L until 205L).foreach { q =>
+      var cur = 0L; var mv = 0
+      for (_ <- 1 to 8) {
+        val cands = cur +: edges(cur)
+        val nxt = cands.map(u => (-cos6(all(q), all(u)), u)).min._2
+        if (nxt != cur) mv += 1
+        cur = nxt
+      }
+      val (found, moves) = got(q)
+      assert(found == cur, s"query $q found $found want $cur")
+      assert(moves == mv, s"query $q moves")
+    }
+  }
+
+  test("phash bits match a naive DCT + median threshold per doc") {
+    val got = Registry.byId("multimodal_image_phash").run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables(spark, sf, "documents")
+      .filter(col("doc_id") < 300 && length(col("text")) > 0)
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    docs.foreach { case (id, text) =>
+      val cps = text.codePoints().toArray
+      val p = (0 until 64).map(i => cps(i % cps.length).toDouble)
+      val xs = graft.queries.SimOps.PhashBasis.map { case (_, _, k) =>
+        p.zip(k).map { case (a, b) => a * b }.sum
+      }
+      val med = xs.sorted.apply(7)
+      val want = xs.zipWithIndex
+        .map { case (x, j) => if (x > med) 1L << j else 0L }.sum
+      assert(got(id) == want, s"doc $id phash")
+    }
+    assert(got.size == docs.length)
+  }
+
   test("markov transition probabilities sum to 1 per source type") {
     val rows = Registry.byId("funnel_markov_transitions").run(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
