@@ -802,15 +802,10 @@ object GraphOps extends QueryPack {
              |SELECT * FROM (SELECT * FROM auth UNION ALL SELECT * FROM hub)
              |ORDER BY kind, node""".stripMargin),
       (s, dir) => {
-        val eds = Tables(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"))
-          .join(Tables(s, dir, "lineitem")
-            .select(col("l_orderkey"), col("l_suppkey")),
-            col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct()
-          .localCheckpoint()
+        // The directed customer→supplier half IS the even-src slice of the
+        // family's memoized symmetrized trade graph — reuse that
+        // checkpointed edge list instead of re-running the fact join.
+        val eds = tradeEdges(s, dir).filter(col("src") % 2 === 0)
         val a1 = eds.groupBy("dst").agg(cnt.as("a1"))
         val h1 = eds.join(a1, "dst").groupBy("src")
           .agg(sum("a1").cast("long").as("h1"))
@@ -832,11 +827,15 @@ object GraphOps extends QueryPack {
     // Bipartite co-purchase projection: parts that appear on the SAME
     // order, counted per unordered pair — the classic market-basket /
     // "customers also bought" projection of the order↔part bipartite
-    // graph. The self-join fans out at most C(k,2) pairs per order (TPC-H
-    // orders hold ≤ 7 lines), so the pair table is linear in the fact
-    // table with a small constant — the property that keeps the projection
-    // tractable at 100 TB, where it shuffles once on orderkey (both sides
-    // the same scan: Catalyst reuses the exchange) and once on the pair.
+    // graph. Pair fan-out is at most C(k,2) per order (TPC-H orders hold
+    // ≤ 7 lines), so the pair table is linear in the fact table with a
+    // small constant. NOT a self-join: the basket folds to a sorted
+    // part-array per order (one orderkey shuffle — half the self-join's
+    // two scans), pairs enumerate IN-PLAN from the array (strictly-after
+    // slices of the sorted basket ⇒ pa ≤ pb with line-pair multiplicity,
+    // the join's exact semantics after the pa < pb filter), and only pair
+    // scalars reach the rollup. The oracle keeps the textbook join form —
+    // the rewrite is provably result-identical and hash-checked as such.
     Q(
       "graph_bipartite_copurchase",
       Some("""WITH pairs AS (
@@ -847,12 +846,16 @@ object GraphOps extends QueryPack {
              |FROM pairs GROUP BY pa, pb
              |ORDER BY n DESC, pa, pb LIMIT 20""".stripMargin),
       (s, dir) => {
-        val li = Tables(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey"))
-        li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        val ps = col("ps")
+        val pairsOf = flatten(transform(ps, (x, i) =>
+          transform(slice(ps, i + 2, size(ps) - i - 1),
+            y => struct(x.as("pa"), y.as("pb")))))
+        Tables(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+          .select(explode(pairsOf).as("pr"))
+          .filter(col("pr.pa") < col("pr.pb"))
+          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
           .agg(cnt.as("n"))
           .orderBy(col("n").desc, col("pa"), col("pb")).limit(20)
       },
