@@ -54,7 +54,10 @@ object BenchIsolation {
     "stream_stream_left_outer",
     "stream_stream_join",
     "graph_pagerank_unrolled",
-    "graph_label_propagation")
+    "graph_label_propagation",
+    // round 15 wave 2: the one new addition that lands >1.4s (the basket
+    // pair rollup is ~1M groups at sf0.1 — genuinely heavy, adjudicate).
+    "graph_bipartite_copurchase")
 
   private def newSession(cpus: String): SparkSession = {
     val s = SparkSession.builder()

@@ -1459,22 +1459,27 @@ object SimOps extends QueryPack {
         val qd = broadcast(qs).crossJoin(n)
           .select(col("q"), col("vec_id").as("node"),
             round(ncos(col("qe"), col("embedding")), 6).as("cos"))
-        val wm = Window.partitionBy("q", "src").orderBy(col("cos").desc, col("dst"))
+        // The transition table's key is RENAMED (mq) before the walk:
+        // walk and m share lineage through qs, and a walk("q") === m("q")
+        // predicate would resolve both sides to the same attribute
+        // (Spark's "trivially true equals" self-join hazard).
         val m = e.join(qd, col("dst") === col("node"))
-          .select(col("q"), col("src"), col("dst"), col("cos"))
-          .withColumn("rn", row_number().over(wm))
+          .select(col("q").as("mq"), col("src"), col("dst"), col("cos"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("mq", "src").orderBy(col("cos").desc, col("dst"))))
           .filter(col("rn") === 1)
-          .select(col("q"), col("src"), col("dst").as("nxt"))
+          .select(col("mq"), col("src"), col("dst").as("nxt"))
           .localCheckpoint()
         var walk = qs.select(col("q"), lit(0L).as("cur"), lit(0).as("mv"))
         for (_ <- 1 to 8) {
           walk = walk.join(broadcast(m),
-              walk("q") === m("q") && col("cur") === col("src"))
-            .select(walk("q").as("q"), col("nxt").as("cur"),
+              col("q") === col("mq") && col("cur") === col("src"))
+            .select(col("q"), col("nxt").as("cur"),
               (col("mv") + when(col("nxt") =!= col("cur"), 1).otherwise(0)).as("mv"))
         }
-        walk.join(qd, walk("q") === qd("q") && col("cur") === col("node"))
-          .select(walk("q").as("q"), col("cur").as("found"),
+        val qd2 = qd.select(col("q").as("fq"), col("node"), col("cos"))
+        walk.join(qd2, col("q") === col("fq") && col("cur") === col("node"))
+          .select(col("q"), col("cur").as("found"),
             col("cos").as("cos6"), col("mv").cast("int").as("n_moves"))
           .oracleOrder("q")
       }),
