@@ -511,6 +511,161 @@ object TransformerOps extends QueryPack {
             sum("top_kpos").cast("long").as("topk_sum"),
             dsum(col("top_renorm")).as("renorm_sum"))
           .oracleOrder("bucket")
+      }),
+
+    // FULL transformer encoder block, end to end (the §2.J composition
+    // flagship, the analog of ml_cnn_forward_compose for the CNN family):
+    // pre-LN → causal 8-token self-attention (every query position, k ≤ q)
+    // → residual → LN → GELU FFN (4 hidden, down+up projections) →
+    // residual → probe checksum, all in ONE oracle-checked plan. The
+    // attention VALUE mix materializes real 64-wide vectors — the
+    // element-wise weighted sum folds over the kpos-SORTED struct list
+    // (sort_array/list_sort), so the mix is a pinned left fold on both
+    // engines, order-free under any shuffle. Every stage reuses a proven
+    // dialect: layernorm sufficient stats, exp under the softmax ROUND
+    // discipline, the ml_mlp_gelu exp-expanded tanh, exact-rational k/16
+    // weights, decimal SUMS at the rollup. Shape at scale: ONE gid
+    // exchange feeds the pair join + both windows + the mix groupBy; the
+    // token count per group is bounded (8), so the quadratic stays
+    // group-local exactly like ml_attention_entropy.
+    Q(
+      "ml_transformer_block_forward",
+      Some {
+        val C = math.sqrt(2.0 / math.Pi)
+        val zs = (1 to 4).map { j =>
+          s"list_sum(list_transform(list_zip(r1n, ${list(BlkW(j - 1), exact)}), z -> z[1] * z[2])) AS z$j"
+        }.mkString(",\n    ")
+        val hs = (1 to 4).map { j =>
+          s"ROUND(0.5 * z$j * (1.0 + (1.0 - 2.0 / (ROUND(exp(2.0 * ROUND(CAST($C AS DOUBLE) * (z$j + CAST(0.044715 AS DOUBLE) * z$j * z$j * z$j), 8)), 8) + 1.0))), 6) AS h$j"
+        }.mkString(",\n    ")
+        val o2 = (1 to 4).map(j => s"h$j * (${list(BlkW2(j - 1), exact)})[e]")
+          .mkString(" + ")
+        s"""WITH t0 AS (
+           |  SELECT vec_id // 8 AS gid, CAST(vec_id % 8 + 1 AS INT) AS kpos, embedding AS x,
+           |    list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * 1.0)) AS sx,
+           |    list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS sxx
+           |  FROM embeddings),
+           |t AS (
+           |  SELECT gid, kpos, x,
+           |    list_transform(x, v -> (CAST(v AS DOUBLE) - sx / 64.0)
+           |      / sqrt((sxx - sx * sx / 64.0) / 64.0 + 1e-5)) AS xn
+           |  FROM t0),
+           |p AS (
+           |  SELECT q.gid, q.kpos AS qpos, k.kpos AS kpos, k.xn AS xnk,
+           |    ROUND(list_sum(list_transform(list_zip(q.xn, k.xn), z -> z[1] * z[2])) * 0.125, 8) AS sc
+           |  FROM t q JOIN t k ON q.gid = k.gid AND k.kpos <= q.kpos),
+           |x1 AS (
+           |  SELECT gid, qpos, kpos, xnk,
+           |    ROUND(exp(sc - MAX(sc) OVER (PARTITION BY gid, qpos)), 8) AS ex
+           |  FROM p),
+           |wt AS (
+           |  SELECT gid, qpos, kpos, xnk,
+           |    ROUND(ex / CAST(SUM(CAST(ex AS DECIMAL(18,8))) OVER (PARTITION BY gid, qpos) AS DOUBLE), 6) AS w
+           |  FROM x1),
+           |att AS (
+           |  SELECT gid, qpos,
+           |    list_sort(list(struct_pack(kpos := kpos, w := w, xn := xnk))) AS ks
+           |  FROM wt GROUP BY gid, qpos),
+           |mix AS (
+           |  SELECT a.gid, a.qpos,
+           |    list_transform(range(1, 65), e ->
+           |      CAST(t.x[e] AS DOUBLE) +
+           |      list_sum(list_transform(a.ks, s -> s.w * s.xn[e]))) AS r1
+           |  FROM att a JOIN t ON t.gid = a.gid AND t.kpos = a.qpos),
+           |ln2 AS (
+           |  SELECT gid, qpos, r1,
+           |    list_sum(list_transform(r1, v -> v * 1.0)) AS sx2,
+           |    list_sum(list_transform(r1, v -> v * v)) AS sxx2
+           |  FROM mix),
+           |n2 AS (
+           |  SELECT gid, qpos, r1,
+           |    list_transform(r1, v -> (v - sx2 / 64.0)
+           |      / sqrt((sxx2 - sx2 * sx2 / 64.0) / 64.0 + 1e-5)) AS r1n
+           |  FROM ln2),
+           |ff AS (
+           |  SELECT gid, qpos, r1,
+           |    $zs
+           |  FROM n2),
+           |hh AS (
+           |  SELECT gid, qpos, r1,
+           |    $hs
+           |  FROM ff),
+           |outv AS (
+           |  SELECT gid, qpos,
+           |    list_transform(range(1, 65), e -> r1[e] + ($o2)) AS outp
+           |  FROM hh),
+           |c AS (
+           |  SELECT qpos,
+           |    ROUND(list_sum(list_transform(list_zip(outp, ${list(BlkProbe, exact)}), z -> z[1] * z[2])), 6) AS chk
+           |  FROM outv)
+           |SELECT qpos, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(chk AS DECIMAL(18,6))) AS DOUBLE) AS chk_sum
+           |FROM c GROUP BY qpos ORDER BY qpos""".stripMargin
+      },
+      (s, dir) => {
+        val C = math.sqrt(2.0 / math.Pi)
+        def dlit(xs: Seq[Double]) = typedlit[Seq[Double]](xs)
+        val t0 = Tables(s, dir, "embeddings")
+          .select(expr("vec_id div 8").as("gid"),
+            (col("vec_id") % 8 + 1).cast("int").as("kpos"),
+            col("embedding").as("x"),
+            ndot(col("embedding"), fvec(Ones)).as("sx"),
+            ndot(col("embedding"), col("embedding")).as("sxx"))
+        val mu = col("sx") / 64.0
+        val sd = sqrt((col("sxx") - col("sx") * col("sx") / 64.0) / 64.0 + 1e-5)
+        val t = t0.select(col("gid"), col("kpos"), col("x"),
+          transform(col("x"), v => (v.cast("double") - mu) / sd).as("xn"))
+        val q = t.select(col("gid"), col("kpos").as("qpos"), col("xn").as("xnq"))
+        val k = t.select(col("gid").as("gidk"), col("kpos"), col("xn").as("xnk"))
+        def fold2(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
+        val byQ = Window.partitionBy("gid", "qpos")
+        val pairs = q.join(k,
+            col("gid") === col("gidk") && col("kpos") <= col("qpos"))
+          .select(col("gid"), col("qpos"), col("kpos"), col("xnk"),
+            round(fold2(col("xnq"), col("xnk")) * 0.125, 8).as("sc"))
+          .withColumn("ex", round(exp(col("sc") - max("sc").over(byQ)), 8))
+          .withColumn("w", round(col("ex") /
+            sum(col("ex").cast(DecimalType(18, 8))).over(byQ).cast("double"), 6))
+        val att = pairs.groupBy("gid", "qpos")
+          .agg(sort_array(collect_list(
+            struct(col("kpos"), col("w"), col("xnk").as("xn")))).as("ks"))
+        val mix = att.join(
+            t.select(col("gid").as("gidt"), col("kpos").as("qpt"), col("x")),
+            col("gid") === col("gidt") && col("qpos") === col("qpt"))
+          .select(col("gid"), col("qpos"),
+            transform(sequence(lit(1), lit(64)), e =>
+              element_at(col("x"), e).cast("double") +
+                aggregate(col("ks"), lit(0.0), (acc, st) =>
+                  acc + st.getField("w") * element_at(st.getField("xn"), e)))
+              .as("r1"))
+        val ln2 = mix.select(col("gid"), col("qpos"), col("r1"),
+          aggregate(col("r1"), lit(0.0), (a, v) => a + v * 1.0).as("sx2"),
+          aggregate(col("r1"), lit(0.0), (a, v) => a + v * v).as("sxx2"))
+        val mu2 = col("sx2") / 64.0
+        val sd2 = sqrt((col("sxx2") - col("sx2") * col("sx2") / 64.0) / 64.0 + 1e-5)
+        val n2 = ln2.select(col("gid"), col("qpos"), col("r1"),
+          transform(col("r1"), v => (v - mu2) / sd2).as("r1n"))
+        val ff = n2.select(col("gid") +: col("qpos") +: col("r1") +:
+          (1 to 4).map(j => fold2(col("r1n"), dlit(BlkW(j - 1))).as(s"z$j")): _*)
+        def h(j: Int): Column = {
+          val z = col(s"z$j")
+          val u = round(lit(C) * (z + lit(0.044715) * z * z * z), 8)
+          val tnh = lit(1.0) - lit(2.0) / (round(exp(lit(2.0) * u), 8) + lit(1.0))
+          round(lit(0.5) * z * (lit(1.0) + tnh), 6)
+        }
+        val hh = ff.select(col("gid") +: col("qpos") +: col("r1") +:
+          (1 to 4).map(j => h(j).as(s"h$j")): _*)
+        val outv = hh.select(col("qpos"),
+          transform(sequence(lit(1), lit(64)), e =>
+            element_at(col("r1"), e) +
+              (1 to 4).map(j => col(s"h$j") * element_at(dlit(BlkW2(j - 1)), e))
+                .reduceLeft(_ + _)).as("outp"))
+        outv.select(col("qpos"),
+            round(fold2(col("outp"), dlit(BlkProbe)), 6).as("chk"))
+          .groupBy("qpos")
+          .agg(cnt.as("n"), dsum(col("chk")).as("chk_sum"))
+          .oracleOrder("qpos")
       }))
 
   /** Rotary cache: per position p ∈ [0,32), the 64-wide merged coefficient
@@ -574,4 +729,14 @@ object TransformerOps extends QueryPack {
   /** Nucleus-sampling score probe, k/16. */
   private[queries] val NucProbe: Seq[Double] =
     (1 to 64).map(i => ((i * 7) % 15 - 7) / 16.0)
+
+  /** Encoder-block FFN weights (4×64 down, 4×64 up), k/16; integer probe. */
+  private[graft] val BlkW: Seq[Seq[Double]] = (1 to 4).map { j =>
+    (1 to 64).map(i => ((j * 19 + i * 29) % 17 - 8) / 16.0)
+  }
+  private[graft] val BlkW2: Seq[Seq[Double]] = (1 to 4).map { j =>
+    (1 to 64).map(i => ((j * 23 + i * 31) % 15 - 7) / 16.0)
+  }
+  private[graft] val BlkProbe: Seq[Double] =
+    (1 to 64).map(i => ((i * 11) % 13 - 6).toDouble)
 }

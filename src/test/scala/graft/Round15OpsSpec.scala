@@ -397,6 +397,45 @@ class Round15OpsSpec extends SparkSpec {
     assert(got.size == docs.length)
   }
 
+  test("transformer block checksum matches a naive per-sequence forward pass") {
+    val got = Registry.byId("ml_transformer_block_forward").run(spark, sf)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val C = math.sqrt(2.0 / math.Pi)
+    def ln(x: Array[Double]): Array[Double] = {
+      val mu = x.sum / 64.0
+      val sd = math.sqrt(x.map(v => (v - mu) * (v - mu)).sum / 64.0 + 1e-5)
+      x.map(v => (v - mu) / sd)
+    }
+    import graft.queries.TransformerOps.{BlkW, BlkW2, BlkProbe}
+    val perTok = embRows().groupBy(_._1 / 8).toSeq.flatMap { case (_, rows) =>
+      val toks = rows.sortBy(_._1).map(_._3)
+      val xn = toks.map(ln)
+      toks.indices.map { qi =>
+        val sc = (0 to qi).map(ki =>
+          xn(qi).zip(xn(ki)).map { case (a, b) => a * b }.sum * 0.125)
+        val mx = sc.max
+        val ex = sc.map(v => math.exp(v - mx))
+        val w = ex.map(_ / ex.sum)
+        val r1 = Array.tabulate(64)(e =>
+          toks(qi)(e) + (0 to qi).map(ki => w(ki) * xn(ki)(e)).sum)
+        val r1n = ln(r1)
+        val hs = (1 to 4).map { j =>
+          val z = r1n.zip(BlkW(j - 1)).map { case (a, b) => a * b }.sum
+          0.5 * z * (1.0 + math.tanh(C * (z + 0.044715 * z * z * z)))
+        }
+        val out = Array.tabulate(64)(e =>
+          r1(e) + (1 to 4).map(j => hs(j - 1) * BlkW2(j - 1)(e)).sum)
+        (qi + 1, out.zip(BlkProbe).map { case (a, b) => a * b }.sum)
+      }
+    }
+    perTok.groupBy(_._1).foreach { case (qpos, vs) =>
+      val (n, chkSum) = got(qpos)
+      assert(n == vs.length.toLong, s"qpos $qpos n")
+      assert(math.abs(chkSum - vs.map(_._2).sum) < 1e-2 * vs.length,
+        s"qpos $qpos chk_sum ${chkSum} vs ${vs.map(_._2).sum}")
+    }
+  }
+
   test("markov transition probabilities sum to 1 per source type") {
     val rows = Registry.byId("funnel_markov_transitions").run(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
