@@ -571,6 +571,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("ALS step broadcasts the filtered dim side (the 10x-probe slope-15 bug)") {
+    val p = plan("ml_als_step")
+    // Without the broadcast the full fact table shuffle-joins: BENCH_SCALE
+    // run 8 measured slope 15.6 for exactly that plan. Pin the fix.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("co-purchase projection scans the fact table ONCE (no self-join)") {
+    val p = plan("graph_bipartite_copurchase")
+    assert(occurrences(p, "Scan parquet") == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("MoE routing is map-side: no join, no window, two exchanges total") {
+    val p = plan("ml_moe_route_top2")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    // one hashpartitioning exchange for the (e1,e2) rollup + the
+    // presentation repartition(1): the 16 dots + argmax gating never
+    // leave the scan's projection.
+    assert(occurrences(p, "Exchange") == 2, p)
+  }
+
+  test("int4 pack is a pure projection pipeline: zero exchanges before the sink sort") {
+    val p = plan("ml_int4_quantize_pack")
+    assert(occurrences(p, "Exchange") == 1, p) // only the presentation repartition(1)
+    assert(!p.contains("Generate"), p)         // no explode — array kernels only
+  }
+
+  test("greedy graph-walk hops are broadcast joins, never a product") {
+    val p = plan("sim_ann_graph_greedy")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   private def occurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 }
