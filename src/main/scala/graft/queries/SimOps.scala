@@ -1549,7 +1549,77 @@ object SimOps extends QueryPack {
           .select(col("doc_id"), phash.cast("long").as("phash"))
           .withColumn("n_same", count(lit(1)).over(byHash).cast("long"))
           .oracleOrder("doc_id")
+      }),
+
+    // Per-DIMENSION embedding whitening (feature standardization across
+    // the corpus — the retrieval-quality post-process next to the
+    // per-VECTOR LayerNorm): pass 1 folds each of the 64 dimensions to
+    // decimal-exact (n, Σx, Σx²) via one exploded-cell aggregation (64
+    // groups — map-side partials, a few KB over the wire at any corpus
+    // size); the 64-row stat table collects into ONE broadcast array row;
+    // pass 2 is a map-side zip-fold (x_d − μ_d)/σ_d against an integer
+    // probe. Stats follow the dstddev dialect (exact decimal sums,
+    // identical variance expansion); the whitened fold is a pinned left
+    // fold of identical doubles, ROUND 6 into decimal label sums.
+    Q(
+      "ml_embedding_whitening",
+      Some("""WITH c AS (
+             |  SELECT CAST(t.range AS INT) AS d,
+             |    CAST(e.embedding[t.range] AS DOUBLE) AS x
+             |  FROM embeddings e, range(1, 65) t),
+             |st0 AS (
+             |  SELECT d, COUNT(*) AS n,
+             |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             |    CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS s2
+             |  FROM c GROUP BY d),
+             |st1 AS (
+             |  SELECT d, s / n AS mu,
+             |    sqrt((s2 - s * s / n) / (n - 1)) AS sd
+             |  FROM st0),
+             |st AS (
+             |  SELECT list_sort(list(struct_pack(d := d, mu := mu, sd := sd))) AS st
+             |  FROM st1),
+             |r AS (
+             |  SELECT e.label,
+             |    ROUND(list_sum(list_transform(range(1, 65), i ->
+             |      (CAST(e.embedding[i] AS DOUBLE) - st.st[i].mu) / st.st[i].sd
+             |        * (WPROBE)[i])), 6) AS chk
+             |  FROM embeddings e, st)
+             |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(chk AS DECIMAL(18,6))) AS DOUBLE) AS chk_sum
+             |FROM r GROUP BY label ORDER BY label""".stripMargin
+        .replace("WPROBE", WhitenProbe.map(v =>
+          new java.math.BigDecimal(v).toPlainString).mkString("[", ", ", "]"))),
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val stats = e
+          .select(posexplode(col("embedding")).as(Seq("p", "xf")))
+          .select((col("p") + 1).cast("int").as("d"),
+            col("xf").cast("double").as("x"))
+          .groupBy("d")
+          .agg(count(lit(1)).as("n"), dsum(col("x")).as("s"),
+            dsumWide(col("x") * col("x")).as("s2"))
+          .select(col("d"), (col("s") / col("n")).as("mu"),
+            sqrt((col("s2") - col("s") * col("s") / col("n")) /
+              (col("n") - 1)).as("sd"))
+          .agg(sort_array(collect_list(
+            struct(col("d"), col("mu"), col("sd")))).as("st"))
+        val probe = typedlit[Seq[Double]](WhitenProbe)
+        val fold = aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
+          acc + (element_at(col("embedding"), i).cast("double") -
+              element_at(col("st"), i).getField("mu")) /
+            element_at(col("st"), i).getField("sd") *
+            element_at(probe, i))
+        e.crossJoin(broadcast(stats))
+          .select(col("label"), round(fold, 6).as("chk"))
+          .groupBy("label")
+          .agg(cnt.as("n"), dsum(col("chk")).as("chk_sum"))
+          .oracleOrder("label")
       }))
+
+  /** Whitening checksum probe, integers. */
+  private[graft] val WhitenProbe: Seq[Double] =
+    (1 to 64).map(i => ((i * 5) % 11 - 5).toDouble)
 
   /** pHash DCT-II basis: for each low-frequency (u, v) in the 4×4 block
     * minus DC, the flattened 64-length row K[i = r*8+c] = C(u,r)·C(v,c)

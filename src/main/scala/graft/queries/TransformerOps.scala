@@ -666,6 +666,77 @@ object TransformerOps extends QueryPack {
           .groupBy("qpos")
           .agg(cnt.as("n"), dsum(col("chk")).as("chk_sum"))
           .oracleOrder("qpos")
+      }),
+
+    // Speculative-decoding acceptance audit (Leviathan et al. 2023 /
+    // Chen et al. 2023): per token, a cheap DRAFT head proposes the greedy
+    // token and the TARGET head verifies — the token is accepted when
+    // p_target(t) ≥ p_draft(t), and the expected acceptance mass is
+    // E[min(1, p_t/p_d)] (the paper's α). Both 8-way vocabulary heads are
+    // literal k/16 weight matrices (the draft a perturbation of the
+    // target, so acceptance is high but not total); softmaxes follow the
+    // exp dialect, the greedy pick is the array-argmax tie-broken by
+    // first position (identical 1-based semantics both engines), the
+    // accept flag compares identical rounded doubles, and min(1, ratio)
+    // terms round 6dp into exact decimal sums. Entirely map-side + one
+    // ≤8-row rollup: the serving-fleet shape.
+    Q(
+      "ml_speculative_decode_accept",
+      Some {
+        def arr(ws: Seq[Seq[Double]]): String =
+          ws.map(w => s"list_sum(list_transform(list_zip(embedding, ${list(w, exact)}), z -> CAST(z[1] AS DOUBLE) * z[2]))")
+            .mkString("[", ",\n      ", "]")
+        s"""WITH s AS (
+           |  SELECT
+           |    ${arr(SpecDraft)} AS ds,
+           |    ${arr(SpecTarget)} AS ts
+           |  FROM embeddings),
+           |g AS (
+           |  SELECT ds, ts,
+           |    CAST(list_position(ds, list_max(ds)) AS INT) AS td
+           |  FROM s),
+           |e AS (
+           |  SELECT td,
+           |    list_transform(ds, v -> ROUND(exp(v - list_max(ds)), 8)) AS dx,
+           |    list_transform(ts, v -> ROUND(exp(v - list_max(ts)), 8)) AS tx
+           |  FROM g),
+           |p AS (
+           |  SELECT td,
+           |    ROUND(dx[td] / list_sum(dx), 6) AS pd,
+           |    ROUND(tx[td] / list_sum(tx), 6) AS pt
+           |  FROM e),
+           |a AS (
+           |  SELECT td, (pt >= pd) AS accepted,
+           |    ROUND(CASE WHEN pt >= pd THEN 1.0 ELSE pt / pd END, 6) AS alpha
+           |  FROM p)
+           |SELECT td, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+           |  CAST(SUM(CAST(alpha AS DECIMAL(18,6))) AS DOUBLE) AS alpha_sum
+           |FROM a GROUP BY td ORDER BY td""".stripMargin
+      },
+      (s, dir) => {
+        val x = col("embedding")
+        val ds = array(SpecDraft.map(w => ndot(x, fvec(w))): _*)
+        val ts = array(SpecTarget.map(w => ndot(x, fvec(w))): _*)
+        Tables(s, dir, "embeddings")
+          .select(ds.as("ds"), ts.as("ts"))
+          .withColumn("td", array_position(col("ds"), array_max(col("ds"))).cast("int"))
+          .select(col("td"),
+            transform(col("ds"), v => round(exp(v - array_max(col("ds"))), 8)).as("dx"),
+            transform(col("ts"), v => round(exp(v - array_max(col("ts"))), 8)).as("tx"))
+          .select(col("td"),
+            round(element_at(col("dx"), col("td")) /
+              aggregate(col("dx"), lit(0.0), (a, v) => a + v), 6).as("pd"),
+            round(element_at(col("tx"), col("td")) /
+              aggregate(col("tx"), lit(0.0), (a, v) => a + v), 6).as("pt"))
+          .select(col("td"), (col("pt") >= col("pd")).as("accepted"),
+            round(when(col("pt") >= col("pd"), lit(1.0))
+              .otherwise(col("pt") / col("pd")), 6).as("alpha"))
+          .groupBy("td")
+          .agg(cnt.as("n"),
+            sum(when(col("accepted"), 1).otherwise(0)).cast("long").as("n_accept"),
+            dsum(col("alpha")).as("alpha_sum"))
+          .oracleOrder("td")
       }))
 
   /** Rotary cache: per position p ∈ [0,32), the 64-wide merged coefficient
@@ -729,6 +800,17 @@ object TransformerOps extends QueryPack {
   /** Nucleus-sampling score probe, k/16. */
   private[queries] val NucProbe: Seq[Double] =
     (1 to 64).map(i => ((i * 7) % 15 - 7) / 16.0)
+
+  /** Draft/target "vocabulary head" weights for speculative decoding
+    * (8 logits each), k/16 — the draft head is a low-rank-ish perturbation
+    * of the target so acceptance is high but not total.
+    */
+  private[graft] val SpecTarget: Seq[Seq[Double]] = (0 until 8).map { e =>
+    (1 to 64).map(i => ((e * 43 + i * 11) % 19 - 9) / 16.0)
+  }
+  private[graft] val SpecDraft: Seq[Seq[Double]] = (0 until 8).map { e =>
+    (1 to 64).map(i => (((e * 43 + i * 11) % 19 - 9) + ((e + i) % 3 - 1)) / 16.0)
+  }
 
   /** Encoder-block FFN weights (4×64 down, 4×64 up), k/16; integer probe. */
   private[graft] val BlkW: Seq[Seq[Double]] = (1 to 4).map { j =>

@@ -436,6 +436,47 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("speculative acceptance matches a naive dual-softmax verification") {
+    val got = Registry.byId("ml_speculative_decode_accept").run(spark, sf)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    import graft.queries.TransformerOps.{SpecDraft, SpecTarget}
+    def softmax(s: Seq[Double]): Seq[Double] = {
+      val ex = s.map(v => math.exp(v - s.max)); ex.map(_ / ex.sum)
+    }
+    val naive = embRows().map { case (_, _, x) =>
+      val dsc = SpecDraft.map(w => x.zip(w).map { case (a, b) => a * b }.sum)
+      val tsc = SpecTarget.map(w => x.zip(w).map { case (a, b) => a * b }.sum)
+      val td = dsc.indexOf(dsc.max)
+      (td + 1, softmax(tsc)(td) >= softmax(dsc)(td))
+    }
+    naive.groupBy(_._1).foreach { case (td, vs) =>
+      val (n, nAcc) = got(td)
+      assert(n == vs.length.toLong, s"td $td n")
+      // rounded-6dp engine probabilities can flip knife-edge comparisons;
+      // allow a 2-count band against the unrounded reference.
+      assert(math.abs(nAcc - vs.count(_._2).toLong) <= 2, s"td $td n_accept")
+    }
+  }
+
+  test("whitened dimensions have mean ~0 and stddev ~1 under the corpus stats") {
+    // Recompute the stats the query derives and confirm they standardize:
+    // the whitening transform applied back to the corpus yields per-dim
+    // mean ~0, stddev ~1 (up to the decimal-cast granularity).
+    val rows = embRows().map(_._3)
+    val n = rows.length
+    (0 until 64).foreach { d =>
+      val xs = rows.map(_(d))
+      val mu = xs.sum / n
+      val sd = math.sqrt(xs.map(v => (v - mu) * (v - mu)).sum / (n - 1))
+      val w = xs.map(v => (v - mu) / sd)
+      assert(math.abs(w.sum / n) < 1e-9, s"dim $d mean")
+      assert(math.abs(w.map(v => v * v).sum / (n - 1) - 1.0) < 1e-9, s"dim $d var")
+    }
+    // and the registry query's per-label counts cover the corpus
+    val got = Registry.byId("ml_embedding_whitening").run(spark, sf).collect()
+    assert(got.map(_.getLong(1)).sum == n.toLong)
+  }
+
   test("markov transition probabilities sum to 1 per source type") {
     val rows = Registry.byId("funnel_markov_transitions").run(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
