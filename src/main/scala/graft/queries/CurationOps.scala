@@ -896,6 +896,124 @@ object CurationOps extends QueryPack {
           .oracleOrder("doc_id")
       }),
 
+    // Kneser-Ney perplexity gate — the third LM-smoothing family next to
+    // add-one unigram and Jelinek-Mercer interpolation, and the one real
+    // n-gram toolkits default to (Chen & Goodman 1999; KenLM): interpolated
+    // KN with absolute discount D = 0.75 over the in-vocabulary bigram
+    // table, p(b|a) = (max(c(a,b)−D, 0) + D·N1+(a,·)·p_cont(b)) / c(a·),
+    // where the continuation probability p_cont(b) ∝ how many DISTINCT
+    // prefixes b follows (add-one smoothed over the distinct-bigram count
+    // so an in-vocab token that never appears as a continuation cannot
+    // produce ln 0). Unseen prefixes back off to p_cont; OOV tokens take
+    // the unigram gate's 1/(n+v+1) floor. All model artifacts (vocab,
+    // bigram counts, prefix totals + distinct-continuation fans,
+    // continuation fans) are fixed-size BROADCAST tables trained on the
+    // reference slice; scoring is the same map-side pair-struct explode +
+    // broadcast probes + one partial-aggregated (doc_id, decimal) shuffle
+    // as the JM gate. ln rounds 9dp into DECIMAL (distinct ln inputs
+    // bounded by the model, the perplexity-dialect requirement).
+    Q(
+      "corpus_perplexity_kneser_ney",
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, string_split(lower(text), ' ') AS ts
+              |  FROM documents),
+              |tok AS (
+              |  SELECT doc_id, ts[CAST(i AS INT)] AS tok,
+              |         CASE WHEN i > 1 THEN ts[CAST(i AS INT)-1] END AS prev
+              |  FROM d, unnest(range(1, len(ts)+1)) r(i)),
+              |ref AS (SELECT tok, prev FROM tok WHERE doc_id % 10 = 0),
+              |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ref),
+              |vocab AS (
+              |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM ref
+              |  GROUP BY tok ORDER BY c DESC, tok LIMIT $vocabTop),
+              |vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+              |big AS (
+              |  SELECT r.prev AS a, r.tok AS b, CAST(COUNT(*) AS BIGINT) AS cab
+              |  FROM ref r JOIN vocab va ON r.prev = va.tok
+              |             JOIN vocab vb ON r.tok = vb.tok
+              |  GROUP BY 1, 2),
+              |pre AS (
+              |  SELECT a, CAST(SUM(cab) AS BIGINT) AS na,
+              |    CAST(COUNT(*) AS BIGINT) AS n1a
+              |  FROM big GROUP BY 1),
+              |cont AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cc FROM big GROUP BY 1),
+              |ntv AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM big),
+              |sc AS (
+              |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+              |    SUM(CAST(ROUND(ln(
+              |      CASE WHEN vb.tok IS NULL THEN 1 / CAST(n+v+1 AS DOUBLE)
+              |        WHEN t.prev IS NULL OR pre.na IS NULL
+              |          THEN (COALESCE(cont.cc, 0) + 1) / CAST(ntot + v AS DOUBLE)
+              |        ELSE (GREATEST(CAST(COALESCE(big.cab, 0) AS DOUBLE) - 75e-2, 0e0)
+              |              + 75e-2 * pre.n1a
+              |                * ((COALESCE(cont.cc, 0) + 1) / CAST(ntot + v AS DOUBLE)))
+              |             / pre.na
+              |      END), 9) AS DECIMAL(18,9))) AS s
+              |  FROM tok t
+              |  LEFT JOIN vocab vb ON t.tok = vb.tok
+              |  LEFT JOIN big ON t.prev = big.a AND t.tok = big.b
+              |  LEFT JOIN pre ON t.prev = pre.a
+              |  LEFT JOIN cont ON t.tok = cont.b
+              |  CROSS JOIN nv CROSS JOIN vv CROSS JOIN ntv
+              |  WHERE t.doc_id % 10 <> 0 GROUP BY t.doc_id)
+              |SELECT doc_id, n_tok,
+              |  ROUND(-CAST(s AS DOUBLE) / n_tok, 6) AS ce,
+              |  (-CAST(s AS DOUBLE) / n_tok) <= $knCeThreshold AS kept
+              |FROM sc ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val tok = Tables(s, dir, "documents")
+          .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(ts)), i ->
+              |  struct(ts[i-1] AS tok,
+              |         CASE WHEN i > 1 THEN ts[i-2] END AS prev))"""
+              .stripMargin)).as("p"))
+          .select(col("doc_id"), col("p.tok").as("tok"), col("p.prev").as("prev"))
+        val ref = tok.filter(col("doc_id") % 10 === 0)
+        val nv = ref.agg(cnt.as("n"))
+        val vocab = ref.groupBy("tok").agg(cnt.as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(vocabTop)
+          .select(col("tok"))
+        val vv = vocab.agg(cnt.as("v"))
+        val big = ref
+          .join(broadcast(vocab.select(col("tok").as("va"))), col("prev") === col("va"))
+          .join(broadcast(vocab.select(col("tok").as("vbt"))), col("tok") === col("vbt"))
+          .groupBy(col("prev").as("a"), col("tok").as("b"))
+          .agg(cnt.as("cab"))
+        val pre = big.groupBy("a")
+          .agg(sum("cab").cast("long").as("na"), cnt.as("n1a"))
+        val cont = big.groupBy("b").agg(cnt.as("cc"))
+        val ntv = big.agg(cnt.as("ntot"))
+        val consts = nv.crossJoin(vv).crossJoin(ntv)
+        val pCont = (coalesce(col("cc"), lit(0L)) + 1) /
+          (col("ntot") + col("v")).cast("double")
+        val pKn = (greatest(coalesce(col("cab"), lit(0L)).cast("double") -
+            knDiscount, lit(0.0)) +
+          lit(knDiscount) * col("n1a") * pCont) / col("na")
+        val p = when(col("vb").isNull,
+            lit(1.0) / (col("n") + col("v") + 1).cast("double"))
+          .when(col("prev").isNull || col("na").isNull, pCont)
+          .otherwise(pKn)
+        val ce = -(col("s").cast("double")) / col("n_tok")
+        tok.filter(col("doc_id") % 10 =!= 0)
+          .join(broadcast(vocab.select(col("tok").as("vb"))),
+            col("tok") === col("vb"), "left_outer")
+          .join(broadcast(big),
+            col("prev") === col("a") && col("tok") === col("b"), "left_outer")
+          .join(broadcast(pre.withColumnRenamed("a", "pa")),
+            col("prev") === col("pa"), "left_outer")
+          .join(broadcast(cont.withColumnRenamed("b", "cb")),
+            col("tok") === col("cb"), "left_outer")
+          .crossJoin(broadcast(consts))
+          .groupBy("doc_id")
+          .agg(cnt.as("n_tok"),
+            sum(round(log(p), 9).cast(DecimalType(18, 9))).as("s"))
+          .select(col("doc_id"), col("n_tok"),
+            round(ce, 6).as("ce"),
+            (ce <= knCeThreshold).as("kept"))
+          .oracleOrder("doc_id")
+      }),
+
     // Token-budget source mixing (the Llama/GPT data-mixing recipe): each
     // source gets a TOKEN budget proportional to its declared mixture
     // weight, and is down-sampled to it deterministically. Differs from
@@ -1192,6 +1310,12 @@ object CurationOps extends QueryPack {
     * at sf0.001/0.01/0.1 — so both outcomes occur at every scale).
     */
   private val vocabTop = 64
+
+  /** Kneser-Ney absolute discount and gate threshold (chosen to keep the
+    * mid-quality band at sf0.001, same protocol as the other LM gates).
+    */
+  private val knDiscount = 0.75
+  private val knCeThreshold = 3.60
   private val ceThreshold = 3.41
 
   /** Bigram-backoff CE gate — sits at the cross-sf median (3.41-3.50), so

@@ -477,6 +477,47 @@ class Round15OpsSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).sum == n.toLong)
   }
 
+  test("kneser-ney scores match a driver-side model recompute") {
+    val got = Registry.byId("corpus_perplexity_kneser_ney").run(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val refPairs = docs.filter(_._1 % 10 == 0).flatMap { case (_, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (t, if (i > 0) Some(ts(i - 1)) else None) }
+    }
+    val n = refPairs.length
+    val vocab = refPairs.groupBy(_._1).map { case (t, xs) => t -> xs.length }
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(64).map(_._1).toSet
+    val v = vocab.size
+    val big = refPairs.collect {
+      case (b, Some(a)) if vocab(a) && vocab(b) => (a, b)
+    }.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val na = big.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val n1a = big.groupBy(_._1._1).map { case (a, m) => a -> m.size.toLong }
+    val cc = big.groupBy(_._1._2).map { case (b, m) => b -> m.size.toLong }
+    val ntot = big.size.toLong
+    def pCont(b: String) = (cc.getOrElse(b, 0L) + 1) / (ntot + v).toDouble
+    docs.filter(_._1 % 10 != 0).foreach { case (id, ts) =>
+      val lnSum = ts.zipWithIndex.map { case (b, i) =>
+        val prev = if (i > 0) Some(ts(i - 1)) else None
+        val p =
+          if (!vocab(b)) 1.0 / (n + v + 1)
+          else prev.filter(a => na.contains(a)) match {
+            case None => pCont(b)
+            case Some(a) =>
+              (math.max(big.getOrElse((a, b), 0L).toDouble - 0.75, 0.0) +
+                0.75 * n1a(a) * pCont(b)) / na(a)
+          }
+        math.log(p)
+      }.sum
+      val ce = -lnSum / ts.length
+      val (nTok, ceGot) = got(id)
+      assert(nTok == ts.length.toLong, s"doc $id n_tok")
+      assert(math.abs(ceGot - ce) < 1e-4, s"doc $id ce $ceGot vs $ce")
+    }
+  }
+
   test("markov transition probabilities sum to 1 per source type") {
     val rows = Registry.byId("funnel_markov_transitions").run(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
