@@ -969,17 +969,25 @@ object CurationOps extends QueryPack {
               |         CASE WHEN i > 1 THEN ts[i-2] END AS prev))"""
               .stripMargin)).as("p"))
           .select(col("doc_id"), col("p.tok").as("tok"), col("p.prev").as("prev"))
+        // Model tables MATERIALIZE once (localCheckpoint, a few hundred
+        // rows): vocab is probed twice and `big` fans out to three
+        // derived tables — without the checkpoint each reference re-runs
+        // the corpus explode (this was the bench's worst row at 2.7 s;
+        // the JM gate's single-reference tables don't need it).
         val ref = tok.filter(col("doc_id") % 10 === 0)
+          .localCheckpoint()
         val nv = ref.agg(cnt.as("n"))
         val vocab = ref.groupBy("tok").agg(cnt.as("c"))
           .orderBy(col("c").desc, col("tok")).limit(vocabTop)
           .select(col("tok"))
+          .localCheckpoint()
         val vv = vocab.agg(cnt.as("v"))
         val big = ref
           .join(broadcast(vocab.select(col("tok").as("va"))), col("prev") === col("va"))
           .join(broadcast(vocab.select(col("tok").as("vbt"))), col("tok") === col("vbt"))
           .groupBy(col("prev").as("a"), col("tok").as("b"))
           .agg(cnt.as("cab"))
+          .localCheckpoint()
         val pre = big.groupBy("a")
           .agg(sum("cab").cast("long").as("na"), cnt.as("n1a"))
         val cont = big.groupBy("b").agg(cnt.as("cc"))
