@@ -1771,6 +1771,88 @@ object MLOps extends QueryPack {
             (((col("s11") + 0.25) * col("b2") - col("s12") * col("b1")) / det)
               .as("u2"))
           .oracleOrder("u")
+      }),
+
+    // InfoNCE / NT-Xent contrastive loss audit (Oord et al. 2018; SimCLR)
+    // — the objective embedding models are actually trained with, scored
+    // over the embedding store in its natural batch structure (8-vector
+    // groups, gid = vec_id div 8): for each anchor with at least one
+    // same-label positive in its batch, the multi-positive InfoNCE
+    // loss −ln(Σ_pos e^{s/τ} / Σ_all e^{s/τ}) at temperature τ = 1/4
+    // (so s·4 is an exact scale), plus the top-1 retrieval hit rate
+    // (is the highest-similarity batchmate a positive?). Exactness: the
+    // sim_cosine dialect for scores, the softmax exp dialect (ROUND 8dp),
+    // both softmax sums in exact DECIMAL, the pos/all ratio ROUND 6dp
+    // BEFORE ln (distinct ln inputs live on the 1e-6 grid, the
+    // attention-entropy precedent; the ratio is bounded ≥ e^{−8}/8 ≫
+    // 1e-6, so ln never sees 0), losses as decimal SUMS. Shape: ONE gid
+    // exchange for the group-local pair quadratic (8×8), windows reuse
+    // it, then a tiny label rollup — the attention-entropy scale story.
+    Q(
+      "ml_infonce_contrastive",
+      Some("""WITH t AS (
+             |  SELECT vec_id // 8 AS gid, vec_id, label, embedding
+             |  FROM embeddings),
+             |p AS (
+             |  SELECT a.gid, a.vec_id AS av, a.label AS al, b.vec_id AS bv,
+             |    (b.label = a.label) AS pos,
+             |    ROUND(4.0 * ROUND(
+             |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+             |       * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6), 8) AS s
+             |  FROM t a JOIN t b ON a.gid = b.gid AND a.vec_id <> b.vec_id),
+             |x AS (
+             |  SELECT gid, av, al, bv, pos,
+             |    ROUND(exp(s - MAX(s) OVER (PARTITION BY av)), 8) AS ex,
+             |    ROW_NUMBER() OVER (PARTITION BY av ORDER BY s DESC, bv) AS rn
+             |  FROM p),
+             |a AS (
+             |  SELECT av, al,
+             |    CAST(SUM(CASE WHEN pos THEN CAST(ex AS DECIMAL(18,8)) END) AS DOUBLE) AS spos,
+             |    CAST(SUM(CAST(ex AS DECIMAL(18,8))) AS DOUBLE) AS sall,
+             |    MAX(CASE WHEN rn = 1 AND pos THEN 1 ELSE 0 END) AS hit
+             |  FROM x GROUP BY av, al),
+             |l AS (
+             |  SELECT al, hit,
+             |    ROUND(-ln(ROUND(spos / sall, 6)), 8) AS loss
+             |  FROM a WHERE spos IS NOT NULL)
+             |SELECT al AS label, CAST(COUNT(*) AS BIGINT) AS n_anchor,
+             |  CAST(SUM(hit) AS BIGINT) AS n_top1_pos,
+             |  CAST(SUM(CAST(loss AS DECIMAL(18,8))) AS DOUBLE) AS loss_sum
+             |FROM l GROUP BY al ORDER BY label""".stripMargin),
+      (s, dir) => {
+        import graft.queries.SimOps.ncos
+        val t = Tables(s, dir, "embeddings")
+          .select(expr("vec_id div 8").as("gid"), col("vec_id"),
+            col("label"), col("embedding"))
+        val a = t.select(col("gid"), col("vec_id").as("av"),
+          col("label").as("al"), col("embedding").as("ea"))
+        val b = t.select(col("gid").as("gidb"), col("vec_id").as("bv"),
+          col("label").as("bl"), col("embedding").as("eb"))
+        val byA = Window.partitionBy("av")
+        val ordA = byA.orderBy(col("s").desc, col("bv"))
+        val dec8 = DecimalType(18, 8)
+        val pairs = a.join(b,
+            col("gid") === col("gidb") && col("av") =!= col("bv"))
+          .select(col("av"), col("al"), col("bv"),
+            (col("bl") === col("al")).as("pos"),
+            round(lit(4.0) * round(ncos(col("ea"), col("eb")), 6), 8).as("s"))
+          .withColumn("ex", round(exp(col("s") - max("s").over(byA)), 8))
+          .withColumn("rn", row_number().over(ordA))
+        pairs.groupBy("av", "al")
+          .agg(
+            sum(when(col("pos"), col("ex").cast(dec8))).cast("double").as("spos"),
+            sum(col("ex").cast(dec8)).cast("double").as("sall"),
+            max(when(col("rn") === 1 && col("pos"), 1).otherwise(0)).as("hit"))
+          .filter(col("spos").isNotNull)
+          .select(col("al"), col("hit"),
+            round(-log(round(col("spos") / col("sall"), 6)), 8).as("loss"))
+          .groupBy(col("al").as("label"))
+          .agg(cnt.as("n_anchor"),
+            sum("hit").cast("long").as("n_top1_pos"),
+            sum(col("loss").cast(dec8)).cast("double").as("loss_sum"))
+          .oracleOrder("label")
       }))
 
   /** Forward-pass trunk shared by `ml_cnn_forward_compose` and

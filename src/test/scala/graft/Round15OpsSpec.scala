@@ -518,6 +518,37 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("infonce loss and top-1 hits match a naive per-batch recompute") {
+    val got = Registry.byId("ml_infonce_contrastive").run(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val ab = a.zip(b).map { case (u, v) => u * v }.sum
+      ab / (math.sqrt(a.map(u => u * u).sum) * math.sqrt(b.map(u => u * u).sum))
+    }
+    val anchors = embRows().groupBy(_._1 / 8).toSeq.flatMap { case (_, rows) =>
+      rows.flatMap { case (av, al, ea) =>
+        val others = rows.filter(_._1 != av)
+        val scored = others.map { case (bv, bl, eb) =>
+          (bv, bl == al, cos(ea, eb) * 4.0) }
+        if (!scored.exists(_._2)) None
+        else {
+          val mx = scored.map(_._3).max
+          val ex = scored.map(t => (t._2, math.exp(t._3 - mx)))
+          val loss = -math.log(ex.filter(_._1).map(_._2).sum / ex.map(_._2).sum)
+          val hit = scored.minBy { case (bv, _, sc) => (-sc, bv) }._2
+          Some((al, loss, if (hit) 1L else 0L))
+        }
+      }
+    }
+    anchors.groupBy(_._1).foreach { case (label, vs) =>
+      val (n, hits, lossSum) = got(label)
+      assert(n == vs.length.toLong, s"label $label n_anchor")
+      assert(hits == vs.map(_._3).sum, s"label $label hits")
+      assert(math.abs(lossSum - vs.map(_._2).sum) < 1e-2 * vs.length,
+        s"label $label loss_sum")
+    }
+  }
+
   test("markov transition probabilities sum to 1 per source type") {
     val rows = Registry.byId("funnel_markov_transitions").run(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
