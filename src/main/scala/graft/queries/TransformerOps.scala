@@ -737,6 +737,93 @@ object TransformerOps extends QueryPack {
             sum(when(col("accepted"), 1).otherwise(0)).cast("long").as("n_accept"),
             dsum(col("alpha")).as("alpha_sum"))
           .oracleOrder("td")
+      }),
+
+    // Width-2 beam search decode, 3 steps — the classic decode strategy
+    // completing the family next to greedy argmax, nucleus, and
+    // speculative verification. Per token: step-0 logits are the 8 target
+    // head dots; each step extends every surviving hypothesis by all 8
+    // successors with score' = score + T(cur, b) + 0.25·logit(b) (a
+    // literal k/16 transition matrix plus the per-token LM bias) and
+    // keeps the top-2 by (score DESC, token ASC). The beam is RELATIONAL:
+    // explode-8 + a rank window per token per step, all four windows
+    // sharing ONE vec_id exchange; the transition matrix indexes as a
+    // nested literal array on both engines — no join. Scores are exact
+    // sums of k/16 rationals and dots (identical doubles, identical
+    // ranking); the rollup rounds 6dp into decimal sums.
+    Q(
+      "ml_beam_search_decode",
+      Some {
+        val t2d = BeamT.map(r => list(r, exact)).mkString("[", ",\n      ", "]")
+        val sarr = (0 until 8).map { e =>
+          s"list_sum(list_transform(list_zip(embedding, ${list(SpecTarget(e), exact)}), z -> CAST(z[1] AS DOUBLE) * z[2]))"
+        }.mkString("[", ",\n      ", "]")
+        def step(prev: String, cur: String): String =
+          s"""$cur AS (
+             |  SELECT vec_id, ts, t0, b AS cur,
+             |    score + ($t2d)[cur][b] + 25e-2 * ts[b] AS score
+             |  FROM (
+             |    SELECT vec_id, ts, t0, cur, score, CAST(u.b AS INT) AS b,
+             |      row_number() OVER (PARTITION BY vec_id
+             |        ORDER BY score + ($t2d)[cur][CAST(u.b AS INT)] + 25e-2 * ts[CAST(u.b AS INT)] DESC,
+             |                 CAST(u.b AS INT), cur, t0) AS rn
+             |    FROM $prev, unnest(range(1, 9)) u(b)) t
+             |  WHERE rn <= 2)""".stripMargin
+        s"""WITH s AS (
+           |  SELECT vec_id, $sarr AS ts
+           |  FROM embeddings),
+           |b0 AS (
+           |  SELECT vec_id, ts, CAST(u.b AS INT) AS t0, CAST(u.b AS INT) AS cur,
+           |    ts[CAST(u.b AS INT)] AS score
+           |  FROM (
+           |    SELECT vec_id, ts FROM s) x, unnest(range(1, 9)) u(b)
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY ts[CAST(u.b AS INT)] DESC, CAST(u.b AS INT)) <= 2),
+           |${step("b0", "b1")},
+           |${step("b1", "b2")},
+           |${step("b2", "b3")},
+           |best AS (
+           |  SELECT vec_id, t0, cur AS t3, score,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY score DESC, t0, cur) AS rn
+           |  FROM b3)
+           |SELECT t0, t3, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(ROUND(score, 6) AS DECIMAL(18,6))) AS DOUBLE) AS score_sum
+           |FROM best WHERE rn = 1 GROUP BY t0, t3 ORDER BY t0, t3""".stripMargin
+      },
+      (s, dir) => {
+        val t2d = typedlit[Seq[Seq[Double]]](BeamT)
+        val sarr = array(SpecTarget.map(w => ndot(col("embedding"), fvec(w))): _*)
+        val byVec = Window.partitionBy("vec_id")
+        def extScore(cur: Column, b: Column): Column =
+          col("score") + element_at(element_at(t2d, cur), b) +
+            lit(0.25) * element_at(col("ts"), b)
+        def step(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          df.select(col("vec_id"), col("ts"), col("t0"), col("cur"), col("score"),
+              explode(sequence(lit(1), lit(8))).as("b"))
+            .withColumn("rn", row_number().over(byVec.orderBy(
+              extScore(col("cur"), col("b")).desc, col("b"), col("cur"), col("t0"))))
+            .filter(col("rn") <= 2)
+            .select(col("vec_id"), col("ts"), col("t0"),
+              col("b").as("cur"), extScore(col("cur"), col("b")).as("score"))
+        val b0 = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), sarr.as("ts"))
+          .select(col("vec_id"), col("ts"),
+            explode(sequence(lit(1), lit(8))).as("b"))
+          .withColumn("rn", row_number().over(byVec.orderBy(
+            element_at(col("ts"), col("b")).desc, col("b"))))
+          .filter(col("rn") <= 2)
+          .select(col("vec_id"), col("ts"), col("b").as("t0"),
+            col("b").as("cur"), element_at(col("ts"), col("b")).as("score"))
+        val b3 = step(step(step(b0)))
+        b3.withColumn("rn", row_number().over(byVec.orderBy(
+            col("score").desc, col("t0"), col("cur"))))
+          .filter(col("rn") === 1)
+          .groupBy(col("t0"), col("cur").as("t3"))
+          .agg(cnt.as("n"),
+            sum(round(col("score"), 6).cast(DecimalType(18, 6)))
+              .cast("double").as("score_sum"))
+          .oracleOrder("t0", "t3")
       }))
 
   /** Rotary cache: per position p ∈ [0,32), the 64-wide merged coefficient
@@ -810,6 +897,11 @@ object TransformerOps extends QueryPack {
   }
   private[graft] val SpecDraft: Seq[Seq[Double]] = (0 until 8).map { e =>
     (1 to 64).map(i => (((e * 43 + i * 11) % 19 - 9) + ((e + i) % 3 - 1)) / 16.0)
+  }
+
+  /** Beam-search transition matrix T(a,b) (8×8), k/16. */
+  private[graft] val BeamT: Seq[Seq[Double]] = (1 to 8).map { a =>
+    (1 to 8).map(b => ((a * 13 + b * 7) % 15 - 7) / 16.0)
   }
 
   /** Encoder-block FFN weights (4×64 down, 4×64 up), k/16; integer probe. */

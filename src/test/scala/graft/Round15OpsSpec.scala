@@ -549,6 +549,31 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("beam search matches a naive driver-side width-2 beam") {
+    val got = Registry.byId("ml_beam_search_decode").run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    import graft.queries.TransformerOps.{BeamT, SpecTarget}
+    val endpoints = embRows().map { case (_, _, x) =>
+      val ts = SpecTarget.map(w => x.zip(w).map { case (a, b) => a * b }.sum)
+      // beam of (t0, cur, score); step 0 = top-2 start tokens
+      var beam = (1 to 8).map(b => (b, b, ts(b - 1)))
+        .sortBy { case (_, b, sc) => (-sc, b) }.take(2)
+      for (_ <- 1 to 3) {
+        beam = beam.flatMap { case (t0, cur, sc) =>
+          (1 to 8).map(b =>
+            (t0, cur, b, sc + BeamT(cur - 1)(b - 1) + 0.25 * ts(b - 1)))
+        }.sortBy { case (t0, cur, b, sc) => (-sc, b, cur, t0) }.take(2)
+          .map { case (t0, _, b, sc) => (t0, b, sc) }
+      }
+      val best = beam.minBy { case (t0, cur, sc) => (-sc, t0, cur) }
+      (best._1, best._2)
+    }
+    endpoints.groupBy(identity).foreach { case (pair, vs) =>
+      assert(got(pair) == vs.length.toLong, s"pair $pair")
+    }
+    assert(got.values.sum == endpoints.length.toLong)
+  }
+
   test("markov transition probabilities sum to 1 per source type") {
     val rows = Registry.byId("funnel_markov_transitions").run(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
