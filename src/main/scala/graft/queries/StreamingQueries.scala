@@ -854,6 +854,82 @@ object StreamingQueries extends QueryPack {
           .oracleOrder("view_id", "click_id")
       }),
 
+    // Stream-stream RIGHT OUTER join — completes the four-way stream-join
+    // family (inner / left / right / full). The expiry rule mirrors the
+    // full outer's click side: an unmatched CLICK emits its null-view row
+    // once the watermark passes the click's OWN event time (any matching
+    // view must satisfy v_ts <= c_ts, so when wm > c_ts no view can still
+    // arrive); clicks the final watermark has not passed stay in state and
+    // emit nothing. Same bounded-state shape as the siblings: state keyed
+    // on user_id, range-bound eviction, null emission driven purely by
+    // watermark advance.
+    Q(
+      "stream_stream_right_outer",
+      Some("""WITH wm AS (
+             |  SELECT least(
+             |    (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM events
+             |      WHERE event_type='view'),
+             |    (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM events
+             |      WHERE event_type='click')) - 86400000000 AS wm_us),
+             |matched AS (
+             |  SELECT v.event_id AS view_id, c.event_id AS click_id,
+             |    c.user_id, epoch_us(c.ts) - epoch_us(v.ts) AS delta_us
+             |  FROM events v JOIN events c
+             |    ON v.user_id = c.user_id
+             |   AND v.event_type = 'view' AND c.event_type = 'click'
+             |   AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE),
+             |unmatched_c AS (
+             |  SELECT CAST(NULL AS BIGINT) AS view_id, c.event_id AS click_id,
+             |    c.user_id, CAST(NULL AS BIGINT) AS delta_us
+             |  FROM events c, wm
+             |  WHERE c.event_type = 'click'
+             |    AND epoch_us(c.ts) < wm.wm_us
+             |    AND NOT EXISTS (
+             |      SELECT 1 FROM events v
+             |      WHERE v.user_id = c.user_id AND v.event_type = 'view'
+             |        AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE))
+             |SELECT * FROM matched
+             |UNION ALL SELECT * FROM unmatched_c
+             |ORDER BY view_id NULLS FIRST, click_id""".stripMargin),
+      (s, dir) => withStreamPartitions(s, 2) {
+        val views = eventsStream(s, dir)
+          .filter(col("event_type") === "view")
+          .select(
+            col("event_id").as("view_id"), col("user_id").as("v_user"),
+            col("ts").as("v_ts"))
+          .withWatermark("v_ts", "1 day")
+        val clicks = eventsStream(s, dir)
+          .filter(col("event_type") === "click")
+          .select(
+            col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("c_ts"))
+          .withWatermark("c_ts", "1 day")
+        val sink = s"ssro_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_ssro_ckpt").toString
+        val q = views
+          .join(
+            clicks,
+            col("user_id") === col("v_user") &&
+              col("c_ts") >= col("v_ts") &&
+              col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"),
+            "right_outer")
+          .writeStream
+          .queryName(sink)
+          .outputMode("append")
+          .format("memory")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+          .select(
+            col("view_id"), col("click_id"), col("user_id"),
+            (unix_micros(col("c_ts")) - unix_micros(col("v_ts")))
+              .as("delta_us"))
+          .oracleOrder("view_id", "click_id")
+      }),
+
     // True Structured Streaming run: AvailableNow over the events parquet,
     // 1-day watermark, append-mode windowed counts into a memory sink. Append
     // mode only emits windows the watermark has passed — the late-data policy
