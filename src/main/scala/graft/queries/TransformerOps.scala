@@ -739,6 +739,68 @@ object TransformerOps extends QueryPack {
           .oracleOrder("td")
       }),
 
+    // Temperature-scaling calibration sweep (Guo et al. 2017): score the
+    // 8-way target head against the derived class label at T ∈ {1/2, 1,
+    // 2, 4} and report the NLL + total confidence per temperature — the
+    // post-hoc calibration read that picks T* = argmin NLL (the
+    // companion to ml_calibration_bins' reliability diagram; note argmax
+    // accuracy is T-invariant, so only NLL/confidence move). All
+    // temperatures are exact powers of two ⇒ scaling is exact; softmax
+    // follows the exp dialect; the per-row probability clamps at 1e-6
+    // AFTER its 6dp round (identically both engines) so ln never sees the
+    // zero a T=1/2-sharpened tail can round to. Map-side ×4 grid rows +
+    // one 4-group rollup.
+    Q(
+      "ml_temperature_calibrate",
+      Some {
+        val sarr = (0 until 8).map { e =>
+          s"list_sum(list_transform(list_zip(embedding, ${list(SpecTarget(e), exact)}), z -> CAST(z[1] AS DOUBLE) * z[2]))"
+        }.mkString("[", ",\n      ", "]")
+        s"""WITH s AS (
+           |  SELECT CAST(label % 8 + 1 AS INT) AS lbl, $sarr AS ts
+           |  FROM embeddings),
+           |g AS (
+           |  SELECT s.lbl, s.ts, t.t, t.invt
+           |  FROM s CROSS JOIN (VALUES (0.5, 2.0), (1.0, 1.0), (2.0, 0.5),
+           |    (4.0, 0.25)) t(t, invt)),
+           |x AS (
+           |  SELECT t, lbl,
+           |    list_transform(ts, v -> ROUND(exp(v * invt
+           |      - list_max(list_transform(ts, u -> u * invt))), 8)) AS ex
+           |  FROM g),
+           |p AS (
+           |  SELECT t,
+           |    GREATEST(ROUND(ex[lbl] / list_sum(ex), 6), 1e-6) AS p
+           |  FROM x)
+           |SELECT CAST(t AS DOUBLE) AS t, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(ROUND(-ln(p), 8) AS DECIMAL(18,8))) AS DOUBLE) AS nll_sum,
+           |  CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS conf_sum
+           |FROM p GROUP BY t ORDER BY t""".stripMargin
+      },
+      (s, dir) => {
+        import s.implicits._
+        val ts = array(SpecTarget.map(w => ndot(col("embedding"), fvec(w))): _*)
+        val grid = Seq((0.5, 2.0), (1.0, 1.0), (2.0, 0.5), (4.0, 0.25))
+          .toDF("t", "invt")
+        val ex = transform(col("ts"), v => round(exp(v * col("invt") -
+          array_max(transform(col("ts"), u => u * col("invt")))), 8))
+        val p = greatest(
+          round(element_at(col("ex"), col("lbl")) /
+            aggregate(col("ex"), lit(0.0), (a, v) => a + v), 6),
+          lit(1e-6))
+        Tables(s, dir, "embeddings")
+          .select((col("label") % 8 + 1).cast("int").as("lbl"), ts.as("ts"))
+          .crossJoin(broadcast(grid))
+          .select(col("t"), col("lbl"), ex.as("ex"))
+          .select(col("t"), p.as("p"))
+          .groupBy(col("t").cast("double").as("t"))
+          .agg(cnt.as("n"),
+            sum(round(-log(col("p")), 8).cast(DecimalType(18, 8)))
+              .cast("double").as("nll_sum"),
+            dsum(col("p")).as("conf_sum"))
+          .oracleOrder("t")
+      }),
+
     // Width-2 beam search decode, 3 steps — the classic decode strategy
     // completing the family next to greedy argmax, nucleus, and
     // speculative verification. Per token: step-0 logits are the 8 target
