@@ -49,6 +49,15 @@ object Fns {
     * correctly-rounded division then reproduces `SUM(CAST(x AS
     * DECIMAL(p,s))) :: DOUBLE` bit-for-bit, ~6x cheaper than the per-row
     * decimal cast (see ml_kfold_cv / window_rolling_corr).
+    *
+    * ROW-COUNT CEILING (concrete, for this dataset's magnitudes): plain
+    * price cents are ~1e7/row (extendedprice ≲ 1e5), so a per-group sum
+    * crosses 2^53 (~9.0e15) near ~9e8 rows/group; a cents·(100−dcents)
+    * product term is ~1e9/row and crosses near ~9e6 rows/group. Past
+    * those scales the long sum is silently wrong — route such sums
+    * through the DECIMAL(38,0) integer-unit pattern instead (see
+    * window_bollinger_bands, which sums Σc² that way), which is exact to
+    * 38 digits and merge-order-free at any row count.
     */
   def cents(c: Column): Column = rint(c * 100).cast(LongType)
 

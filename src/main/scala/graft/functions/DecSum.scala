@@ -37,6 +37,15 @@ final class DecSumBuffer(var sum: JBigDecimal, var seen: Boolean)
   * - the result replays `SUM(DECIMAL(p,s))`'s type contract: result
   *   precision `min(38, p+10)`, overflow => null, else the same
   *   `Decimal.toDouble` (correctly-rounded `BigDecimal.doubleValue`).
+  *
+  * ANSI-mode divergence (deliberate): under `spark.sql.ansi.enabled=true`
+  * (the Spark 4 default) the declarative `SUM(CAST(x AS DECIMAL(p,s)))`
+  * form THROWS on row-level cast overflow and on sum overflow. DecSum
+  * instead keeps the legacy-permissive contract at any ANSI setting:
+  * a row whose integral digits exceed p−s is SKIPPED, and a sum past
+  * `min(38, p+10)` digits returns NULL. For this engine's bounded
+  * measures the paths never diverge (no overflow occurs); callers on
+  * unbounded inputs must expect skip/null, not an error.
   */
 case class DecSum(
     child: Expression,
@@ -65,7 +74,19 @@ case class DecSum(
       precExpr.dataType != IntegerType || scaleExpr.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires literal INT (precision, scale)")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // The function is exposed as a SQL temp function to arbitrary
+      // callers: validate the (p, s) literals HERE so misuse fails at
+      // analysis, not as an ArithmeticException from TEN.pow(negative)
+      // mid-execution.
+      val p = precExpr.eval(null).asInstanceOf[Int]
+      val s = scaleExpr.eval(null).asInstanceOf[Int]
+      if (p < 1 || p > 38 || s < 0 || s > p)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires 0 <= scale <= precision <= 38, " +
+            s"got precision=$p scale=$s")
+      else TypeCheckResult.TypeCheckSuccess
+    }
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true

@@ -216,8 +216,18 @@ object Native {
     // aggregate to SORT-BASED execution — a full sort of the input for a
     // hash-shaped query. One live BigDecimal per (group, function) is tiny,
     // so size the map for real group cardinalities instead.
-    spark.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+    //
+    // SESSION-GLOBAL side effect, scoped deliberately: the raise applies
+    // to every ObjectHashAggregate in the session (collect_list,
+    // percentile, ...), trading the sort-based memory safety valve for
+    // hash speed. That is the right default for this engine's bounded
+    // group cardinalities, but it must never CLOBBER an operator's choice:
+    // only raise when the conf still sits at Spark's shipped default, so
+    // a user- or deployment-set value always wins.
+    val fallbackKey =
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    if (spark.conf.get(fallbackKey) == "128")
+      spark.conf.set(fallbackKey, "4194304")
   }
 }
 

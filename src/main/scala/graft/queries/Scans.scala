@@ -158,8 +158,13 @@ object Scans extends QueryPack {
              |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         import org.apache.hadoop.fs.Path
+        // Key the staged root by a strong digest of the FULL dir string —
+        // a 32-bit hashCode collision between dataset dirs would silently
+        // reuse the wrong staged blobs.
+        val dirKey = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
         val root = s"${System.getProperty("java.io.tmpdir")}/graft_blob_cas_" +
-          s"${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+          s"${ProcessHandle.current().pid()}_$dirKey"
         val blobs = s"$root/blobs"
         val manifest = s"$root/manifest"
         blobStaged.getOrElseUpdate(root, {
@@ -175,10 +180,17 @@ object Scans extends QueryPack {
               encode(col("text"), "UTF-8").as("payload"))
           // One physical write per distinct content — the dedup IS the
           // point of content addressing (identical payloads collapse).
+          // Ship the SESSION's Hadoop conf to the executors (wrapped
+          // serializable) — a bare `new Configuration()` would drop
+          // session-configured object-store credentials/filesystem
+          // settings, breaking the "works unchanged against an object
+          // store" property this sink exists to demonstrate.
+          val confBc = s.sparkContext.broadcast(
+            new org.apache.spark.util.SerializableConfiguration(
+              s.sparkContext.hadoopConfiguration))
           slice.select("addr", "payload").dropDuplicates("addr")
             .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-              val pfs = new Path(blobs)
-                .getFileSystem(new org.apache.hadoop.conf.Configuration())
+              val pfs = new Path(blobs).getFileSystem(confBc.value.value)
               pfs.setWriteChecksum(false)
               rows.foreach { r =>
                 val addr = r.getString(0)
