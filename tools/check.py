@@ -63,7 +63,31 @@ def compare(name, spark_df, duck_df):
     return problems
 
 
+def check_bench_capture(bench_path, oracle_json_path):
+    """Fail unless the bench envelope carries EVERY registry query.
+
+    Usage: python3 tools/check.py --bench <BENCH_FULL_rNN.json> <verifyOut>/oracle_sql.json
+    (VERDICT r15 item 3: the round capture must be self-contained — the
+    driver's 2000-char stdout tail cannot hold the full per-query map.)
+    """
+    with open(bench_path) as f:
+        bench = json.load(f)
+    with open(oracle_json_path) as f:
+        registry = set(json.load(f))
+    got = set(bench.get("queries", {}))
+    missing = sorted(registry - got)
+    if missing or "load_avg_1m" not in bench or "samples" not in bench:
+        print(f"FAIL bench capture {bench_path}: missing queries={missing} "
+              f"load={'load_avg_1m' in bench} samples={'samples' in bench}")
+        sys.exit(1)
+    print(f"PASS bench capture: {len(got)} queries cover all "
+          f"{len(registry)} registry ids, samples + load averages present")
+    sys.exit(0)
+
+
 def main():
+    if sys.argv[1] == "--bench":
+        check_bench_capture(sys.argv[2], sys.argv[3])
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     with open(f"{out_dir}/oracle_sql.json") as f:
