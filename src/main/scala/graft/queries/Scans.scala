@@ -60,6 +60,62 @@ object Scans extends QueryPack {
       .parquet(path)
   }
 
+  /** Once-per-JVM stage registry for `sink_bloom_colindex_skipping`. */
+  private val bloomStaged =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Write `df` (orders) in the bloom + column-index pruning layout:
+    * sorted by `o_orderkey` (so the parquet COLUMN INDEX — per-page
+    * min/max, written by default since parquet-mr 1.11 — prunes pages
+    * inside a row group for key-range predicates), small row groups and
+    * pages (so both structures have something to skip), a BLOOM FILTER on
+    * `o_custkey` (the scattered dimension row-group stats can never prune:
+    * every group spans the full custkey range), and dictionary encoding
+    * DISABLED for `o_custkey` so the bloom filter is written (parquet-mr
+    * skips blooms for fully-dictionary-encoded columns: the dictionary
+    * page already answers exact containment; forcing the bloom makes the
+    * demo mechanism-honest for the high-NDV case where dictionaries fall
+    * back to plain encoding).
+    */
+  private[graft] def writeBloomIndexed(
+      df: org.apache.spark.sql.DataFrame, path: String): Unit =
+    df.repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite")
+      // Small groups/pages scale the demo down to the test SFs: the point
+      // key's handful of rows must land in strictly fewer row groups than
+      // exist (bloom skips the rest), and the key range must cover only a
+      // few pages of its boundary group (column index skips the rest).
+      .option("parquet.block.size", 64 * 1024)
+      .option("parquet.page.size", 4 * 1024)
+      .option("parquet.page.row.count.limit", 250)
+      .option("parquet.enable.dictionary#o_custkey", "false")
+      .option("parquet.bloom.filter.enabled#o_custkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+      .parquet(path)
+
+  private[graft] def bloomIndexedPath(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    bloomStaged.getOrElseUpdate(dir, {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_idx_" +
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      writeBloomIndexed(
+        Tables(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice"), tmp)
+      tmp
+    })
+
+  /** Point predicate served by the bloom filter (custkey exists at every
+    * test SF; row-group min/max cannot prune it — only the bloom can).
+    */
+  private[graft] val bloomPointKey = 137L
+  /** Range predicate served by the column index (pages outside the key
+    * range are skipped even inside the one row group whose footer stats
+    * overlap).
+    */
+  private[graft] val indexRange: (Long, Long) = (1000L, 1449L)
+
   def queries: Seq[Q] = Seq(
     // Full-table DataSourceV2 parquet scan, schema from the footer.
     Q(
@@ -411,6 +467,44 @@ object Scans extends QueryPack {
         s.read.parquet(tmp)
           .filter(zorderBox)
           .agg(cnt.as("n"), round(dsum(col("o_totalprice")), 4).as("s"))
+      }),
+
+    // sink_zorder_skipping's sibling (VERDICT r15 item 6): the two
+    // PARQUET-NATIVE data-skipping structures beyond footer min/max.
+    // The staged layout sorts by o_orderkey with small pages + row groups,
+    // writes a bloom filter on o_custkey, and the query runs both probe
+    // shapes against it: (a) a custkey point lookup — every row group
+    // spans the full custkey range so min/max stats prune NOTHING; the
+    // per-group bloom filter is what skips the groups that provably lack
+    // the key; (b) an orderkey range — the column index (per-PAGE min/max)
+    // skips pages inside the boundary row group, finer than row-group
+    // stats. At 100 TB these are the difference between touching a few MB
+    // and decompressing whole row groups; BloomColIndexSpec pins both
+    // mechanisms by toggling the reader flags on the same files and
+    // asserting strictly more rows surface with the structure disabled.
+    // The result is layout-only, so the oracle is the plain aggregate.
+    Q(
+      "sink_bloom_colindex_skipping",
+      Some(s"""SELECT b.n_bloom, b.s_bloom, i.n_idx, i.s_idx FROM
+             |  (SELECT CAST(COUNT(*) AS BIGINT) AS n_bloom,
+             |     ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS s_bloom
+             |   FROM orders WHERE o_custkey = ${Scans.bloomPointKey}) b,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) AS n_idx,
+             |     ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS s_idx
+             |   FROM orders WHERE o_orderkey BETWEEN ${Scans.indexRange._1}
+             |     AND ${Scans.indexRange._2}) i""".stripMargin),
+      (s, dir) => {
+        val t = s.read.parquet(bloomIndexedPath(s, dir))
+        val bloomSide = t.filter(col("o_custkey") === bloomPointKey)
+          .agg(
+            cnt.as("n_bloom"),
+            round(dsum(col("o_totalprice")), 4).as("s_bloom"))
+        val idxSide = t
+          .filter(col("o_orderkey").between(indexRange._1, indexRange._2))
+          .agg(
+            cnt.as("n_idx"),
+            round(dsum(col("o_totalprice")), 4).as("s_idx"))
+        bloomSide.crossJoin(idxSide)
       }),
 
     // Corrupt-tolerant ingestion: a landing dir holds well-formed JSON-lines
