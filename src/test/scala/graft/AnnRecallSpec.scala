@@ -64,4 +64,46 @@ class AnnRecallSpec extends SparkSpec {
   test("IVF+PQ composed ANN recall@3 >= 0.5 vs exact top-3") {
     assert(recallOf("sim_ann_ivfpq_topk") >= 0.5)
   }
+
+  /** Mean query→terminus cosine of a layered greedy walk (the walk's own
+    * quality functional — what each greedy hop maximizes), plus its top-1
+    * recall vs the exact argmax over the node slice.
+    */
+  private def walkQuality(upper: Int, lower: Int): (Double, Double) = {
+    import graft.queries.SimOps.{dot, norm}
+    val walk = graft.queries.SimOps.hnswGreedy(spark, sf, upper, lower)
+      .select(col("q"), col("found"), col("cos6"))
+    val e = Tables(spark, sf, "embeddings")
+    val qs = e.filter(col("vec_id") >= 200 && col("vec_id") < 205)
+      .select(col("vec_id").as("qa"), col("embedding").as("ea"))
+    val nodes = e.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("qb"), col("embedding").as("eb"))
+    val w = Window.partitionBy("qa").orderBy(col("cos").desc, col("qb"))
+    val top1 = broadcast(qs).crossJoin(nodes)
+      .select(col("qa"), col("qb"),
+        (dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))))
+          .as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qa"), col("qb"))
+    val rows = walk.join(top1, col("q") === col("qa")).collect()
+    val recall = rows.count(r =>
+      r.getAs[Long]("found") == r.getAs[Long]("qb")).toDouble / rows.length
+    val meanCos = rows.map(_.getAs[Double]("cos6")).sum / rows.length
+    (recall, meanCos)
+  }
+
+  // The upper layer's whole point (VERDICT r15 item 8): at an EQUAL total
+  // hop budget, seeding the dense layer-0 walk from the coarse layer-1
+  // terminus must find termini at least as good as spending every hop on
+  // layer 0 from the fixed entry — on both the walk's own functional (mean
+  // query cosine) and top-1 recall.
+  test("two-layer walk >= single-layer walk at an equal 12-hop budget") {
+    val (r2, c2) = walkQuality(upper = 4, lower = 8)
+    val (r1, c1) = walkQuality(upper = 0, lower = 12)
+    info(f"two-layer (4+8): top-1 recall $r2%.2f, mean cos $c2%.6f")
+    info(f"single-layer (12): top-1 recall $r1%.2f, mean cos $c1%.6f")
+    assert(r2 >= r1, s"recall two-layer=$r2 < single-layer=$r1")
+    assert(c2 >= c1, s"mean cos two-layer=$c2 < single-layer=$c1")
+  }
 }
