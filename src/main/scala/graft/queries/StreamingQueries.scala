@@ -72,8 +72,16 @@ object StreamingQueries extends QueryPack {
     * eagerly inside `body` (awaitTermination), so restoring the conf after
     * cannot affect results.
     */
-  private def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T =
-    withStreamConfs(s, "spark.sql.shuffle.partitions" -> n.toString)(body)
+  /** `graft.stream.partitions`, when set, overrides every streaming row's
+    * built-in state-store partition count — the knob
+    * PartitionInvarianceSpec sweeps to prove the emitted set does not
+    * depend on state-store parallelism.
+    */
+  private def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val eff = s.conf.getOption("graft.stream.partitions")
+      .map(_.toInt).getOrElse(n)
+    withStreamConfs(s, "spark.sql.shuffle.partitions" -> eff.toString)(body)
+  }
 
   /** Scoped conf overrides for an eagerly-executed streaming body; every
     * key is restored (or unset) after, so nothing leaks session-wide.
