@@ -362,14 +362,22 @@ class Round15OpsSpec extends SparkSpec {
       v -> nodes.filter(_ != v)
         .map(u => (-cos6(all(v), all(u)), u)).sorted.take(4).map(_._2)
     }.toMap
+    // Upper layer (two-layer walk, round 16): 1-in-8 node sample, top-2.
+    val upperNodes = nodes.filter(_ % 8 == 0)
+    val upperEdges = upperNodes.map { v =>
+      v -> upperNodes.filter(_ != v)
+        .map(u => (-cos6(all(v), all(u)), u)).sorted.take(2).map(_._2)
+    }.toMap
     (200L until 205L).foreach { q =>
       var cur = 0L; var mv = 0
-      for (_ <- 1 to 8) {
-        val cands = cur +: edges(cur)
+      def hop(neigh: Map[Long, Seq[Long]]): Unit = {
+        val cands = cur +: neigh(cur)
         val nxt = cands.map(u => (-cos6(all(q), all(u)), u)).min._2
         if (nxt != cur) mv += 1
         cur = nxt
       }
+      for (_ <- 1 to 4) hop(upperEdges)
+      for (_ <- 1 to 8) hop(edges)
       val (found, moves) = got(q)
       assert(found == cur, s"query $q found $found want $cur")
       assert(moves == mv, s"query $q moves")
