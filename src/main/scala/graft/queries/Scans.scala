@@ -106,6 +106,32 @@ object Scans extends QueryPack {
       tmp
     })
 
+  /** Once-per-(session, dir) staged bucketed catalog table for
+    * `sink_bucket_pruning` (bucketBy is only expressible through the
+    * catalog). External over a pid-private path: concurrent harness JVMs
+    * share the filesystem but not the in-memory catalog.
+    */
+  private val bucketStaged =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  private[graft] def bucketedTable(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    bucketStaged.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val tag = s"${ProcessHandle.current().pid()}_" +
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val t = s"graft_bucketed_orders_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .option("path",
+          s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag")
+        .saveAsTable(t)
+      t
+    })
+
   /** Point predicate served by the bloom filter (custkey exists at every
     * test SF; row-group min/max cannot prune it — only the bloom can).
     */
@@ -467,6 +493,33 @@ object Scans extends QueryPack {
         s.read.parquet(tmp)
           .filter(zorderBox)
           .agg(cnt.as("n"), round(dsum(col("o_totalprice")), 4).as("s"))
+      }),
+
+    // The FIFTH data-skipping mechanism (after partition pruning, z-order
+    // stats, bloom filters, and the column index): BUCKET PRUNING. The
+    // staged table is bucketed on o_custkey (8 buckets, catalog-recorded
+    // hash layout); an equality predicate on the bucketing key lets the
+    // planner compute the one bucket the key hashes to and read ONLY that
+    // file — "SelectedBucketsCount: 1 out of 8" in the scan, pinned by
+    // BucketPruningSpec along with the >= 8x row-read reduction vs the
+    // same data unbucketed. This is the point-lookup complement of
+    // join_bucketed_colocated (which uses the same layout to kill the
+    // JOIN shuffle): at 100 TB a bucketed fact means a keyed audit query
+    // touches 1/N of the files with zero index structures to maintain.
+    // Layout-only, so the oracle is the plain filtered aggregate.
+    Q(
+      "sink_bucket_pruning",
+      Some(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS s,
+             |  CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+             |FROM orders WHERE o_custkey = ${Scans.bloomPointKey}""".stripMargin),
+      (s, dir) => {
+        s.table(bucketedTable(s, dir))
+          .filter(col("o_custkey") === bloomPointKey)
+          .agg(
+            cnt.as("n"),
+            round(dsum(col("o_totalprice")), 4).as("s"),
+            min(col("o_orderkey")).as("first_key"))
       }),
 
     // sink_zorder_skipping's sibling (VERDICT r15 item 6): the two
