@@ -57,7 +57,16 @@ object BenchIsolation {
     "graph_label_propagation",
     // round 15 wave 2: the one new addition that lands >1.4s (the basket
     // pair rollup is ~1M groups at sf0.1 — genuinely heavy, adjudicate).
-    "graph_bipartite_copurchase")
+    "graph_bipartite_copurchase",
+    // round 16: the rows that stage session-keyed state (catalog tables +
+    // ANALYZE, bucketed table, bloom layout, the two-layer walk's
+    // checkpointed transition tables) — adjudicate that the memoized
+    // staging doesn't degrade a long-lived session.
+    "join_cbo_reorder",
+    "sink_bucket_pruning",
+    "sink_bloom_colindex_skipping",
+    "sim_ann_graph_greedy",
+    "stream_stream_right_outer")
 
   private def newSession(cpus: String): SparkSession = {
     val s = SparkSession.builder()
