@@ -38,6 +38,28 @@ object TransformerOps extends QueryPack {
   /** Σ x_i — native dot against ones (x_i * 1.0 is exact, fold unchanged). */
   private def ndot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
+  /** Per-(session, dir) materialized K/V cache for `ml_kv_cache_decode`:
+    * keys/values for positions 1..7 of every sequence, value checksums
+    * precomputed at stage time (that's what a value cache IS), pinned with
+    * localCheckpoint so decode steps read it as an ExistingRDD scan
+    * instead of rederiving it from the corpus.
+    */
+  private val kvCaches = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), org.apache.spark.sql.DataFrame]
+
+  private[graft] def kvCache(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    kvCaches.getOrElseUpdate((System.identityHashCode(s), dir), {
+      Tables(s, dir, "embeddings")
+        .select(expr("vec_id div 8").as("gid"),
+          (col("vec_id") % 8 + 1).cast("int").as("kpos"),
+          col("embedding").as("kv"))
+        .filter(col("kpos") <= 7)
+        .withColumn("vsum", round(ndot(col("kv"), fvec(Ones)), 8))
+        .localCheckpoint()
+    })
+
   private def fvec(xs: Seq[Double]): Column =
     typedlit[Array[Float]](xs.map(_.toFloat).toArray)
 
@@ -230,6 +252,95 @@ object TransformerOps extends QueryPack {
               / count(lit(1)), 6).as("h_avg"),
             round(sum(col("top_w").cast(DecimalType(18, 6))).cast("double")
               / count(lit(1)), 6).as("topw_avg"),
+            sum("top_k").cast("long").as("topk_sum"))
+          .oracleOrder("bucket")
+      }),
+
+    // KV-CACHE incremental decode — the serving-side complement of
+    // ml_attention_entropy: autoregressive step t=8 attends over positions
+    // 1..8 where the keys/values for 1..7 come from a MATERIALIZED cache
+    // (staged once per (session, dir) with the value checksums
+    // precomputed, localCheckpoint — the plan reads it as an ExistingRDD
+    // scan, it is never rederived) and only the new token's K/V is
+    // computed fresh. Incremental == full recompute is exactly what the
+    // oracle proves: DuckDB computes the same attention from raw
+    // embeddings with no cache. Per group: attention-output checksum
+    // Σ w_k·(v_k·1) (order-free decimal sum of 8dp terms), the weight the
+    // new token gives ITSELF (w_new — the recency mass a decode step
+    // assigns), and the argmax position. Softmax is the proven
+    // agg_softmax_xent dialect (8dp scores, exp-minus-max, 6dp weights
+    // over a DECIMAL(18,8) window sum). Scale: the cache is |tokens|-sized
+    // state keyed by (gid, kpos) — at serving volume it lives partitioned
+    // on gid exactly like this staged table, each step is one broadcast
+    // of the new tokens against it, and only the fresh row is appended.
+    Q(
+      "ml_kv_cache_decode",
+      Some("""WITH t AS (
+             |  SELECT vec_id // 8 AS gid, CAST(vec_id % 8 + 1 AS INT) AS kpos, embedding
+             |  FROM embeddings),
+             |q AS (SELECT gid, embedding AS qe FROM t WHERE kpos = 8),
+             |p AS (
+             |  SELECT k.gid, k.kpos,
+             |    ROUND(list_sum(list_transform(list_zip(q.qe, k.embedding),
+             |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) * 4.0, 8) AS s,
+             |    ROUND(list_sum(list_transform(k.embedding,
+             |      x -> CAST(x AS DOUBLE) * 1.0)), 8) AS vsum
+             |  FROM t k JOIN q ON q.gid = k.gid),
+             |x AS (
+             |  SELECT gid, kpos, vsum,
+             |    ROUND(exp(s - MAX(s) OVER (PARTITION BY gid)), 8) AS ex
+             |  FROM p),
+             |w AS (
+             |  SELECT gid, kpos, vsum,
+             |    ROUND(ex / CAST(SUM(CAST(ex AS DECIMAL(18,8))) OVER (PARTITION BY gid) AS DOUBLE), 6) AS w
+             |  FROM x),
+             |g AS (
+             |  SELECT gid, kpos, w, vsum, MAX(w) OVER (PARTITION BY gid) AS maxw
+             |  FROM w),
+             |a AS (
+             |  SELECT gid,
+             |    ROUND(CAST(SUM(CAST(ROUND(w * vsum, 8) AS DECIMAL(18,8))) AS DOUBLE), 6) AS ychk,
+             |    MAX(CASE WHEN kpos = 8 THEN w END) AS w_new,
+             |    MIN(CASE WHEN w = maxw THEN kpos END) AS top_k
+             |  FROM g GROUP BY gid)
+             |SELECT CAST(gid % 16 AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             |  ROUND(CAST(SUM(CAST(ychk AS DECIMAL(18,6))) AS DOUBLE), 6) AS ychk_sum,
+             |  ROUND(CAST(SUM(CAST(w_new AS DECIMAL(18,6))) AS DOUBLE), 6) AS wnew_sum,
+             |  CAST(SUM(top_k) AS BIGINT) AS topk_sum
+             |FROM a GROUP BY 1 ORDER BY bucket""".stripMargin),
+      (s, dir) => {
+        val cache = kvCache(s, dir)
+        val t = Tables(s, dir, "embeddings")
+          .select(expr("vec_id div 8").as("gid"),
+            (col("vec_id") % 8 + 1).cast("int").as("kpos"), col("embedding"))
+        val q = t.filter(col("kpos") === 8)
+          .select(col("gid"), col("embedding").as("qe"))
+        // Only the NEW token's K/V derives fresh; 1..7 come off the cache.
+        val fresh = q.select(
+          col("gid"), lit(8).cast("int").as("kpos"), col("qe").as("kv"),
+          round(ndot(col("qe"), fvec(Ones)), 8).as("vsum"))
+        val keys = cache.unionByName(fresh)
+        val byGid = Window.partitionBy("gid")
+        val scored = keys.join(q, "gid")
+          .select(col("gid"), col("kpos"), col("vsum"),
+            round(ndot(col("qe"), col("kv")) * 4.0, 8).as("s"))
+          .withColumn("ex", round(exp(col("s") - max("s").over(byGid)), 8))
+          .withColumn("w", round(col("ex") /
+            sum(col("ex").cast(DecimalType(18, 8))).over(byGid).cast("double"), 6))
+          .withColumn("maxw", max("w").over(byGid))
+        scored.groupBy("gid")
+          .agg(
+            round(sum(round(col("w") * col("vsum"), 8)
+              .cast(DecimalType(18, 8))).cast("double"), 6).as("ychk"),
+            max(when(col("kpos") === 8, col("w"))).as("w_new"),
+            min(when(col("w") === col("maxw"), col("kpos"))).as("top_k"))
+          .groupBy((col("gid") % 16).cast("int").as("bucket"))
+          .agg(
+            cnt.as("n"),
+            round(sum(col("ychk").cast(DecimalType(18, 6)))
+              .cast("double"), 6).as("ychk_sum"),
+            round(sum(col("w_new").cast(DecimalType(18, 6)))
+              .cast("double"), 6).as("wnew_sum"),
             sum("top_k").cast("long").as("topk_sum"))
           .oracleOrder("bucket")
       }),
