@@ -51,20 +51,54 @@ object Fns {
     * decimal cast (see ml_kfold_cv / window_rolling_corr).
     *
     * ROW-COUNT CEILING (concrete, for this dataset's magnitudes): plain
-    * price cents are ~1e7/row (extendedprice ≲ 1e5), so a per-group sum
-    * crosses 2^53 (~9.0e15) near ~9e8 rows/group; a cents·(100−dcents)
-    * product term is ~1e9/row and crosses near ~9e6 rows/group. Past
-    * those scales the long sum is silently wrong — route such sums
-    * through the DECIMAL(38,0) integer-unit pattern instead (see
-    * window_bollinger_bands, which sums Σc² that way), which is exact to
-    * 38 digits and merge-order-free at any row count.
+    * price cents are ~1e7/row (extendedprice ≲ 1e5), so a per-group sum's
+    * closing long→double cast crosses 2^53 (~9.0e15) near ~9e8
+    * rows/group; a cents·(100−dcents) product term is ~1e9/row and
+    * crosses near ~9e6 rows/group. Past those scales a bare
+    * `sum(cents(x)).cast("double")` is silently wrong — sum unit columns
+    * through [[lsumUnits]] instead (split-long codegen partials, exact
+    * decimal recombine; no 2^53 ceiling), or the DECIMAL(38,0) pattern
+    * for squared terms (window_bollinger_bands' Σc²).
     */
   def cents(c: Column): Column = rint(c * 100).cast(LongType)
 
-  /** `SUM(CAST(x AS DECIMAL(18,6)))::DOUBLE` for an exact-2-dp column,
-    * on the long fast path.
+  /** Exact sum of a LONG integer-unit column (cents, 1e-4 "product units",
+    * …) divided by 10^divPow, with NO 2^53 cast cliff and a pure
+    * whole-stage-codegen hot path.
+    *
+    * The naive fast path `sum(units).cast("double") / 10^p` silently
+    * rounds once the long sum passes 2^53 (~9e6 rows/group for
+    * 1e9-magnitude cents·(100−dcents) product terms — within reach of a
+    * 100x scale-up of this dataset). Summing the units as DECIMAL would be
+    * exact but pays the per-row unsafe-buffer decimal round-trip that made
+    * decimal aggregates scan-bound (see [[graft.functions.DecSum]]).
+    *
+    * Instead the value is split PER ROW with floor-div semantics into
+    * hi = v >> 20 and lo = v & (2^20−1) (exact for negatives too:
+    * arithmetic shift is floorDiv(v, 2^20) and the masked low bits are the
+    * nonnegative remainder), each summed as a plain codegen long. The
+    * group result is recombined EXACTLY in decimal space over the handful
+    * of output rows: hi·2^20 + lo as DECIMAL(38,0) (exact — both partials
+    * are exact longs), one decimal division by 10^divPow (HALF_UP at
+    * scale ≥ 6, exact whenever the true value has ≤ 6 dp, which every
+    * cents/1e-4-unit measure does), then ONE correctly-rounded
+    * decimal→double conversion. Exact while the hi partial fits a long:
+    * ~2^63/(maxUnit/2^20) ≈ 1e16 rows/group at 1e9-unit rows — beyond any
+    * storable dataset (and ANSI sum would raise, not wrap, past it).
     */
-  def dsumCents(c: Column): Column = sum(cents(c)).cast("double") / 100.0
+  def lsumUnits(v: Column, divPow: Int): Column = {
+    val dec38 = DecimalType(38, 0)
+    val hi = sum(shiftright(v, 20)).cast(dec38)
+    val lo = sum(v.bitwiseAND(lit((1L << 20) - 1))).cast(dec38)
+    val div = (0 until divPow).foldLeft(1L)((a, _) => a * 10L)
+    ((hi * lit(1L << 20) + lo) / lit(div)).cast("double")
+  }
+
+  /** `SUM(CAST(x AS DECIMAL(18,6)))::DOUBLE` for an exact-2-dp column,
+    * on the split-long fast path (exact at any realizable row count —
+    * see [[lsumUnits]]).
+    */
+  def dsumCents(c: Column): Column = lsumUnits(cents(c), 2)
 
   /** Deterministic mean: exact decimal sum / count, both in double space. */
   def davg(c: Column): Column = dsum(c) / cnt

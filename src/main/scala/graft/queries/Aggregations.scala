@@ -53,15 +53,17 @@ object Aggregations extends QueryPack {
         // Long fast paths throughout (Fns.cents): quantity integral,
         // price/discount exact 2-dp, so every decimal sum here is an
         // integer / cents / 1e-4-unit sum — value-identical to the
-        // oracle's decimal dialect, pure codegen long aggregates.
+        // oracle's decimal dialect, pure codegen long aggregates. The
+        // cents and cents-product sums go through Fns.lsumUnits (split-
+        // long partials + exact decimal recombine), so there is no 2^53
+        // cast cliff at any realizable rows/group.
         Tables(s, dir, "lineitem")
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
             sum(col("l_quantity").cast("long")).cast("double").as("sum_qty"),
             dsumCents(col("l_extendedprice")).as("sum_base"),
-            (sum(cents(col("l_extendedprice")) *
-                (lit(100L) - cents(col("l_discount")))).cast("double")
-              / 10000.0).as("sum_disc"),
+            lsumUnits(cents(col("l_extendedprice")) *
+                (lit(100L) - cents(col("l_discount"))), 4).as("sum_disc"),
             round(sum(col("l_quantity").cast("long")).cast("double") / cnt, 6)
               .as("avg_qty"),
             cnt.as("n"))

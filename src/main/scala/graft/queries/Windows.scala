@@ -171,11 +171,12 @@ object Windows extends QueryPack {
       (s, dir) => {
         // Revenue on the long fast path (Fns.cents): p·(1−d) is an exact
         // multiple of 1e-4, value-identical to the oracle's decimal sum.
+        // Summed via Fns.lsumUnits (split-long partials + exact decimal
+        // recombine) — no 2^53 cast cliff at any realizable rows/day.
         val daily = Tables(s, dir, "lineitem")
           .groupBy(date_trunc("day", col("l_shipdate")).cast("date").as("day"))
-          .agg((sum(cents(col("l_extendedprice")) *
-              (lit(100L) - cents(col("l_discount")))).cast("double")
-            / 10000.0).as("rev"))
+          .agg(lsumUnits(cents(col("l_extendedprice")) *
+              (lit(100L) - cents(col("l_discount"))), 4).as("rev"))
         // Unpartitioned window is SAFE here: it runs over the daily
         // aggregate, whose cardinality is bounded by distinct ship days
         // (~2.5k rows at any fact-table scale), not over lineitem.
