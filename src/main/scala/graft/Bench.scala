@@ -81,12 +81,27 @@ object Bench {
     // writes round N's capture only after this run).
     // Only a FULL registry run earns the round stamp — a dev-loop
     // SPARK_GRAFT_ONLY subset must never clobber the committed capture.
+    // Round number: the driver-written BENCH_rNN.json are authoritative
+    // (driver writes round N's capture only after this run → stamp N+1)
+    // but untracked, so on a fresh clone only the committed
+    // BENCH_FULL_rNN.json exist — fall back to their max WITHOUT +1
+    // (max(driver+1, full) is idempotent: re-running the full bench in the
+    // same round re-stamps the same file instead of advancing the round).
     val roundStamp = if (only.nonEmpty) None
-    else Option(Paths.get(".").toFile.list()).toSeq.flatten
-      .flatMap { f =>
-        val m = "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f)
-        m.map(_.group(1).toInt)
-      }.sorted.lastOption.map(_ + 1)
+    else {
+      def maxRound(re: scala.util.matching.Regex): Int =
+        Option(Paths.get(".").toFile.list()).toSeq.flatten
+          .flatMap(f => re.findFirstMatchIn(f).map(_.group(1).toInt))
+          .foldLeft(0)(math.max)
+      val driver = maxRound("^BENCH_r(\\d+)\\.json$".r)
+      val full = maxRound("^BENCH_FULL_r(\\d+)\\.json$".r)
+      val r = math.max(driver + 1, full)
+      if (driver == 0 && full == 0) {
+        System.err.println("[bench] no BENCH_rNN.json/BENCH_FULL_rNN.json " +
+          "in cwd — round stamp skipped (envelope still at " + outPath + ")")
+        None
+      } else Some(r)
+    }
     val fullStamped = roundStamp.map(r => f"BENCH_FULL_r$r%02d.json")
     fullStamped.foreach(p => Files.writeString(Paths.get(p), envelope))
     // Three stdout lines, same shape: the full per-query map first, then a

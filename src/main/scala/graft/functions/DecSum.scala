@@ -78,9 +78,15 @@ case class DecSum(
       // The function is exposed as a SQL temp function to arbitrary
       // callers: validate the (p, s) literals HERE so misuse fails at
       // analysis, not as an ArithmeticException from TEN.pow(negative)
-      // mid-execution.
-      val p = precExpr.eval(null).asInstanceOf[Int]
-      val s = scaleExpr.eval(null).asInstanceOf[Int]
+      // mid-execution. A foldable NULL INT (CAST(NULL AS INT)) passes the
+      // foldable+type gate above, so null-check the evals before unboxing.
+      val pv = precExpr.eval(null)
+      val sv = scaleExpr.eval(null)
+      if (pv == null || sv == null)
+        return TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires non-NULL literal INT (precision, scale)")
+      val p = pv.asInstanceOf[Int]
+      val s = sv.asInstanceOf[Int]
       if (p < 1 || p > 38 || s < 0 || s > p)
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires 0 <= scale <= precision <= 38, " +

@@ -97,7 +97,11 @@ object Scans extends QueryPack {
   private[graft] def bloomIndexedPath(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
     bloomStaged.getOrElseUpdate(dir, {
+      // pid-isolated like bucketedTable / cboTables / the blob-CAS root:
+      // concurrent harness JVMs share the filesystem, and two JVMs staging
+      // the same digest path would race mode(overwrite) against a reader.
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_idx_" +
+        s"${ProcessHandle.current().pid()}_" +
         java.security.MessageDigest.getInstance("SHA-256")
           .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
       writeBloomIndexed(

@@ -57,16 +57,22 @@ object StreamingQueries extends QueryPack {
   private val cdcTargets =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
-  /** Recursive file copy of a staged parquet layout (dirs + data files). */
+  /** Recursive file copy of a staged parquet layout (dirs + data files).
+    * The walk stream is closed (it holds a directory handle), and copies
+    * REPLACE_EXISTING so a retried run against a partially-populated
+    * target recovers instead of dying on FileAlreadyExistsException.
+    */
   private def copyDir(src: String, dst: String): Unit = {
     val sp = java.nio.file.Paths.get(src)
     val dp = java.nio.file.Paths.get(dst)
-    java.nio.file.Files.walk(sp).forEach { p =>
+    val walk = java.nio.file.Files.walk(sp)
+    try walk.forEach { p =>
       val t = dp.resolve(sp.relativize(p))
       if (java.nio.file.Files.isDirectory(p))
         java.nio.file.Files.createDirectories(t)
-      else java.nio.file.Files.copy(p, t)
-    }
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
   }
 
   /** Scratch dir for spools, checkpoints and staged batches: prefer tmpfs
@@ -813,9 +819,10 @@ object StreamingQueries extends QueryPack {
       // inner join emits every row in the data batch — output is
       // batch-identical with it off (the outer variants below MUST keep
       // it: their null rows only emit in that batch).
-      (s, dir) => withStreamConfs(
-        s, "spark.sql.shuffle.partitions" -> "2",
-        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+      // withStreamPartitions (not a raw shuffle-partitions conf) so the
+      // graft.stream.partitions sweep knob covers this row too.
+      (s, dir) => withStreamPartitions(s, 2) { withStreamConfs(
+        s, "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
         val views = typedEventsStream(s, dir, "view")
           .select(
             col("event_id").as("view_id"), col("user_id"),
@@ -848,7 +855,7 @@ object StreamingQueries extends QueryPack {
             (unix_micros(col("c_ts")) - unix_micros(col("v_ts")))
               .as("delta_us"))
           .oracleOrder("view_id", "click_id")
-      }),
+      } }),
 
     // Stream-stream LEFT OUTER join — the completion of the stream-join
     // family and the hardest emission semantics Structured Streaming has:

@@ -88,4 +88,17 @@ class DecSumSpec extends SparkSpec {
         lit(30), lit(10))).collect().head.getDouble(0)
     assert(t1 == t2)
   }
+
+  test("foldable NULL (p, s) fails analysis cleanly, not with an NPE") {
+    graft.functions.Native.register(spark)
+    import spark.implicits._
+    val df = Seq(1.0, 2.0).toDF("v")
+    df.createOrReplaceTempView("decsum_null_ps")
+    for (sql <- Seq(
+        "SELECT graft_dsum(v, CAST(NULL AS INT), 2) FROM decsum_null_ps",
+        "SELECT graft_dsum(v, 18, CAST(NULL AS INT)) FROM decsum_null_ps")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(sql).collect())
+      assert(e.getMessage.contains("non-NULL literal INT"), e.getMessage)
+    }
+  }
 }
