@@ -10,6 +10,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Dev loop only (driver never sets it): A/B the adaptive runtime's
+      // per-exchange stage-materialization latency on tiny-SF inputs.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Materialize the shared table cache up front so per-query timings

@@ -56,20 +56,28 @@ object SimOps extends QueryPack {
   private def native(s: org.apache.spark.sql.SparkSession): Unit =
     graft.functions.Native.register(s)
 
-  /** The layered greedy graph walk behind `sim_ann_graph_greedy`
-    * (parameterized so AnnRecallSpec can compare layer budgets at an equal
-    * total hop count). Layer 0 = top-4 kNN digraph over the node slice;
-    * layer 1 = top-2 digraph over the deterministic 1-in-8 node sample
-    * (`vec_id % 8 = 0` — entry node 0 belongs to it). Each layer's
-    * per-(query, node) transition table is precomputed once
-    * (localCheckpoint: it is joined per hop) and the walk runs `upperHops`
-    * coarse steps then `lowerHops` fine steps, seeded at node 0. Every hop
-    * is a broadcast equi-join; `upperHops = 0` degenerates to the pure
-    * layer-0 walk.
+  /** The layered graph walk behind `sim_ann_graph_greedy` (parameterized
+    * so AnnRecallSpec can compare layer and beam budgets at an equal total
+    * hop count). Layer 0 = top-4 kNN digraph over the node slice; layer 1
+    * = top-2 digraph over the deterministic 1-in-8 node sample
+    * (`vec_id % 8 = 0` — entry node 0 belongs to it). The walk runs
+    * `upperHops` greedy coarse steps from node 0 (per-(query, node)
+    * transition table precomputed once — localCheckpoint, it is joined
+    * per hop), then `lowerHops` BOUNDED-BEAM fine steps (HNSW ef-search's
+    * bounded candidate frontier, relationally): each hop expands every
+    * beam member's out-edges (self included, so the frontier never loses
+    * its best), dedups, and keeps the top-`beamWidth` candidates per
+    * query by (cos DESC, node). `beamWidth = 1` is exactly the old greedy
+    * descent. Every hop is a broadcast equi-join over the once-staged
+    * (query, src, dst, cos) adjacency; `upperHops = 0` degenerates to the
+    * pure layer-0 walk. Requires `lowerHops >= 1` (the beam carries its
+    * members' cosines from the hop that admitted them).
     */
   private[graft] def hnswGreedy(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      upperHops: Int, lowerHops: Int): org.apache.spark.sql.DataFrame = {
+      upperHops: Int, lowerHops: Int,
+      beamWidth: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(lowerHops >= 1, "beam walk needs at least one lower-layer hop")
     val emb = Tables(s, dir, "embeddings")
     val n = emb.filter(col("vec_id") < 200)
       .select(col("vec_id"), col("embedding"))
@@ -93,34 +101,57 @@ object SimOps extends QueryPack {
     val qd = broadcast(qs).crossJoin(n)
       .select(col("q"), col("vec_id").as("node"),
         round(ncos(col("qe"), col("embedding")), 6).as("cos"))
-    // The transition table's key is RENAMED (mq) before the walk: walk and
-    // the table share lineage through qs, and a walk("q") === table("q")
-    // predicate would resolve both sides to the same attribute (Spark's
-    // "trivially true equals" self-join hazard).
-    def trans(e: org.apache.spark.sql.DataFrame) =
-      e.join(qd, col("dst") === col("node"))
+    // The adjacency/transition tables' key is RENAMED (mq) before the
+    // walk: walk and table share lineage through qs, and a
+    // walk("q") === table("q") predicate would resolve both sides to the
+    // same attribute (Spark's "trivially true equals" self-join hazard).
+    var walk = qs.select(col("q"), lit(0L).as("cur"))
+    if (upperHops > 0) {
+      val m1 = layerEdges(sample = true, k = 2)
+        .join(qd, col("dst") === col("node"))
         .select(col("q").as("mq"), col("src"), col("dst"), col("cos"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("mq", "src").orderBy(col("cos").desc, col("dst"))))
         .filter(col("rn") === 1)
         .select(col("mq"), col("src"), col("dst").as("nxt"))
         .localCheckpoint()
-    var walk = qs.select(col("q"), lit(0L).as("cur"), lit(0).as("mv"))
-    def step(m: org.apache.spark.sql.DataFrame): Unit =
-      walk = walk.join(broadcast(m),
-          col("q") === col("mq") && col("cur") === col("src"))
-        .select(col("q"), col("nxt").as("cur"),
-          (col("mv") + when(col("nxt") =!= col("cur"), 1).otherwise(0)).as("mv"))
-    if (upperHops > 0) {
-      val m1 = trans(layerEdges(sample = true, k = 2))
-      for (_ <- 1 to upperHops) step(m1)
+      for (_ <- 1 to upperHops)
+        walk = walk.join(broadcast(m1),
+            col("q") === col("mq") && col("cur") === col("src"))
+          .select(col("q"), col("nxt").as("cur"))
     }
-    val m0 = trans(layerEdges(sample = false, k = 4))
-    for (_ <- 1 to lowerHops) step(m0)
-    val qd2 = qd.select(col("q").as("fq"), col("node"), col("cos"))
-    walk.join(qd2, col("q") === col("fq") && col("cur") === col("node"))
-      .select(col("q"), col("cur").as("found"),
-        col("cos").as("cos6"), col("mv").cast("int").as("n_moves"))
+    // Layer-0 adjacency WITH the query cosine, staged once (it is joined
+    // every hop; without the checkpoint each hop would re-derive the full
+    // pairwise cos matrix and its top-k window).
+    val adj = layerEdges(sample = false, k = 4)
+      .join(qd, col("dst") === col("node"))
+      .select(col("q").as("mq"), col("src"), col("dst"), col("cos"))
+      .localCheckpoint()
+    val wb = Window.partitionBy("q").orderBy(col("cos").desc, col("dst"))
+    // ONE exchange for the whole beam walk: every per-hop operator below
+    // (broadcast join, distinct, per-q window, final stats/terminus) only
+    // needs clustering by q, and HashPartitioning(q) satisfies each one's
+    // required distribution — so after this repartition all `lowerHops`
+    // hops are narrow (local sorts only, no further shuffles).
+    var beam = walk.repartition(col("q")) // (q, cur); cos joins on at the first beam hop
+    for (_ <- 1 to lowerHops)
+      beam = beam.select(col("q"), col("cur"))
+        .join(broadcast(adj),
+          col("q") === col("mq") && col("cur") === col("src"))
+        .select(col("q"), col("dst"), col("cos")).distinct()
+        .withColumn("rn", row_number().over(wb))
+        .filter(col("rn") <= beamWidth)
+        .select(col("q"), col("dst").as("cur"), col("cos"))
+    // Final: the beam's best terminus (found, cos6) plus the order-free
+    // beam diagnostics (worst member cosine, beam fill).
+    val wf = Window.partitionBy("q").orderBy(col("cos").desc, col("cur"))
+    val stats = beam.groupBy(col("q").as("sq")).agg(
+      min(col("cos")).as("worst6"),
+      count(lit(1)).cast("int").as("n_beam"))
+    beam.withColumn("rn", row_number().over(wf)).filter(col("rn") === 1)
+      .join(stats, col("q") === col("sq"))
+      .select(col("q"), col("cur").as("found"), col("cos").as("cos6"),
+        col("worst6"), col("n_beam"))
       .oracleOrder("q")
   }
 
@@ -1448,26 +1479,32 @@ object SimOps extends QueryPack {
           .oracleOrder("qa")
       }),
 
-    // Graph-walk ANN, TWO-LAYER (the HNSW idea, Malkov & Yashunin 2016):
-    // greedy best-first descent through a layered proximity graph. Layer 1
-    // is a deterministic 1-in-8 node sample (the relational analog of
-    // HNSW's geometric level draw) with a SPARSER top-2 graph — the walk
-    // crosses the corpus in coarse strides there, then drops its terminus
+    // Graph-walk ANN, TWO-LAYER with a BOUNDED BEAM (the HNSW idea,
+    // Malkov & Yashunin 2016, including ef-search's candidate frontier):
+    // best-first descent through a layered proximity graph. Layer 1 is a
+    // deterministic 1-in-8 node sample (the relational analog of HNSW's
+    // geometric level draw) with a SPARSER top-2 graph — the walk crosses
+    // the corpus in coarse greedy strides there, then drops its terminus
     // into the dense layer-0 top-4 graph as the entry point, so the fine
     // walk STARTS NEAR THE TARGET instead of at a fixed node (VERDICT r15
-    // item 8; AnnRecallSpec pins recall >= the single-layer walk at an
-    // equal total hop budget). Expressed RELATIONALLY: each layer's
-    // per-(query, node) transition function next(q, v) = argmax over
-    // {v} ∪ N_layer(v) is precomputed ONCE as a small table, and the walk
-    // is unrolled compositions of those tables — 4 coarse hops, then 8
-    // fine hops, as plain equi-joins, no recursion, no driver loop (the
-    // SCC path-doubling discipline). Greedy stalls are handled by
-    // construction (self is always a candidate; n_moves counts real hops
-    // across BOTH layers). Exactness: the sim_cosine dialect end to end
-    // (fused native cosine ROUND 6dp, node-id tie-breaks). Scale: nodes
-    // are the bounded graph slice (the per-LSH-cluster shard a production
-    // graph index partitions into); queries broadcast, each transition
-    // table is |Q|·|V_layer| rows, every hop is a broadcast join — the
+    // item 8). The fine walk carries a WIDTH-4 BEAM (VERDICT r16 item 4,
+    // ef-style): each hop expands every beam member's out-edges (self
+    // included — the frontier never loses its best), dedups, keeps the
+    // top-4 per query by (cos DESC, node). AnnRecallSpec pins beam >=
+    // greedy and two-layer >= single-layer at equal 12-hop budgets.
+    // Expressed RELATIONALLY: the upper layer's per-(query, node)
+    // transition table and the lower layer's (query, src, dst, cos)
+    // adjacency are precomputed ONCE as small tables, and the walk is
+    // unrolled compositions — 4 coarse hops, then 8 fine beam hops, as
+    // plain equi-joins + per-query top-k windows, no recursion, no driver
+    // loop (the SCC path-doubling discipline). Greedy stalls are handled
+    // by construction (self is always a candidate). Exactness: the
+    // sim_cosine dialect end to end (fused native cosine ROUND 6dp,
+    // node-id tie-breaks; the emitted worst6/n_beam diagnostics are
+    // order-free min/count). Scale: nodes are the bounded graph slice
+    // (the per-LSH-cluster shard a production graph index partitions
+    // into); queries broadcast, the adjacency is |Q|·|V|·(deg+1) rows,
+    // every hop is a broadcast join over a <=|Q|·beam frontier — the
     // corpus never re-shuffles, and the upper layer's table is 8x smaller
     // than layer 0's.
     Q(
@@ -1503,36 +1540,35 @@ object SimOps extends QueryPack {
              |      / (sqrt(list_sum(list_transform(qs.qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
              |       * sqrt(list_sum(list_transform(n.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS cos
              |  FROM qs, n),
-             |m AS (
-             |  SELECT q, src, dst AS nxt FROM (
-             |    SELECT qd.q, e.src, e.dst, row_number() OVER (
-             |      PARTITION BY qd.q, e.src ORDER BY qd.cos DESC, e.dst) AS rn
-             |    FROM e JOIN qd ON e.dst = qd.node) t
-             |  WHERE rn = 1),
              |m1 AS (
              |  SELECT q, src, dst AS nxt FROM (
              |    SELECT qd.q, e1.src, e1.dst, row_number() OVER (
              |      PARTITION BY qd.q, e1.src ORDER BY qd.cos DESC, e1.dst) AS rn
              |    FROM e1 JOIN qd ON e1.dst = qd.node) t
              |  WHERE rn = 1),
-             |u0 AS (SELECT q, CAST(0 AS BIGINT) AS cur, 0 AS mv FROM qs),
-             |u1 AS (SELECT w.q, m1.nxt AS cur, w.mv + (CASE WHEN m1.nxt <> w.cur THEN 1 ELSE 0 END) AS mv FROM u0 w JOIN m1 ON m1.q = w.q AND m1.src = w.cur),
-             |u2 AS (SELECT w.q, m1.nxt AS cur, w.mv + (CASE WHEN m1.nxt <> w.cur THEN 1 ELSE 0 END) AS mv FROM u1 w JOIN m1 ON m1.q = w.q AND m1.src = w.cur),
-             |u3 AS (SELECT w.q, m1.nxt AS cur, w.mv + (CASE WHEN m1.nxt <> w.cur THEN 1 ELSE 0 END) AS mv FROM u2 w JOIN m1 ON m1.q = w.q AND m1.src = w.cur),
-             |u4 AS (SELECT w.q, m1.nxt AS cur, w.mv + (CASE WHEN m1.nxt <> w.cur THEN 1 ELSE 0 END) AS mv FROM u3 w JOIN m1 ON m1.q = w.q AND m1.src = w.cur),
-             |w1 AS (SELECT w.q, m.nxt AS cur, w.mv + (CASE WHEN m.nxt <> w.cur THEN 1 ELSE 0 END) AS mv FROM u4 w JOIN m ON m.q = w.q AND m.src = w.cur),
-             |w2 AS (SELECT w.q, m.nxt AS cur, w.mv + (CASE WHEN m.nxt <> w.cur THEN 1 ELSE 0 END) AS mv FROM w1 w JOIN m ON m.q = w.q AND m.src = w.cur),
-             |w3 AS (SELECT w.q, m.nxt AS cur, w.mv + (CASE WHEN m.nxt <> w.cur THEN 1 ELSE 0 END) AS mv FROM w2 w JOIN m ON m.q = w.q AND m.src = w.cur),
-             |w4 AS (SELECT w.q, m.nxt AS cur, w.mv + (CASE WHEN m.nxt <> w.cur THEN 1 ELSE 0 END) AS mv FROM w3 w JOIN m ON m.q = w.q AND m.src = w.cur),
-             |w5 AS (SELECT w.q, m.nxt AS cur, w.mv + (CASE WHEN m.nxt <> w.cur THEN 1 ELSE 0 END) AS mv FROM w4 w JOIN m ON m.q = w.q AND m.src = w.cur),
-             |w6 AS (SELECT w.q, m.nxt AS cur, w.mv + (CASE WHEN m.nxt <> w.cur THEN 1 ELSE 0 END) AS mv FROM w5 w JOIN m ON m.q = w.q AND m.src = w.cur),
-             |w7 AS (SELECT w.q, m.nxt AS cur, w.mv + (CASE WHEN m.nxt <> w.cur THEN 1 ELSE 0 END) AS mv FROM w6 w JOIN m ON m.q = w.q AND m.src = w.cur),
-             |w8 AS (SELECT w.q, m.nxt AS cur, w.mv + (CASE WHEN m.nxt <> w.cur THEN 1 ELSE 0 END) AS mv FROM w7 w JOIN m ON m.q = w.q AND m.src = w.cur)
-             |SELECT w8.q AS q, w8.cur AS found, qd.cos AS cos6,
-             |  CAST(w8.mv AS INT) AS n_moves
-             |FROM w8 JOIN qd ON qd.q = w8.q AND qd.node = w8.cur
-             |ORDER BY w8.q""".stripMargin),
-      (s, dir) => hnswGreedy(s, dir, upperHops = 4, lowerHops = 8)),
+             |adj AS (
+             |  SELECT qd.q, e.src, e.dst, qd.cos
+             |  FROM e JOIN qd ON e.dst = qd.node),
+             |u0 AS (SELECT q, CAST(0 AS BIGINT) AS cur FROM qs),
+             |u1 AS (SELECT w.q, m1.nxt AS cur FROM u0 w JOIN m1 ON m1.q = w.q AND m1.src = w.cur),
+             |u2 AS (SELECT w.q, m1.nxt AS cur FROM u1 w JOIN m1 ON m1.q = w.q AND m1.src = w.cur),
+             |u3 AS (SELECT w.q, m1.nxt AS cur FROM u2 w JOIN m1 ON m1.q = w.q AND m1.src = w.cur),
+             |u4 AS (SELECT w.q, m1.nxt AS cur FROM u3 w JOIN m1 ON m1.q = w.q AND m1.src = w.cur),
+             |b1 AS (SELECT q, dst AS cur, cos FROM (SELECT c.q, c.dst, c.cos, row_number() OVER (PARTITION BY c.q ORDER BY c.cos DESC, c.dst) AS rn FROM (SELECT DISTINCT a.q, a.dst, a.cos FROM u4 b JOIN adj a ON a.q = b.q AND a.src = b.cur) c) t WHERE rn <= 4),
+             |b2 AS (SELECT q, dst AS cur, cos FROM (SELECT c.q, c.dst, c.cos, row_number() OVER (PARTITION BY c.q ORDER BY c.cos DESC, c.dst) AS rn FROM (SELECT DISTINCT a.q, a.dst, a.cos FROM b1 b JOIN adj a ON a.q = b.q AND a.src = b.cur) c) t WHERE rn <= 4),
+             |b3 AS (SELECT q, dst AS cur, cos FROM (SELECT c.q, c.dst, c.cos, row_number() OVER (PARTITION BY c.q ORDER BY c.cos DESC, c.dst) AS rn FROM (SELECT DISTINCT a.q, a.dst, a.cos FROM b2 b JOIN adj a ON a.q = b.q AND a.src = b.cur) c) t WHERE rn <= 4),
+             |b4 AS (SELECT q, dst AS cur, cos FROM (SELECT c.q, c.dst, c.cos, row_number() OVER (PARTITION BY c.q ORDER BY c.cos DESC, c.dst) AS rn FROM (SELECT DISTINCT a.q, a.dst, a.cos FROM b3 b JOIN adj a ON a.q = b.q AND a.src = b.cur) c) t WHERE rn <= 4),
+             |b5 AS (SELECT q, dst AS cur, cos FROM (SELECT c.q, c.dst, c.cos, row_number() OVER (PARTITION BY c.q ORDER BY c.cos DESC, c.dst) AS rn FROM (SELECT DISTINCT a.q, a.dst, a.cos FROM b4 b JOIN adj a ON a.q = b.q AND a.src = b.cur) c) t WHERE rn <= 4),
+             |b6 AS (SELECT q, dst AS cur, cos FROM (SELECT c.q, c.dst, c.cos, row_number() OVER (PARTITION BY c.q ORDER BY c.cos DESC, c.dst) AS rn FROM (SELECT DISTINCT a.q, a.dst, a.cos FROM b5 b JOIN adj a ON a.q = b.q AND a.src = b.cur) c) t WHERE rn <= 4),
+             |b7 AS (SELECT q, dst AS cur, cos FROM (SELECT c.q, c.dst, c.cos, row_number() OVER (PARTITION BY c.q ORDER BY c.cos DESC, c.dst) AS rn FROM (SELECT DISTINCT a.q, a.dst, a.cos FROM b6 b JOIN adj a ON a.q = b.q AND a.src = b.cur) c) t WHERE rn <= 4),
+             |b8 AS (SELECT q, dst AS cur, cos FROM (SELECT c.q, c.dst, c.cos, row_number() OVER (PARTITION BY c.q ORDER BY c.cos DESC, c.dst) AS rn FROM (SELECT DISTINCT a.q, a.dst, a.cos FROM b7 b JOIN adj a ON a.q = b.q AND a.src = b.cur) c) t WHERE rn <= 4)
+             |SELECT t.q, t.cur AS found, t.cos AS cos6, g.worst6, g.n_beam
+             |FROM (SELECT q, cur, cos, row_number() OVER (
+             |        PARTITION BY q ORDER BY cos DESC, cur) AS rn FROM b8) t
+             |JOIN (SELECT q, MIN(cos) AS worst6, CAST(COUNT(*) AS INT) AS n_beam
+             |      FROM b8 GROUP BY q) g ON g.q = t.q
+             |WHERE t.rn = 1 ORDER BY t.q""".stripMargin),
+      (s, dir) => hnswGreedy(s, dir, upperHops = 4, lowerHops = 8, beamWidth = 4)),
 
     // Perceptual hash (pHash) fingerprint of the deterministic fake-decoded
     // "image" of each document — the dedup fingerprint family's multimodal

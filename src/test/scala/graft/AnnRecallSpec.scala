@@ -69,9 +69,9 @@ class AnnRecallSpec extends SparkSpec {
     * quality functional — what each greedy hop maximizes), plus its top-1
     * recall vs the exact argmax over the node slice.
     */
-  private def walkQuality(upper: Int, lower: Int): (Double, Double) = {
+  private def walkQuality(upper: Int, lower: Int, beam: Int = 1): (Double, Double) = {
     import graft.queries.SimOps.{dot, norm}
-    val walk = graft.queries.SimOps.hnswGreedy(spark, sf, upper, lower)
+    val walk = graft.queries.SimOps.hnswGreedy(spark, sf, upper, lower, beam)
       .select(col("q"), col("found"), col("cos6"))
     val e = Tables(spark, sf, "embeddings")
     val qs = e.filter(col("vec_id") >= 200 && col("vec_id") < 205)
@@ -105,5 +105,19 @@ class AnnRecallSpec extends SparkSpec {
     info(f"single-layer (12): top-1 recall $r1%.2f, mean cos $c1%.6f")
     assert(r2 >= r1, s"recall two-layer=$r2 < single-layer=$r1")
     assert(c2 >= c1, s"mean cos two-layer=$c2 < single-layer=$c1")
+  }
+
+  // VERDICT r16 item 4: the width-4 beam (the registry's configuration)
+  // must dominate the width-1 greedy walk at the SAME 4+8 hop budget on
+  // both the walk functional and top-1 recall, and clear the 0.6 recall
+  // floor the greedy walk could not (greedy measured 0.40 in r16).
+  test("beam-4 walk >= greedy walk at an equal 4+8-hop budget, recall@1 >= 0.6") {
+    val (rb, cb) = walkQuality(upper = 4, lower = 8, beam = 4)
+    val (rg, cg) = walkQuality(upper = 4, lower = 8, beam = 1)
+    info(f"beam 4 (4+8): top-1 recall $rb%.2f, mean cos $cb%.6f")
+    info(f"greedy (4+8): top-1 recall $rg%.2f, mean cos $cg%.6f")
+    assert(rb >= rg, s"recall beam=$rb < greedy=$rg")
+    assert(cb >= cg, s"mean cos beam=$cb < greedy=$cg")
+    assert(rb >= 0.6, s"beam recall@1 $rb below the 0.6 target")
   }
 }
