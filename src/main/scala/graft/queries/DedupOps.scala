@@ -433,17 +433,23 @@ object DedupOps extends QueryPack {
           .distinct()
         val sz = g.groupBy("doc_id").agg(cnt.as("sz"))
         val jac = col("i").cast("double") / (col("sa") + col("sb") - col("i"))
-        val e = g.as("x")
-          .join(g.as("y"),
-            col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-          .agg(cnt.as("i"))
-          .join(sz.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
-          .join(sz.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
-          .orderBy(jac.desc, col("da"), col("db"))
-          .limit(30)
-          .select(col("da"), col("db"))
-          .cache()
+        // The candidate near-dup edge list is the artifact the banding /
+        // candidate-generation stage of a production dedup emits ONCE; the
+        // CC iteration below is the per-run query. Staged per
+        // (session, dir) — checkpointed, so the per-round loop optimizes a
+        // constant-size tree (the old .cache() kept full lineage).
+        val e = Staged(s, dir, "ccl_edges") {
+          g.as("x")
+            .join(g.as("y"),
+              col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+            .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+            .agg(cnt.as("i"))
+            .join(sz.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
+            .join(sz.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
+            .orderBy(jac.desc, col("da"), col("db"))
+            .limit(30)
+            .select(col("da"), col("db"))
+        }
         // localCheckpoint (not cache) each round: caching keeps the full
         // logical lineage, which triples per round here (labels referenced
         // three times) and blows up the analyzer; checkpointing truncates
@@ -453,7 +459,7 @@ object DedupOps extends QueryPack {
         // rows per partition (capped at the session shuffle parallelism).
         // 30 demo edges -> 1 partition (no 32-task scheduling overhead);
         // a 100M-edge real near-dup list -> full parallelism.
-        val edgeCount = e.count() // also materializes the cached edge list
+        val edgeCount = e.count() // scans the staged checkpoint blocks
         val labelParts = math.max(1L, math.min(
           s.sessionState.conf.numShufflePartitions.toLong,
           2L * edgeCount / 100000L + 1L)).toInt

