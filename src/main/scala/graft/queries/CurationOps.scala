@@ -754,14 +754,18 @@ object CurationOps extends QueryPack {
         val tok = Tables(s, dir, "documents")
           .select(col("doc_id"),
             explode(split(lower(col("text")), " ")).as("tok"))
-        val ref = tok.filter(col("doc_id") % 10 === 0).select("tok")
+        val ref = Staged(s, dir, "pf_ref")(
+          tok.filter(col("doc_id") % 10 === 0).select("tok"))
         val nv = ref.agg(cnt.as("n"))
         // Mid-query top-k, not presentation: orderBy+limit fuses into
         // TakeOrderedAndProject (per-partition partial top-k, merge of k
         // rows) — keep the true orderBy rather than oracleOrder's
-        // single-partition funnel.
-        val vocab = ref.groupBy("tok").agg(cnt.as("c"))
-          .orderBy(col("c").desc, col("tok")).limit(vocabTop)
+        // single-partition funnel. Vocab is the gate's trained model —
+        // staged once per (session, dir) like the other smoothing models.
+        val vocab = Staged(s, dir, "pf_vocab") {
+          ref.groupBy("tok").agg(cnt.as("c"))
+            .orderBy(col("c").desc, col("tok")).limit(vocabTop)
+        }
         val vv = vocab.agg(cnt.as("v"))
         val consts = nv.crossJoin(vv) // one (n, v) row
         val denom = (col("n") + col("v") + 1).cast("double")
@@ -859,19 +863,27 @@ object CurationOps extends QueryPack {
               |         CASE WHEN i > 1 THEN ts[i-2] END AS prev))"""
               .stripMargin)).as("p"))
           .select(col("doc_id"), col("p.tok").as("tok"), col("p.prev").as("prev"))
-        val ref = tok.filter(col("doc_id") % 10 === 0)
+        // Same staged-model discipline as the Kneser-Ney gate below: the
+        // reference slice is the SAME artifact (shared "kn_ref" key); the
+        // counted vocab and unfiltered bigram counts are this gate's own.
+        val ref = Staged(s, dir, "kn_ref")(
+          tok.filter(col("doc_id") % 10 === 0))
         val nv = ref.agg(cnt.as("n"))
-        val vocab = ref.groupBy("tok").agg(cnt.as("c"))
-          .orderBy(col("c").desc, col("tok")).limit(vocabTop)
+        val vocab = Staged(s, dir, "pbf_vocab") {
+          ref.groupBy("tok").agg(cnt.as("c"))
+            .orderBy(col("c").desc, col("tok")).limit(vocabTop)
+        }
         val vv = vocab.agg(cnt.as("v"))
         val consts = nv.crossJoin(vv)
         val denom = (col("n") + col("v") + 1).cast("double")
         val uni = vocab.crossJoin(broadcast(consts))
           .select(col("tok").as("utok"), ((col("c") + 1) / denom).as("pu"))
         val oovp = consts.select((lit(1.0) / denom).as("oov_pu"))
-        val big = ref.filter(col("prev").isNotNull)
-          .groupBy(col("prev").as("a"), col("tok").as("b"))
-          .agg(cnt.as("cab"))
+        val big = Staged(s, dir, "pbf_big") {
+          ref.filter(col("prev").isNotNull)
+            .groupBy(col("prev").as("a"), col("tok").as("b"))
+            .agg(cnt.as("cab"))
+        }
         val pre = big.groupBy("a").agg(sum("cab").cast("long").as("na"))
         val puni = coalesce(col("pu"), col("oov_pu"))
         val pInterp = lit(0.7) *
