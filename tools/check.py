@@ -11,7 +11,7 @@ dependency; the real gate is driver-owned.
 """
 import json
 import math
-import sys
+import os, sys
 
 import duckdb
 
@@ -96,8 +96,12 @@ def main():
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # Driver testdata is a single file per table; ScaleGen dirs hold
+        # part files — glob the dir form so scale-probe dirs work too.
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
