@@ -346,9 +346,14 @@ class Round15OpsSpec extends SparkSpec {
     assert(got.size == cells.length)
   }
 
-  test("greedy graph-walk ANN matches a driver-side greedy ascent") {
+  test("beam graph-walk ANN matches a driver-side beam descent") {
+    // Round 17: the lower layer carries a width-4 bounded beam (each hop
+    // expands every beam member's out-edges, self included, dedups and
+    // keeps the top-4 per query by (cos DESC, node)); the row emits
+    // (q, found, cos6, worst6, n_beam).
     val got = Registry.byId("sim_ann_graph_greedy").run(spark, sf).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(3))).toMap
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4))).toMap
     val all = embRows().map { case (id, _, x) => id -> x }.toMap
     def cos6(a: Array[Double], b: Array[Double]): Double = {
       val ab = a.zip(b).map { case (u, v) => u * v }.sum
@@ -369,18 +374,23 @@ class Round15OpsSpec extends SparkSpec {
         .map(u => (-cos6(all(v), all(u)), u)).sorted.take(2).map(_._2)
     }.toMap
     (200L until 205L).foreach { q =>
-      var cur = 0L; var mv = 0
-      def hop(neigh: Map[Long, Seq[Long]]): Unit = {
-        val cands = cur +: neigh(cur)
-        val nxt = cands.map(u => (-cos6(all(q), all(u)), u)).min._2
-        if (nxt != cur) mv += 1
-        cur = nxt
+      var cur = 0L
+      for (_ <- 1 to 4) {
+        val cands = cur +: upperEdges(cur)
+        cur = cands.map(u => (-cos6(all(q), all(u)), u)).min._2
       }
-      for (_ <- 1 to 4) hop(upperEdges)
-      for (_ <- 1 to 8) hop(edges)
-      val (found, moves) = got(q)
-      assert(found == cur, s"query $q found $found want $cur")
-      assert(moves == mv, s"query $q moves")
+      var beam = Seq(cur)
+      for (_ <- 1 to 8) {
+        val expanded = beam.flatMap(b => b +: edges(b)).distinct
+        beam = expanded.map(u => (-cos6(all(q), all(u)), u))
+          .sorted.take(4).map(_._2)
+      }
+      val scored = beam.map(u => (-cos6(all(q), all(u)), u)).sorted
+      val (found, c6, worst6, nBeam) = got(q)
+      assert(found == scored.head._2, s"query $q found $found want ${scored.head._2}")
+      assert(c6 == -scored.head._1, s"query $q cos6")
+      assert(worst6 == -scored.map(_._1).max, s"query $q worst6")
+      assert(nBeam == beam.size, s"query $q n_beam")
     }
   }
 
