@@ -1044,10 +1044,18 @@ object Aggregations extends QueryPack {
         val reps = ev
           .select(col("event_id"), col("value"),
             explode(sequence(lit(0), lit(31))).as("rep"))
-          .select(col("rep"), col("value"), w.as("w"))
+          .select(col("rep"),
+            // value is exactly 6dp (driver data contract, probed: the
+            // DECIMAL(18,6) cast is an identity on every row), so the
+            // per-rep exact sum runs on the split-long codegen path
+            // (Fns.lsumUnits) over integer 1e-6 units instead of the
+            // object-based DecSum aggregate — identical value (w·units is
+            // the exact quantity the oracle's DECIMAL(20,6) cast recovers;
+            // the recombine is correctly rounded once), ~2x faster here.
+            (w * expr("CAST(rint(value * 1000000) AS LONG)")).as("wu"),
+            w.as("w"))
           .groupBy("rep")
-          .agg(dsumP(col("w") * col("value"), 18, 6).as("sv"),
-            sum("w").as("sw"))
+          .agg(lsumUnits(col("wu"), 6).as("sv"), sum("w").as("sw"))
           .select(col("rep"), (col("sv") / col("sw")).as("mean_b"))
           .withColumn("rn", row_number().over(Window.orderBy("mean_b", "rep")))
         val ci = reps.agg(
