@@ -726,21 +726,28 @@ object Aggregations extends QueryPack {
         // weight over RAW rows is identical to the grouped form: one
         // flag-partitioned sort, no aggregate. Decimal window sums keep the
         // result order-independent and bit-equal to the oracle.
-        val byVRange = Window.partitionBy("flag").orderBy("v")
+        // Long fast path for the window itself (Fns.cents policy): the
+        // sort key is exact cents (same order as the 2-dp decimal) and
+        // the weights are integral quantities, so the running and total
+        // sums are plain codegen long window aggregates — every quantity
+        // is an exact integer, so the cumulative/total comparisons and
+        // the closing /100.0 double conversions are value-identical to
+        // the oracle's decimal dialect at any realizable row count.
+        val byVRange = Window.partitionBy("flag").orderBy("vc")
           .rangeBetween(Window.unboundedPreceding, Window.currentRow)
         val whole = Window.partitionBy("flag")
         Tables(s, dir, "lineitem")
           .select(
             col("l_returnflag").as("flag"),
-            round(col("l_extendedprice"), 2).cast(DecimalType(14, 2)).as("v"),
-            round(col("l_quantity"), 2).cast(DecimalType(12, 2)).as("q"))
-          .select(col("flag"), col("v"),
+            cents(col("l_extendedprice")).as("vc"),
+            col("l_quantity").cast("long").as("q"))
+          .select(col("flag"), col("vc"),
             sum("q").over(byVRange).as("cw"),
             sum("q").over(whole).as("tot"))
           .filter(col("cw") * 2 >= col("tot"))
           .groupBy("flag")
           .agg(
-            min("v").cast("double").as("wmedian"),
+            (min("vc").cast("double") / 100.0).as("wmedian"),
             min("tot").cast("double").as("total_qty"))
           .oracleOrder("flag")
       }),
