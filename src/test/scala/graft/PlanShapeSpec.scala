@@ -416,16 +416,18 @@ class PlanShapeSpec extends SparkSpec {
     assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
   }
 
-  test("bootstrap CI terminal plan: exploded replicas, typed fold, ci broadcast back") {
+  test("bootstrap CI terminal plan: exploded replicas, codegen long fold, ci broadcast back") {
     // The 32 replicas explode into rows inside the scan stage (a codegen
     // loop feeding partial aggregation — transient rows, no extra I/O) and
-    // fold through the typed DecSum ObjectHashAggregate into 32 groups; the
-    // two order statistics broadcast back onto the one-row base aggregate.
-    // No row-explosion shuffle: the only hash exchange moves 32·partitions
-    // partial rows.
+    // fold through plain codegen long sums (the split-long lsumUnits
+    // partials — round 17; the typed DecSum ObjectHashAggregate was the
+    // pre-codegen form) into 32 groups; the two order statistics broadcast
+    // back onto the one-row base aggregate. No row-explosion shuffle: the
+    // only hash exchange moves 32·partitions partial rows.
     val p = plan("agg_bootstrap_ci")
     assert(p.contains("Generate explode"), p)
-    assert(p.contains("ObjectHashAggregate") && p.contains("graft_dsum"), p)
+    assert(p.contains("HashAggregate") &&
+      p.contains("sum(shiftright(wu") && !p.contains("ObjectHashAggregate"), p)
     assert("Exchange hashpartitioning\\(rep".r.findAllIn(p).size == 1, p)
     assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
