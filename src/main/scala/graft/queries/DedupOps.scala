@@ -268,6 +268,76 @@ object DedupOps extends QueryPack {
           .limit(20)
       }),
 
+    // Cross-document EXACT-substring dedup via sorted-shingle RUNS — the
+    // exact sibling of `dedup_gram_containment`'s approximate containment
+    // and the pairwise completion of `dedup_repeated_spans` (ExactSubstr,
+    // Lee et al. 2021): the length of the longest VERBATIM substring two
+    // documents share, found relationally. A shared substring of C chars
+    // is exactly a run of C-19 consecutive positionally-aligned 20-gram
+    // matches, so: positioned shingles (posexplode over the one-pass
+    // graft_grams generator — the relational stand-in for a suffix-array
+    // sort), exact-string equi-join (the "sorted shingle run": grams
+    // colliding across docs land in one shuffle bucket, the distributed
+    // twin of adjacent suffix-array entries), then gaps-and-islands per
+    // (pair, position-offset): within a fixed diagonal del = ia - jb the
+    // matched positions ia are unique, so ia - row_number() is constant
+    // exactly on consecutive runs. max(run)+19 = longest shared substring
+    // in CHARS; n_runs counts distinct shared spans. All-integer (tie-free
+    // ordering by (chars DESC, da, db)). Scale shape: nothing but
+    // (gram, doc, pos) tuples shuffle — the gram key is the partitioner,
+    // exactly how a production suffix-shingle index shards; the slice cap
+    // is the per-LSH-cluster candidate discipline every pairwise dedup row
+    // uses, and the diagonal windows run on bounded per-pair match sets.
+    Q(
+      "dedup_exact_substring_runs",
+      Some("""WITH d AS (SELECT doc_id, lower(text) AS tx FROM documents WHERE doc_id < 150),
+             |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, substr(tx, CAST(i AS INT), 20) AS gram
+             |      FROM d, unnest(range(1, len(tx)-18)) r(i) WHERE len(tx) >= 20),
+             |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS ia, a.pos - b.pos AS del
+             |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+             |r AS (SELECT da, db, del, ia,
+             |        ia - row_number() OVER (PARTITION BY da, db, del ORDER BY ia) AS grp
+             |      FROM m),
+             |runs AS (SELECT da, db, del, grp, CAST(COUNT(*) + 19 AS BIGINT) AS run_chars
+             |         FROM r GROUP BY 1, 2, 3, 4),
+             |pairs AS (SELECT da, db, MAX(run_chars) AS max_run_chars,
+             |            CAST(COUNT(*) AS BIGINT) AS n_runs
+             |          FROM runs GROUP BY 1, 2)
+             |SELECT da, db, max_run_chars, n_runs FROM pairs
+             |ORDER BY max_run_chars DESC, da, db LIMIT 30""".stripMargin),
+      (s, dir) => {
+        graft.functions.Native.register(s)
+        val d = Tables(s, dir, "documents")
+          .filter(col("doc_id") < 150)
+          .select(col("doc_id"), lower(col("text")).as("tx"))
+          .filter(length(col("tx")) >= 20)
+        // posexplode's 0-based pos vs the oracle's 1-based i: the diagonal
+        // del and the island key ia - row_number() are both invariant to a
+        // per-doc constant shift, so no +1 correction is needed.
+        val g = d
+          .select(col("doc_id"),
+            posexplode(call_function("graft_grams", col("tx"), lit(20))))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            col("col").as("gram"))
+        val m = g
+          .select(col("doc_id").as("da"), col("pos").as("ia"), col("gram"))
+          .join(
+            g.select(col("doc_id").as("db"), col("pos").as("jb"),
+              col("gram").as("gram_b")),
+            col("gram") === col("gram_b") && col("da") < col("db"))
+          .select(col("da"), col("db"), col("ia"),
+            (col("ia") - col("jb")).as("del"))
+        val wIsl = Window.partitionBy("da", "db", "del").orderBy("ia")
+        val runs = m
+          .withColumn("grp", col("ia") - row_number().over(wIsl))
+          .groupBy("da", "db", "del", "grp")
+          .agg((cnt + 19L).as("run_chars"))
+        runs.groupBy("da", "db")
+          .agg(max("run_chars").as("max_run_chars"), cnt.as("n_runs"))
+          .orderBy(col("max_run_chars").desc, col("da"), col("db"))
+          .limit(30)
+      }),
+
     // End-to-end curation: cluster by content fingerprint, KEEP the
     // highest-quality doc per cluster (quality = the text_quality_score
     // formula), drop the rest — the actual corpus-dedup step a training
