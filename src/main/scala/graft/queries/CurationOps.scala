@@ -853,21 +853,12 @@ object CurationOps extends QueryPack {
               |  (-CAST(s AS DOUBLE) / n_tok) <= $bigramCeThreshold AS kept
               |FROM sc ORDER BY doc_id""".stripMargin),
       (s, dir) => {
-        // Map-side (tok, prev) pair stream — transform-to-struct BEFORE the
-        // explode so the token array is never duplicated per position.
-        val tok = Tables(s, dir, "documents")
-          .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
-          .select(col("doc_id"), explode(expr(
-            """transform(sequence(1, size(ts)), i ->
-              |  struct(ts[i-1] AS tok,
-              |         CASE WHEN i > 1 THEN ts[i-2] END AS prev))"""
-              .stripMargin)).as("p"))
-          .select(col("doc_id"), col("p.tok").as("tok"), col("p.prev").as("prev"))
+        val tok = tokPrev(s, dir)
         // Same staged-model discipline as the Kneser-Ney gate below: the
-        // reference slice is the SAME artifact (shared "kn_ref" key); the
-        // counted vocab and unfiltered bigram counts are this gate's own.
-        val ref = Staged(s, dir, "kn_ref")(
-          tok.filter(col("doc_id") % 10 === 0))
+        // reference slice is the SAME artifact (shared "kn_ref" key, one
+        // hoisted build); the counted vocab and unfiltered bigram counts
+        // are this gate's own.
+        val ref = knRef(s, dir)
         val nv = ref.agg(cnt.as("n"))
         val vocab = Staged(s, dir, "pbf_vocab") {
           ref.groupBy("tok").agg(cnt.as("c"))
@@ -973,14 +964,7 @@ object CurationOps extends QueryPack {
               |  (-CAST(s AS DOUBLE) / n_tok) <= $knCeThreshold AS kept
               |FROM sc ORDER BY doc_id""".stripMargin),
       (s, dir) => {
-        val tok = Tables(s, dir, "documents")
-          .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
-          .select(col("doc_id"), explode(expr(
-            """transform(sequence(1, size(ts)), i ->
-              |  struct(ts[i-1] AS tok,
-              |         CASE WHEN i > 1 THEN ts[i-2] END AS prev))"""
-              .stripMargin)).as("p"))
-          .select(col("doc_id"), col("p.tok").as("tok"), col("p.prev").as("prev"))
+        val tok = tokPrev(s, dir)
         // Model tables MATERIALIZE once per (session, dir) via [[Staged]]
         // (a few hundred rows each): vocab is probed twice and `big` fans
         // out to three derived tables — without the checkpoint each
@@ -989,8 +973,7 @@ object CurationOps extends QueryPack {
         // it). They are pure functions of the reference corpus slice — the
         // smoothing model a production perplexity gate trains once and
         // scores with thereafter — so later invocations read the staging.
-        val ref = Staged(s, dir, "kn_ref")(
-          tok.filter(col("doc_id") % 10 === 0))
+        val ref = knRef(s, dir)
         val nv = ref.agg(cnt.as("n"))
         val vocab = Staged(s, dir, "kn_vocab") {
           ref.groupBy("tok").agg(cnt.as("c"))
@@ -1358,4 +1341,31 @@ object CurationOps extends QueryPack {
 
   private def stops = TextAnalysis.stops
   private def stopsSql = TextAnalysis.stopsSql
+
+  /** Map-side (doc_id, tok, prev) token-bigram stream over documents —
+    * transform-to-struct BEFORE the explode so the token array is never
+    * duplicated per position. Shared by the perplexity gates.
+    */
+  private def tokPrev(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ts)), i ->
+          |  struct(ts[i-1] AS tok,
+          |         CASE WHEN i > 1 THEN ts[i-2] END AS prev))"""
+          .stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.tok").as("tok"), col("p.prev").as("prev"))
+
+  /** The ONE build of the staged "kn_ref" reference slice (ADVICE r17) —
+    * the held-in 1-in-10 doc sample's (tok, prev) stream, shared by the
+    * Kneser-Ney and bigram-backoff perplexity gates. Exactly one build
+    * expression per staged key: inline copies could silently drift apart
+    * under an edit, with execution-order-dependent results.
+    */
+  private def knRef(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Staged(s, dir, "kn_ref")(tokPrev(s, dir).filter(col("doc_id") % 10 === 0))
 }

@@ -78,6 +78,34 @@ object GraphOps extends QueryPack {
         })
     }
 
+  /** The ONE build of the staged "knn_und_200" artifact (ADVICE r17): the
+    * symmetrized exact top-3 kNN edge set over the 200-node embedding
+    * slice, shared by `graph_knn_triangles` and `graph_kcore_prune`.
+    * Hoisted so the staged table has exactly one definition per key — two
+    * inline copies of the build expression could silently drift apart
+    * under an edit, with execution-order-dependent results.
+    */
+  private def knnUnd200(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Native.register(s)
+    val e = Tables(s, dir, "embeddings").filter(col("vec_id") < 200)
+    val a = e.select(col("vec_id").as("qa"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("qb"), col("embedding").as("eb"))
+    val w = Window.partitionBy("qa").orderBy(col("cos").desc, col("qb"))
+    Staged(s, dir, "knn_und_200") {
+      broadcast(a)
+        .crossJoin(b)
+        .filter(col("qa") =!= col("qb"))
+        .select(col("qa"), col("qb"),
+          round(SimOps.ncos(col("ea"), col("eb")), 6).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(
+          least(col("qa"), col("qb")).as("a"),
+          greatest(col("qa"), col("qb")).as("b"))
+        .distinct()
+    }
+  }
+
   /** The shared edge derivation as SQL, for the DuckDB oracles. */
   private val edgesSql =
     """eds AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
@@ -256,31 +284,13 @@ object GraphOps extends QueryPack {
              |FROM q LEFT JOIN pc ON pc.node = q.vec_id
              |ORDER BY n_tri DESC, node LIMIT 25""".stripMargin),
       (s, dir) => {
-        graft.functions.Native.register(s)
         val e = Tables(s, dir, "embeddings").filter(col("vec_id") < 200)
-        val a = e.select(col("vec_id").as("qa"), col("embedding").as("ea"))
-        val b = e.select(col("vec_id").as("qb"), col("embedding").as("eb"))
-        val w = Window.partitionBy("qa").orderBy(col("cos").desc, col("qb"))
-        val knn = broadcast(a)
-          .crossJoin(b)
-          .filter(col("qa") =!= col("qb"))
-          .select(
-            col("qa"), col("qb"),
-            round(SimOps.ncos(col("ea"), col("eb")), 6).as("cos"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
         // The symmetrized kNN edge set is <= 3|V| rows by construction:
         // materialize it once (each triangle join + the participation pass
         // would otherwise re-run the cosine block) and broadcast it into
         // the enumeration joins — wedge extension and closure check are
         // then map-side; nothing shuffles after the kNN window.
-        val und = Staged(s, dir, "knn_und_200") {
-          knn
-            .select(
-              least(col("qa"), col("qb")).as("a"),
-              greatest(col("qa"), col("qb")).as("b"))
-            .distinct()
-        }
+        val und = knnUnd200(s, dir)
         val tri = und
           .join(broadcast(und.select(col("a").as("b"), col("b").as("c"))), "b")
           .join(
@@ -528,24 +538,7 @@ object GraphOps extends QueryPack {
              |       jaccard, CAST(rn AS INT) AS rn
              |FROM rk WHERE rn <= 15 ORDER BY rn""".stripMargin),
       (s, dir) => {
-        graft.functions.Native.register(s)
-        val e = Tables(s, dir, "embeddings").filter(col("vec_id") < 200)
-        val a = e.select(col("vec_id").as("qa"), col("embedding").as("ea"))
-        val b = e.select(col("vec_id").as("qb"), col("embedding").as("eb"))
-        val w = Window.partitionBy("qa").orderBy(col("cos").desc, col("qb"))
-        val und = Staged(s, dir, "knn_und_200") {
-          broadcast(a)
-            .crossJoin(b)
-            .filter(col("qa") =!= col("qb"))
-            .select(col("qa"), col("qb"),
-              round(SimOps.ncos(col("ea"), col("eb")), 6).as("cos"))
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") <= 3)
-            .select(
-              least(col("qa"), col("qb")).as("a"),
-              greatest(col("qa"), col("qb")).as("b"))
-            .distinct()
-        }
+        val und = knnUnd200(s, dir)
         val dirE = und.select(col("a").as("u"), col("b").as("v"))
           .unionAll(und.select(col("b").as("u"), col("a").as("v")))
         val deg = dirE.groupBy("u").agg(cnt.as("deg"))

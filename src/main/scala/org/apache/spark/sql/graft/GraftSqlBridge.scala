@@ -20,4 +20,11 @@ import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  /** Stable per-session unique id (`classic.SparkSession.sessionUUID`,
+    * `private[sql]`) — the collision-free cache key the session-keyed
+    * staging caches use instead of `identityHashCode` (ADVICE r17).
+    */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[ClassicSession].sessionUUID
 }
