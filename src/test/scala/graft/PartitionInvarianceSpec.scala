@@ -57,4 +57,17 @@ class PartitionInvarianceSpec extends SparkSpec {
   test("streaming emitted set (stream_stream_left_outer) is invariant to state-store parallelism") {
     sweep("stream_stream_left_outer", key = "graft.stream.partitions")
   }
+
+  // VERDICT r17 item 8 — the round-17 dialects join the sweep: the
+  // cross-doc exact-substring dedup's gaps-and-islands window over
+  // (pair, diagonal) runs, and the beam walk's per-query top-k frontier
+  // (broadcast hops over the staged edges + ONE repartition(q) exchange,
+  // whose partition count is exactly what this sweep varies).
+  test("exact-substring diagonal islands (dedup_exact_substring_runs) is partition-invariant") {
+    sweep("dedup_exact_substring_runs")
+  }
+
+  test("beam-walk frontier (sim_ann_graph_greedy) is partition-invariant") {
+    sweep("sim_ann_graph_greedy")
+  }
 }

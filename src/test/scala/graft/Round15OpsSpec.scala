@@ -363,8 +363,27 @@ class Round15OpsSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
     val nodes = all.keys.filter(_ < 200).toSeq.sorted
+    // Layer 0 (round 18): the build is candidate-BOUNDED — multiprobe
+    // sign-LSH (8 tables x 5 planes; probe side also scans the 5 buckets
+    // one bit-flip away) proposes pairs, exact cosine re-ranks, top-4 per
+    // src survives. The twin mirrors the same three stages sequentially.
+    val planes = graft.queries.SimOps.Planes
+    def planeDot(x: Array[Double], i: Int): Double =
+      x.zip(planes(i)).map { case (a, w) => a * w.toDouble }.sum
+    def bucket(x: Array[Double], t: Int): Int =
+      (0 until 5).map(i => if (planeDot(x, 5 * t + i) > 0) 1 << i else 0).sum
+    val cells = nodes
+      .flatMap(v => (0 until 8).map(t => ((t, bucket(all(v), t)), v)))
+      .groupMap(_._1)(_._2)
+    val cand = nodes.map { v =>
+      v -> (0 until 8).flatMap { t =>
+        val b = bucket(all(v), t)
+        (b +: (0 until 5).map(i => b ^ (1 << i)))
+          .flatMap(p => cells.getOrElse((t, p), Nil))
+      }.distinct.filter(_ != v)
+    }.toMap
     val edges = nodes.map { v =>
-      v -> nodes.filter(_ != v)
+      v -> cand(v)
         .map(u => (-cos6(all(v), all(u)), u)).sorted.take(4).map(_._2)
     }.toMap
     // Upper layer (two-layer walk, round 16): 1-in-8 node sample, top-2.
