@@ -211,5 +211,246 @@ object TextOps extends QueryPack {
           .withColumn("rn", row_number().over(w).cast("int"))
           .select(col("doc_id").cast("long"), col("bm25"), col("rn"))
           .oracleOrder("rn")
+      }),
+
+    // Unigram-LM tokenizer TRAINER (Kudo 2018, the SentencePiece unigram
+    // model; VERDICT r17 item 5) — the second tokenizer-training family
+    // next to BPE: seed a substring vocabulary from the word-frequency
+    // table, run hard-EM (Viterbi E-step, add-1 M-step), PRUNE to the
+    // top-K pieces by expected count, and re-estimate on the pruned
+    // vocabulary. 100 TB shape: the corpus folds ONCE to the
+    // word-frequency table (the same localCheckpoint-pinned artifact the
+    // BPE trainer trains on); everything after is model-table-sized —
+    // the Viterbi DP is a LINEAR chain of 12 position steps over that
+    // table, each step <=4 broadcast joins against the <=66-row vocab,
+    // carrying (score, segmentation) for the last 4 positions as columns
+    // (no backtrack pass, no quadratic lattice). Exactness: counts are
+    // integer sums; piece log-probs are ln of int/int double ratios
+    // ROUND 9dp (the bounded-distinct-inputs policy the logreg trace
+    // uses); DP scores are sums of those identical doubles in identical
+    // order, so argmax ties are bit-ties in BOTH engines and the fixed
+    // longer-piece-first CASE breaks them identically. Oracle: the full
+    // seed→EM→prune→EM chain unrolled as CTEs (TrainOracles discipline),
+    // vocab/count tables MATERIALIZED so the linear DP stays linear.
+    Q(
+      "text_unigram_train",
+      Some(uniTrainSql),
+      (s, dir) => {
+        val wf = Tables(s, dir, "documents")
+          .filter(col("lang") === "en")
+          .select(explode(split(lower(col("text")), " ")).as("wd"))
+          .filter(length(col("wd")).between(2, UniMaxLen) &&
+            col("wd").rlike("^[a-z]+$"))
+          .groupBy("wd").agg(cnt.as("f"))
+          .localCheckpoint()
+        // Seed: every substring of length 1..4, weighted by word freq;
+        // keep all single chars (reachability) + the top-40 multi-char
+        // pieces by (count DESC, piece).
+        val sub = wf
+          .select(col("wd"), col("f"),
+            explode(sequence(lit(1), length(col("wd")))).as("i"))
+          .select(col("wd"), col("f"), col("i"),
+            explode(sequence(lit(1), lit(UniMaxPiece))).as("l"))
+          .filter(col("i") + col("l") <= length(col("wd")) + 1)
+          .select(expr("substring(wd, i, l)").as("piece"), col("f"))
+        val scnt = sub.groupBy("piece").agg(sum("f").cast("long").as("c"))
+          .localCheckpoint()
+        val v0keep = scnt.filter(length(col("piece")) === 1)
+          .unionAll(scnt.filter(length(col("piece")) > 1)
+            .orderBy(col("c").desc, col("piece")).limit(UniSeedM))
+        val v0tot = v0keep.agg(sum("c").cast("long").as("tot"))
+        val v0 = v0keep.crossJoin(broadcast(v0tot))
+          .select(col("piece"),
+            round(log(col("c").cast("double") / col("tot")), 9).as("logp"))
+          .localCheckpoint()
+        // EM round 1 → prune (keep chars + top-24 multi by Viterbi count)
+        // → add-1 re-estimate → EM round 2 on the pruned vocabulary.
+        val cnt1 = uniEmRound(wf, v0).localCheckpoint()
+        val v1keep = scnt.filter(length(col("piece")) === 1)
+          .select(col("piece"))
+          .join(cnt1.withColumnRenamed("piece", "cp").withColumnRenamed("c", "c1"),
+            col("piece") === col("cp"), "left")
+          .select(col("piece"), coalesce(col("c1"), lit(0L)).as("c"))
+          .unionAll(cnt1.filter(length(col("piece")) > 1)
+            .orderBy(col("c").desc, col("piece")).limit(UniPruneK))
+          .localCheckpoint()
+        val v1agg = v1keep.agg(sum("c").cast("long").as("tot"), cnt.as("nv"))
+        val v1 = v1keep.crossJoin(broadcast(v1agg))
+          .select(col("piece"),
+            round(log((col("c") + 1).cast("double") / (col("tot") + col("nv"))), 9)
+              .as("logp"))
+          .localCheckpoint()
+        val cnt2 = uniEmRound(wf, v1)
+        val fagg = cnt2.agg(coalesce(sum("c"), lit(0L)).cast("long").as("tot"))
+          .crossJoin(v1keep.agg(cnt.as("nv")))
+        v1keep.select(col("piece"))
+          .join(cnt2.withColumnRenamed("piece", "cp").withColumnRenamed("c", "c2"),
+            col("piece") === col("cp"), "left")
+          .select(col("piece"), coalesce(col("c2"), lit(0L)).as("n"))
+          .crossJoin(broadcast(fagg))
+          .select(col("piece"), col("n"),
+            round(log((col("n") + 1).cast("double") / (col("tot") + col("nv"))), 6)
+              .as("logp"))
+          .oracleOrder(col("n").desc, col("piece"))
       }))
+
+  /** Unigram-trainer geometry: word length cap, max piece length, seed
+    * multi-piece pool, post-EM keep. The cap is a hard filter on BOTH
+    * engines (the trained word class, like BPE's `^[a-z]{2,}$`).
+    */
+  private[queries] val UniMaxLen = 12
+  private[queries] val UniMaxPiece = 4
+  private[queries] val UniSeedM = 40
+  private[queries] val UniPruneK = 24
+
+  /** One hard-EM (Viterbi) E-step: segment every word of `wf` under
+    * `vocab` (piece, logp) and return per-piece counts weighted by word
+    * frequency. The DP is a linear chain over positions 1..[[UniMaxLen]]:
+    * the state row carries, for the last [[UniMaxPiece]] prefix ends,
+    * the best score (s0..s3) and its '|'-joined segmentation (g0..g3);
+    * step `i` proposes one candidate per piece length (score[i-l] +
+    * logp(substr(i-l+1, l)), LEFT-joined so absent pieces and finished
+    * words propose nothing), takes the max (ties: longer piece first —
+    * the same fixed CASE order in the SQL oracle), and shifts the
+    * carried columns. Words shorter than `i` freeze (all candidates
+    * NULL). No backtrack pass: the winning segmentation rides the state,
+    * and counts fall out of one split+explode at the end.
+    */
+  private def uniEmRound(
+      wf: org.apache.spark.sql.DataFrame,
+      vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    var st = wf.select(
+      Seq(col("wd"), col("f"), lit(0.0).as("s0"), lit("").as("g0")) ++
+        (1 until UniMaxPiece).flatMap(k => Seq(
+          lit(null).cast("double").as(s"s$k"),
+          lit(null).cast("string").as(s"g$k"))): _*)
+    for (i <- 1 to UniMaxLen) {
+      val ls = 1 to math.min(UniMaxPiece, i)
+      var j = st
+      for (l <- ls)
+        j = j.join(
+          broadcast(vocab.select(col("piece").as(s"p$l"), col("logp").as(s"lp$l"))),
+          expr(s"substring(wd, ${i - l + 1}, $l)") === col(s"p$l"), "left")
+      val stateCols = Seq("wd", "f") ++
+        (0 until UniMaxPiece).flatMap(k => Seq(s"s$k", s"g$k"))
+      // The len(wd) >= i mask is the FREEZE guard: past the word end,
+      // substring() returns a TRUNCATED string that can still match a
+      // real piece (substr('join', 4, 2) = 'n'), so an unmasked candidate
+      // would keep "advancing" a finished word and scramble its
+      // segmentation (caught by the Round18OpsSpec sequential twin).
+      val withC = j.select(stateCols.map(col) ++
+        ls.map(l => when(length(col("wd")) >= i,
+          col(s"s${l - 1}") + col(s"lp$l")).as(s"c$l")): _*)
+      val withM = withC.withColumn("m",
+        if (ls.size > 1) greatest(ls.map(l => col(s"c$l")): _*) else col("c1"))
+      def piece(l: Int) = expr(s"substring(wd, ${i - l + 1}, $l)")
+      val seg = ls.reverse.init
+        .foldLeft(when(col("m").isNull, col("g0")))((acc, l) =>
+          acc.when(col(s"c$l") === col("m"),
+            concat(col(s"g${l - 1}"), lit("|"), piece(l))))
+        .otherwise(concat(col("g0"), lit("|"), piece(1)))
+      st = withM.select(
+        Seq(col("wd"), col("f"),
+          when(col("m").isNull, col("s0")).otherwise(col("m")).as("s0"),
+          seg.as("g0")) ++
+          (1 until UniMaxPiece).flatMap(k => Seq(
+            when(col("m").isNull, col(s"s$k")).otherwise(col(s"s${k - 1}")).as(s"s$k"),
+            when(col("m").isNull, col(s"g$k")).otherwise(col(s"g${k - 1}")).as(s"g$k"))): _*)
+    }
+    st.select(explode(split(col("g0"), "\\|")).as("piece"), col("f"))
+      .filter(col("piece") =!= "")
+      .groupBy("piece").agg(sum("f").cast("long").as("c"))
+  }
+
+  /** The DuckDB oracle: the identical seed→EM→prune→EM chain, DP steps
+    * unrolled (one CTE per position), vocab/count tables MATERIALIZED so
+    * every dp step's 4 vocab probes read a computed table instead of
+    * re-inlining the upstream chain (the CTE-expansion blow-up that an
+    * un-materialized 12-step x 4-way chain would hit).
+    */
+  private def uniTrainSql: String = {
+    def step(r: Int, i: Int, vocab: String): String = {
+      val ls = 1 to math.min(UniMaxPiece, i)
+      val joins = ls.map(l =>
+        s"LEFT JOIN $vocab v$l ON substr(d.wd, ${i - l + 1}, $l) = v$l.piece")
+        .mkString("\n      ")
+      val carry = (0 until UniMaxPiece).map(k => s"d.s$k, d.g$k").mkString(", ")
+      // len(wd) >= i freeze guard — see the uniEmRound comment: an
+      // unmasked candidate past the word end matches TRUNCATED substrings.
+      val cexprs = ls.map(l =>
+        s"CASE WHEN len(d.wd) >= $i THEN d.s${l - 1} + v$l.logp END AS c$l")
+        .mkString(", ")
+      val m = if (ls.size > 1) ls.map(l => s"c$l").mkString("greatest(", ", ", ")")
+              else "c1"
+      val seg = "CASE WHEN m IS NULL THEN g0 " +
+        ls.reverse.init.map(l =>
+          s"WHEN c$l = m THEN g${l - 1} || '|' || substr(wd, ${i - l + 1}, $l)")
+          .mkString(" ") +
+        s" ELSE g0 || '|' || substr(wd, $i, 1) END"
+      val shifts = (1 until UniMaxPiece).map(k =>
+        s"CASE WHEN m IS NULL THEN s$k ELSE s${k - 1} END AS s$k, " +
+          s"CASE WHEN m IS NULL THEN g$k ELSE g${k - 1} END AS g$k")
+        .mkString(",\n    ")
+      s"""st${r}_$i AS (
+         |  SELECT wd, f,
+         |    CASE WHEN m IS NULL THEN s0 ELSE m END AS s0,
+         |    $seg AS g0,
+         |    $shifts
+         |  FROM (
+         |    SELECT q.*, $m AS m FROM (
+         |      SELECT d.wd, d.f, $carry, $cexprs
+         |      FROM st${r}_${i - 1} d
+         |      $joins) q) t)""".stripMargin
+    }
+    def estep(r: Int, vocab: String): Seq[String] = {
+      val init = (Seq("CAST(0 AS DOUBLE) AS s0", "CAST('' AS VARCHAR) AS g0") ++
+        (1 until UniMaxPiece).flatMap(k => Seq(
+          s"CAST(NULL AS DOUBLE) AS s$k", s"CAST(NULL AS VARCHAR) AS g$k")))
+        .mkString(", ")
+      val emits = s"st${r}_$UniMaxLen"
+      Seq(s"st${r}_0 AS (SELECT wd, f, $init FROM wf)") ++
+        (1 to UniMaxLen).map(i => step(r, i, vocab)) :+
+        s"""cnt$r AS MATERIALIZED (SELECT piece, CAST(SUM(f) AS BIGINT) AS c FROM (
+           |  SELECT unnest(string_split(g0, '|')) AS piece, f FROM $emits) e
+           |  WHERE piece <> '' GROUP BY 1)""".stripMargin
+    }
+    val ctes = Seq(
+      """w AS (SELECT unnest(string_split(lower(text), ' ')) AS wd
+        |     FROM documents WHERE lang = 'en')""".stripMargin,
+      s"""wf AS MATERIALIZED (SELECT wd, CAST(COUNT(*) AS BIGINT) AS f FROM w
+         |  WHERE len(wd) BETWEEN 2 AND $UniMaxLen AND regexp_matches(wd, '^[a-z]+$$')
+         |  GROUP BY 1)""".stripMargin,
+      s"""sub AS (SELECT substr(wd, CAST(i AS INT), CAST(l AS INT)) AS piece, f
+         |  FROM wf, unnest(range(1, len(wd)+1)) r(i), unnest(range(1, ${UniMaxPiece + 1})) q(l)
+         |  WHERE CAST(i AS INT) + CAST(l AS INT) <= len(wd) + 1)""".stripMargin,
+      "scnt AS MATERIALIZED (SELECT piece, CAST(SUM(f) AS BIGINT) AS c FROM sub GROUP BY 1)",
+      s"""v0keep AS MATERIALIZED (
+         |  SELECT piece, c FROM scnt WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, c FROM (
+         |    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rn
+         |    FROM scnt WHERE len(piece) > 1) t WHERE rn <= $UniSeedM)""".stripMargin,
+      "v0tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM v0keep)",
+      """v0 AS MATERIALIZED (SELECT piece, ROUND(ln(CAST(c AS DOUBLE) / tot), 9) AS logp
+        |  FROM v0keep, v0tot)""".stripMargin) ++
+      estep(1, "v0") ++ Seq(
+      s"""v1keep AS MATERIALIZED (
+         |  SELECT s.piece, COALESCE(c1.c, 0) AS c FROM v0keep s
+         |    LEFT JOIN cnt1 c1 ON s.piece = c1.piece WHERE len(s.piece) = 1
+         |  UNION ALL
+         |  SELECT piece, c FROM (
+         |    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rn
+         |    FROM cnt1 WHERE len(piece) > 1) t WHERE rn <= $UniPruneK)""".stripMargin,
+      "v1agg AS (SELECT CAST(SUM(c) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS nv FROM v1keep)",
+      """v1 AS MATERIALIZED (SELECT piece, ROUND(ln(CAST(c + 1 AS DOUBLE) / (tot + nv)), 9) AS logp
+        |  FROM v1keep, v1agg)""".stripMargin) ++
+      estep(2, "v1") :+
+      """fagg AS (SELECT (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM cnt2) AS tot,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v1keep) AS nv)""".stripMargin
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT k.piece, CAST(COALESCE(c2.c, 0) AS BIGINT) AS n,
+       |  ROUND(ln(CAST(COALESCE(c2.c, 0) + 1 AS DOUBLE) / (tot + nv)), 6) AS logp
+       |FROM v1keep k LEFT JOIN cnt2 c2 ON k.piece = c2.piece, fagg
+       |ORDER BY n DESC, k.piece""".stripMargin
+  }
 }

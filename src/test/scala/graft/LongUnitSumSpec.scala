@@ -44,6 +44,30 @@ class LongUnitSumSpec extends SparkSpec {
       "old fast path unexpectedly exact — test magnitudes too small")
   }
 
+  test("sf10-magnitude group (1.5e7 rows, ~5e15 units) equals the single-rounded reference where scale-6 double-rounding drops an ulp") {
+    // The BENCH_SCALE 100x probe's oracle-envelope adjudication, made
+    // executable (VERDICT r17 item 4): agg_groupby_hash's sum_disc at
+    // sf10 magnitudes is a ~5e15 cents-product unit sum over ~1.5e7
+    // rows/group. The engine must emit THE correctly-rounded double of
+    // the exact decimal value. An oracle that converts the sum's scale-6
+    // integer representation (units·100 ≈ 5e17, far past 2^53) to double
+    // BEFORE applying the scale — DuckDB's direct DECIMAL→DOUBLE cast —
+    // rounds twice and lands 1 ulp low on this group; exact arithmetic
+    // adjudicates FOR the engine.
+    val n = 15_000_000L
+    val df = spark.range(n).select(
+      (lit(333_336_880L) + when(col("id") < 4, 1L).otherwise(0L)).as("v"))
+    val s = n * 333_336_880L + 4L // 5000053200000004 units
+    val expected = exact(Seq(s), 4)
+    val got = df.agg(lsumUnits(col("v"), 4)).head().getDouble(0)
+    assert(got == expected, s"engine $got != single-rounded reference $expected")
+    // The competing conversion order (scale-6 integer → double → /1e6):
+    // one ulp low here — this magnitude genuinely discriminates.
+    val doubleRounded = (s * 100L).toDouble / 1e6
+    assert(doubleRounded != expected,
+      "double-rounding unexpectedly exact — magnitudes too small")
+  }
+
   test("exact for negative and mixed-sign units (floor-div split)") {
     import spark.implicits._
     val units = Seq(-1L, 0L, 1L, -1048575L, -1048576L, -1048577L,
