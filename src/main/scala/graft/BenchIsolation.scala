@@ -66,7 +66,20 @@ object BenchIsolation {
     "sink_bucket_pruning",
     "sink_bloom_colindex_skipping",
     "sim_ann_graph_greedy",
-    "stream_stream_right_outer")
+    "stream_stream_right_outer",
+    // round 18 (VERDICT r17 item 1): every remaining round-17 `Staged`
+    // bearer — the staged-≈-fresh claim must be MEASURED for exactly the
+    // rows that stage session-keyed artifacts (trade_deg, knn_und_200,
+    // the hnsw edge tables + PMI matrix + MinHash banding are covered by
+    // the rows above; these add the graph pair, the kNN-graph pair, the
+    // co-occurrence matrix, and the three perplexity model-table gates).
+    "graph_hits_hubs_auth",
+    "graph_knn_triangles",
+    "graph_kcore_prune",
+    "text_cooccur_pmi",
+    "corpus_perplexity_filter",
+    "corpus_perplexity_bigram_filter",
+    "corpus_perplexity_kneser_ney")
 
   private def newSession(cpus: String): SparkSession = {
     val s = SparkSession.builder()

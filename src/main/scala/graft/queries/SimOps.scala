@@ -190,8 +190,10 @@ object SimOps extends QueryPack {
     // same attribute (Spark's "trivially true equals" self-join hazard).
     var walk = qs.select(col("q"), lit(0L).as("cur"))
     if (upperHops > 0) {
+      // qd is |Q|·|V| rows — BROADCAST both walk-time joins (unhinted they
+      // statically plan as shuffle joins per hop copy: 58 hash exchanges).
       val m1 = annEdges(s, dir, sample = true, k = 2)
-        .join(qd, col("dst") === col("node"))
+        .join(broadcast(qd), col("dst") === col("node"))
         .select(col("q").as("mq"), col("src"), col("dst"), col("cos"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("mq", "src").orderBy(col("cos").desc, col("dst"))))
@@ -204,7 +206,7 @@ object SimOps extends QueryPack {
     }
     // Layer-0 adjacency = query-independent staged edges ⋈ walk-time qd.
     val adj = annEdges(s, dir, sample = false, k = 4, bounded = boundedBuild)
-      .join(qd, col("dst") === col("node"))
+      .join(broadcast(qd), col("dst") === col("node"))
       .select(col("q").as("mq"), col("src"), col("dst"), col("cos"))
     val wb = Window.partitionBy("q").orderBy(col("cos").desc, col("dst"))
     // ONE exchange for the whole beam walk: every per-hop operator below
