@@ -181,9 +181,18 @@ object SimOps extends QueryPack {
       .select(col("vec_id"), col("embedding"))
     val qs = emb.filter(col("vec_id") >= 200 && col("vec_id") < 205)
       .select(col("vec_id").as("q"), col("embedding").as("qe"))
+    // Per-invocation |Q|·|V| query-node cosine table, materialized ONCE
+    // (one tiny job) so the walk-time derivations below read a leaf
+    // instead of re-running the cosine fold per derived-table copy. This
+    // and the m1 checkpoint are the measured optimum (sf0.1 steady walk:
+    // qd+m1 checkpointed 1.7 s; qd only 3.1 s; all three 2.0 s; none
+    // 3.5 s) — the per-invocation derivation jobs are the honest price of
+    // the query-INDEPENDENT staged index (r17 item 6): a production
+    // deployment pays them once per query batch.
     val qd = broadcast(qs).crossJoin(n)
       .select(col("q"), col("vec_id").as("node"),
         round(ncos(col("qe"), col("embedding")), 6).as("cos"))
+      .localCheckpoint()
     // The adjacency/transition tables' key is RENAMED (mq) before the
     // walk: walk and table share lineage through qs, and a
     // walk("q") === table("q") predicate would resolve both sides to the
@@ -192,6 +201,10 @@ object SimOps extends QueryPack {
     if (upperHops > 0) {
       // qd is |Q|·|V| rows — BROADCAST both walk-time joins (unhinted they
       // statically plan as shuffle joins per hop copy: 58 hash exchanges).
+      // m1 LOCALCHECKPOINTS: per-INVOCATION materialization of a
+      // |Q|·|V_1| temp, NOT staging — nothing query-dependent is memoized
+      // across invocations; uncheckpointed, its window shuffle re-plans
+      // inside every coarse-hop copy (measured 3.1 s steady vs 1.7 s).
       val m1 = annEdges(s, dir, sample = true, k = 2)
         .join(broadcast(qd), col("dst") === col("node"))
         .select(col("q").as("mq"), col("src"), col("dst"), col("cos"))
@@ -199,12 +212,16 @@ object SimOps extends QueryPack {
           Window.partitionBy("mq", "src").orderBy(col("cos").desc, col("dst"))))
         .filter(col("rn") === 1)
         .select(col("mq"), col("src"), col("dst").as("nxt"))
+        .localCheckpoint()
       for (_ <- 1 to upperHops)
         walk = walk.join(broadcast(m1),
             col("q") === col("mq") && col("cur") === col("src"))
           .select(col("q"), col("nxt").as("cur"))
     }
-    // Layer-0 adjacency = query-independent staged edges ⋈ walk-time qd.
+    // Layer-0 adjacency = query-independent staged edges ⋈ walk-time qd —
+    // deliberately NOT checkpointed: both inputs are leaves, so each hop
+    // copy is one reusable broadcast exchange over a 2-leaf join, and a
+    // third materialization job only added latency (2.0 s vs 1.7 s).
     val adj = annEdges(s, dir, sample = false, k = 4, bounded = boundedBuild)
       .join(broadcast(qd), col("dst") === col("node"))
       .select(col("q").as("mq"), col("src"), col("dst"), col("cos"))
