@@ -79,7 +79,11 @@ object BenchIsolation {
     "text_cooccur_pmi",
     "corpus_perplexity_filter",
     "corpus_perplexity_bigram_filter",
-    "corpus_perplexity_kneser_ney")
+    "corpus_perplexity_kneser_ney",
+    // round 18: the new heaviest addition (~2s: 2 global dense ranks +
+    // per-round lineage cuts = ~8 small jobs of fixed machinery) —
+    // adjudicate shared-vs-fresh the round it lands.
+    "dedup_suffix_array_rank")
 
   private def newSession(cpus: String): SparkSession = {
     val s = SparkSession.builder()

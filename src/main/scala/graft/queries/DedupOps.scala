@@ -820,7 +820,155 @@ object DedupOps extends QueryPack {
             round(lit(1.0) - col("dist").cast("double") /
               greatest(col("ca"), col("cb")), 6).as("sim"))
           .oracleOrder("da", "db")
+      }),
+
+    // Distributed suffix-ARRAY construction by prefix doubling (Manber &
+    // Myers 1990; the primitive under suffix-array exact-substring corpus
+    // dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language
+    // Models Better"): rank every token-position suffix of the corpus
+    // slice lexicographically, by GENERALIZED prefix doubling (the k-ary
+    // Larsson/Sadakane variant — every round pays a full sort on a
+    // cluster, so fewer, wider rounds beat more, narrower ones). Round 0
+    // dense-ranks positions by their 8-token gram; the one k=16 round
+    // ranks by the 16-tuple (rk, rk@pos+8, …, rk@pos+120) — ranks
+    // ordering by m tokens compose into an ordering by k·m — reaching
+    // 8·16 = 128 ≥ this corpus's max doc length (99 tokens; a longer
+    // corpus adds log_16 rounds of the same shape). End-of-doc uses
+    // sentinel -1 (< every real rank), giving the standard
+    // shorter-prefix-first suffix order. Suffixes whose FULL token
+    // sequences are identical across documents end tied — dup_cnt > 1 is
+    // exactly the repeated-suffix signal the SA-based dedup consumes.
+    //
+    // Scale shape: this is the textbook DISTRIBUTED SA build — O(log_k n)
+    // rounds, each ONE range-repartition sort of integer rank tuples (the
+    // token text never reshuffles after round 0; the 15 lead columns
+    // share ONE doc_id exchange). The global dense rank is the
+    // ntile-style two-phase rank: range-partition (equal keys co-located
+    // by RangePartitioner), partition-LOCAL dense_rank, then a broadcast
+    // prefix-sum of per-partition distinct counts — no single-partition
+    // window ever sees data rows. Driver state is the 32-row offset table
+    // per round; per-round lineage cuts, the iterative graph/kmeans
+    // discipline. The tie count rides the final round's exchange for
+    // free (equal tuples are co-located).
+    //
+    // Determinism: ranks are integers from binary-collation string order
+    // (identical in both engines on this ascii corpus); no floating point
+    // anywhere until the (none) — the whole result is integer/string.
+    Q(
+      "dedup_suffix_array_rank",
+      Some(suffixRankOracle),
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .filter(col("lang") === "en" && col("doc_id") % 10 === 3)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+          .localCheckpoint()
+        // Round 0 seeds with the 8-token gram instead of the single token
+        // — three doublings bought for one slice+concat. Space-joined
+        // gram order equals token-SEQUENCE order because ' ' (0x20) sorts
+        // below every token character on this ascii corpus, and an
+        // end-of-doc short gram is a string prefix of any continuation
+        // (shorter-suffix-first, same as the -1 rank sentinel).
+        val tok = d
+          .select(col("doc_id"), col("toks"), posexplode(col("toks")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            concat_ws(" ",
+              slice(col("toks"), (col("pos") + 1).cast("int"), lit(8)))
+              .as("tok"))
+        val r0 = denseRankGlobal(tok, Seq("tok"))
+          .select("doc_id", "pos", "rk").localCheckpoint()
+        // The k=16 round: ranks ordering by 8 tokens compose into 128.
+        val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+        val withLeads = (1 to 15).foldLeft(r0) { (acc, j) =>
+          acc.withColumn(s"rk$j",
+            coalesce(lead(col("rk"), j * 8).over(wDoc), lit(-1L)))
+        }
+        val fin = denseRankGlobal(withLeads,
+            "rk" +: (1 to 15).map(j => s"rk$j"),
+            dupCntCol = Some("dup_cnt"))
+          .select("doc_id", "pos", "rk", "dup_cnt")
+        fin.join(broadcast(d), "doc_id")
+          .select(col("rk").as("srank"), col("dup_cnt"),
+            col("doc_id"), col("pos"),
+            concat_ws(" ",
+              slice(col("toks"), (col("pos") + 1).cast("int"), lit(5)))
+              .as("head5"))
+          // Mid-query top-k (TakeOrdered), not presentation — the SA head
+          // is the declared result.
+          .orderBy("srank", "doc_id", "pos").limit(64)
       }))
+
+  /** DuckDB oracle for `dedup_suffix_array_rank`: the same seed + one
+    * k=16 round unrolled as CTEs (rank-tuple fetch via 15 LEADs, then a
+    * global DENSE_RANK — DuckDB runs single-node, so the plain window IS
+    * its two-phase rank).
+    */
+  private def suffixRankOracle: String = {
+    val leads = (1 to 15).map(j =>
+      s"    COALESCE(LEAD(rk, ${j * 8}) OVER " +
+        s"(PARTITION BY doc_id ORDER BY pos), -1) AS rk$j").mkString(",\n")
+    val keys = (1 to 15).map(j => s"rk$j").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+       |  FROM documents WHERE lang = 'en' AND doc_id % 10 = 3),
+       |tok AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 7 AS INT)), ' ') AS tok,
+       |    CAST(i - 1 AS BIGINT) AS pos
+       |  FROM d, unnest(range(1, len(toks) + 1)) r(i)),
+       |r0 AS (
+       |  SELECT doc_id, pos, DENSE_RANK() OVER (ORDER BY tok) AS rk
+       |  FROM tok),
+       |p1 AS (
+       |  SELECT doc_id, pos, rk,
+       |$leads
+       |  FROM r0),
+       |r1 AS (
+       |  SELECT doc_id, pos, DENSE_RANK() OVER (ORDER BY rk, $keys) AS rk
+       |  FROM p1),
+       |fin AS (
+       |  SELECT doc_id, pos, rk, COUNT(*) OVER (PARTITION BY rk) AS dup_cnt
+       |  FROM r1)
+       |SELECT CAST(f.rk AS BIGINT) AS srank, CAST(f.dup_cnt AS BIGINT) AS dup_cnt,
+       |  f.doc_id, f.pos,
+       |  array_to_string(list_slice(d.toks, CAST(f.pos + 1 AS INT),
+       |    CAST(f.pos + 5 AS INT)), ' ') AS head5
+       |FROM fin f JOIN d ON f.doc_id = d.doc_id
+       |ORDER BY f.rk, f.doc_id, f.pos LIMIT 64""".stripMargin
+  }
+
+  /** Distributed global dense_rank over `keys` (appended as column `rk`):
+    * range-repartition so RangePartitioner co-locates equal keys,
+    * partition-local dense_rank, then add a broadcast prefix sum of
+    * per-partition DISTINCT-key counts. The unpartitioned prefix-sum
+    * window is safe — its input is one row per partition (the ntile
+    * precedent, Windows.scala), never data rows.
+    */
+  private def denseRankGlobal(df: DataFrame, keys: Seq[String],
+      dupCntCol: Option[String] = None): DataFrame = {
+    val kcols = keys.map(col)
+    val ranged = df.repartitionByRange(kcols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wKeys = Window.partitionBy(("__pid" +: keys).map(col): _*)
+    val local0 = ranged.withColumn("__lrk",
+      dense_rank().over(Window.partitionBy("__pid").orderBy(kcols: _*)))
+    // Optional tie count per FULL key tuple — equal keys are co-located
+    // by the range partitioner, so the per-partition count IS the global
+    // one, on the same exchange.
+    val local = dupCntCol.fold(local0)(c =>
+      local0.withColumn(c, count(lit(1)).over(wKeys)))
+    val offs = ranged.groupBy("__pid")
+      .agg(countDistinct(kcols.head, kcols.tail: _*).as("__nd"))
+      .withColumn("__off",
+        coalesce(
+          sum("__nd").over(
+            Window.orderBy("__pid")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offs), "__pid")
+      .withColumn("rk", col("__off") + col("__lrk"))
+      .drop("__pid", "__lrk", "__nd")
+  }
 
   /** Shared body of `dedup_incremental_bloom`; `useBloom = false` is the
     * exact twin IncrementalBloomSpec compares against (the prefilter must

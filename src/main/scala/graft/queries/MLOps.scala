@@ -1867,6 +1867,102 @@ object MLOps extends QueryPack {
             sum("hit").cast("long").as("n_top1_pos"),
             sum(col("loss").cast(dec8)).cast("double").as("loss_sum"))
           .oracleOrder("label")
+      }),
+
+    // DPO preference-pair loss (Rafailov et al. 2023): the RLHF-data
+    // counterpart of the InfoNCE row above. Events pair up by
+    // pair_id = event_id div 2; within a pair the higher-`value` member
+    // is CHOSEN (tie: lower event_id), and the loss is
+    // -ln sigmoid(beta * ((logp_w^pol - logp_w^ref) - (logp_l^pol -
+    // logp_l^ref))) with beta = 0.1. Per-sequence log-probs are
+    // deterministic stand-ins (ln of small-integer knots derived from
+    // event_id — real pipelines join them in from an upstream model-
+    // scoring pass; the OPERATOR is the pairing + margin + loss rollup).
+    //
+    // Exactness (the perplexity-gate dialect): the ln knots live on
+    // 97- and 89-value integer domains, rounded 9 dp as DECIMAL(18,9);
+    // margins are exact decimal arithmetic on those knots; the log-
+    // sigmoid is evaluated ONCE per DISTINCT margin (a knot table both
+    // engines compute on bit-identical decimal->double inputs, rounded
+    // 9 dp), then decimal-joined back; each group closes with one double
+    // division rounded 6 dp. pref accuracy compares exact decimals to 0.
+    //
+    // Scale shape: pair assembly is ONE hash exchange on pair_id (the
+    // groupBy-pivot form — no self-join), the margin-knot table is a
+    // broadcast model artifact, and the rollup shuffles 5 groups of
+    // decimal partials. At 100 TB the pairing key is the dataset's own
+    // (prompt_id) and everything else is unchanged.
+    Q(
+      "ml_dpo_pair_loss",
+      Some("""WITH e AS (
+             |  SELECT event_id, event_type, value, event_id // 2 AS pair_id,
+             |    CAST(ROUND(ln(2 + (event_id % 97)), 9) AS DECIMAL(18,9)) AS lp_pol,
+             |    CAST(ROUND(ln(2 + ((event_id * 31) % 89)), 9) AS DECIMAL(18,9)) AS lp_ref
+             |  FROM events),
+             |p AS (
+             |  SELECT pair_id,
+             |    MAX(CASE WHEN rn = 1 THEN event_type END) AS w_type,
+             |    MAX(CASE WHEN rn = 1 THEN lp_pol END) AS w_pol,
+             |    MAX(CASE WHEN rn = 1 THEN lp_ref END) AS w_ref,
+             |    MAX(CASE WHEN rn = 2 THEN lp_pol END) AS l_pol,
+             |    MAX(CASE WHEN rn = 2 THEN lp_ref END) AS l_ref,
+             |    COUNT(*) AS nmem
+             |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY pair_id
+             |          ORDER BY value DESC, event_id) AS rn FROM e)
+             |  GROUP BY pair_id),
+             |m AS (
+             |  SELECT pair_id, w_type,
+             |    CAST(0.1 AS DECIMAL(3,1)) * ((w_pol - w_ref) - (l_pol - l_ref)) AS margin
+             |  FROM p WHERE nmem = 2),
+             |k AS (SELECT DISTINCT margin FROM m),
+             |lk AS (
+             |  SELECT margin, CAST(ROUND(ln(1 + exp(-CAST(margin AS DOUBLE))), 9)
+             |                      AS DECIMAL(18,9)) AS loss FROM k)
+             |SELECT w_type AS event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |  ROUND(CAST(SUM(m.margin) AS DOUBLE) / COUNT(*), 6) AS avg_margin,
+             |  ROUND(CAST(SUM(lk.loss) AS DOUBLE) / COUNT(*), 6) AS avg_loss,
+             |  ROUND(CAST(COUNT(*) FILTER (m.margin > 0) AS DOUBLE) / COUNT(*), 6) AS pref_acc
+             |FROM m JOIN lk ON m.margin = lk.margin
+             |GROUP BY w_type ORDER BY w_type""".stripMargin),
+      (s, dir) => {
+        val dec9 = DecimalType(18, 9)
+        val e = Tables(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"),
+            expr("event_id div 2").as("pair_id"),
+            round(log(lit(2) + col("event_id") % 97), 9)
+              .cast(dec9).as("lp_pol"),
+            round(log(lit(2) + (col("event_id") * 31) % 89), 9)
+              .cast(dec9).as("lp_ref"))
+        val rn = row_number().over(
+          Window.partitionBy("pair_id")
+            .orderBy(col("value").desc, col("event_id")))
+        def side(n: Int, c: String) =
+          max(when(col("rn") === n, col(c)))
+        val p = e.withColumn("rn", rn)
+          .groupBy("pair_id")
+          .agg(side(1, "event_type").as("w_type"),
+            side(1, "lp_pol").as("w_pol"), side(1, "lp_ref").as("w_ref"),
+            side(2, "lp_pol").as("l_pol"), side(2, "lp_ref").as("l_ref"),
+            cnt.as("nmem"))
+        val m = p.filter(col("nmem") === 2)
+          .select(col("w_type"),
+            (lit(BigDecimal("0.1")).cast(DecimalType(3, 1)) *
+              ((col("w_pol") - col("w_ref")) - (col("l_pol") - col("l_ref"))))
+              .as("margin"))
+        val lk = m.select("margin").distinct()
+          .select(col("margin"),
+            round(log(lit(1) + exp(-col("margin").cast("double"))), 9)
+              .cast(dec9).as("loss"))
+        m.join(broadcast(lk), "margin")
+          .groupBy(col("w_type").as("event_type"))
+          .agg(cnt.as("n_pairs"),
+            round(sum("margin").cast("double") / count(lit(1)), 6)
+              .as("avg_margin"),
+            round(sum("loss").cast("double") / count(lit(1)), 6)
+              .as("avg_loss"),
+            round(sum(when(col("margin") > 0, 1).otherwise(0))
+              .cast("double") / count(lit(1)), 6).as("pref_acc"))
+          .oracleOrder("event_type")
       }))
 
   /** Forward-pass trunk shared by `ml_cnn_forward_compose` and

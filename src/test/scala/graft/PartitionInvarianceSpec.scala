@@ -70,4 +70,15 @@ class PartitionInvarianceSpec extends SparkSpec {
   test("beam-walk frontier (sim_ann_graph_greedy) is partition-invariant") {
     sweep("sim_ann_graph_greedy")
   }
+
+  test("two-phase global dense rank (dedup_suffix_array_rank) is partition-invariant") {
+    // The distributed rank adds per-partition offsets from RangePartitioner
+    // boundaries — the sweep moves those boundaries (1 partition = no
+    // offsets at all) and the final ranks must not notice.
+    sweep("dedup_suffix_array_rank")
+  }
+
+  test("margin knot table (ml_dpo_pair_loss) is partition-invariant") {
+    sweep("ml_dpo_pair_loss")
+  }
 }

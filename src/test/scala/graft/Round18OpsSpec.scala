@@ -88,4 +88,87 @@ class Round18OpsSpec extends SparkSpec {
     assert(want.count { case (p, n, _) => p.length > 1 && n > 0 } >= 5,
       "no multi-char pieces survived training")
   }
+
+  test("suffix-array ranks match a sequential sort of all suffixes") {
+    val got = Registry.byId("dedup_suffix_array_rank").run(spark, sf)
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getLong(2),
+        row.getLong(3), row.getString(4))).toSeq
+
+    val docs: Seq[(Long, Array[String])] = Tables(spark, sf, "documents")
+      .filter(col("lang") === "en" && col("doc_id") % 10 === 3)
+      .select(col("doc_id"), lower(col("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .toSeq
+
+    // Every suffix, sorted lexicographically by its FULL token sequence
+    // (shorter prefix-suffix first — Seq ordering does exactly that).
+    import scala.math.Ordering.Implicits.seqOrdering
+    val sufs = for ((id, toks) <- docs; p <- toks.indices)
+      yield (id, p.toLong, toks.drop(p).toSeq)
+    val sorted = sufs.sortBy { case (id, p, content) => (content, id, p) }
+    // Dense rank: increments when the suffix CONTENT changes.
+    val ranks = mutable.ListBuffer.empty[(Long, Long, Long, Seq[String])]
+    var rk = 0L
+    var prev: Option[Seq[String]] = None
+    for ((id, p, content) <- sorted) {
+      if (!prev.contains(content)) { rk += 1; prev = Some(content) }
+      ranks += ((rk, id, p, content))
+    }
+    val dupCnt = ranks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val want = ranks
+      .map { case (r0, id, p, content) =>
+        (r0, dupCnt(r0), id, p, content.take(5).mkString(" ")) }
+      .sortBy { case (r0, _, id, p, _) => (r0, id, p) }
+      .take(64).toSeq
+
+    assert(got.size == want.size)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g == w, s"row mismatch: engine $g, twin $w")
+    }
+    // The corpus has genuinely repeated full suffixes (the dedup signal) —
+    // somewhere in the rank space, not necessarily inside the head-64.
+    assert(dupCnt.values.exists(_ > 1), "no duplicate suffixes in the slice")
+  }
+
+  test("DPO pair loss matches a sequential pairing + knot-table fold") {
+    val got = Registry.byId("ml_dpo_pair_loss").run(spark, sf).collect()
+      .map(row => (row.getString(0), row.getLong(1), row.getDouble(2),
+        row.getDouble(3), row.getDouble(4))).toSeq
+
+    val ev = Tables(spark, sf, "events")
+      .select("event_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+
+    def bd(x: Double, dp: Int): BigDecimal =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+    def lpPol(id: Long) = bd(math.log(2 + (id % 97).toDouble), 9)
+    def lpRef(id: Long) = bd(math.log(2 + ((id * 31) % 89).toDouble), 9)
+
+    val margins = ev.groupBy { case (id, _, _) => id / 2 }
+      .valuesIterator.filter(_.length == 2).map { members =>
+        val Seq(w, l) = members.sortBy { case (id, _, v) => (-v, id) }.toSeq
+        (w._2,
+          BigDecimal("0.1") *
+            ((lpPol(w._1) - lpRef(w._1)) - (lpPol(l._1) - lpRef(l._1))))
+      }.toSeq
+    val lossKnot = margins.map(_._2).distinct
+      .map(m => m -> bd(math.log(1 + math.exp(-m.toDouble)), 9)).toMap
+    val want = margins.groupBy(_._1).toSeq.map { case (tpe, ms) =>
+      val n = ms.size
+      val mSum = ms.map(_._2).sum
+      val lSum = ms.map(p => lossKnot(p._2)).sum
+      val acc = ms.count(_._2 > 0)
+      (tpe, n.toLong, r(mSum.toDouble / n, 6), r(lSum.toDouble / n, 6),
+        r(acc.toDouble / n, 6))
+    }.sortBy(_._1)
+
+    assert(got.size == want.size)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g == w, s"row mismatch: engine $g, twin $w")
+    }
+    // The pairing produced real preference signal: accuracy is not
+    // degenerate (all-0 or all-1) across every group.
+    assert(want.exists(t => t._5 > 0.0 && t._5 < 1.0))
+  }
 }
