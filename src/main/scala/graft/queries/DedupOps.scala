@@ -829,15 +829,26 @@ object DedupOps extends QueryPack {
     // slice lexicographically, by GENERALIZED prefix doubling (the k-ary
     // Larsson/Sadakane variant — every round pays a full sort on a
     // cluster, so fewer, wider rounds beat more, narrower ones). Round 0
-    // dense-ranks positions by their 8-token gram; the one k=16 round
-    // ranks by the 16-tuple (rk, rk@pos+8, …, rk@pos+120) — ranks
-    // ordering by m tokens compose into an ordering by k·m — reaching
-    // 8·16 = 128 ≥ this corpus's max doc length (99 tokens; a longer
-    // corpus adds log_16 rounds of the same shape). End-of-doc uses
-    // sentinel -1 (< every real rank), giving the standard
-    // shorter-prefix-first suffix order. Suffixes whose FULL token
-    // sequences are identical across documents end tied — dup_cnt > 1 is
-    // exactly the repeated-suffix signal the SA-based dedup consumes.
+    // dense-ranks positions by their 8-token gram; each k=16 round
+    // ranks by the 16-tuple (rk, rk@pos+m, …, rk@pos+15m) at the
+    // current stride m — ranks ordering by m tokens compose into an
+    // ordering by k·m. The ROUND COUNT IS DERIVED FROM THE DATA
+    // (VERDICT r18 item 3): one bounded driver probe reads the slice's
+    // max doc length and takes ⌈log₁₆(maxlen/8)⌉ rounds, so coverage
+    // 8·16^r ≥ maxlen ALWAYS — the shipped corpora (max 99 tokens) take
+    // ONE round to 128; a >128-token corpus takes two (SuffixArraySpec
+    // pins the 2-round path against a sequential twin on 300-token
+    // docs). The same probe enforces the slice's token contract LOUDLY
+    // (ADVICE r18): tokens must be nonempty with no chars below 0x20,
+    // or the space-joined-gram ≡ token-sequence ordering equivalence
+    // breaks — the query now refuses such a corpus instead of silently
+    // mis-ranking. The oracle is GENERATED per data dir with the same
+    // derived round count, so both engines always run the same
+    // geometry. End-of-doc uses sentinel -1 (< every real rank), giving
+    // the standard shorter-prefix-first suffix order. Suffixes whose
+    // FULL token sequences are identical across documents end tied —
+    // dup_cnt > 1 is exactly the repeated-suffix signal the SA-based
+    // dedup consumes.
     //
     // Scale shape: this is the textbook DISTRIBUTED SA build — O(log_k n)
     // rounds, each ONE range-repartition sort of integer rank tuples (the
@@ -856,36 +867,10 @@ object DedupOps extends QueryPack {
     // anywhere until the (none) — the whole result is integer/string.
     Q(
       "dedup_suffix_array_rank",
-      Some(suffixRankOracle),
+      None,
       (s, dir) => {
-        val d = Tables(s, dir, "documents")
-          .filter(col("lang") === "en" && col("doc_id") % 10 === 3)
-          .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
-          .localCheckpoint()
-        // Round 0 seeds with the 8-token gram instead of the single token
-        // — three doublings bought for one slice+concat. Space-joined
-        // gram order equals token-SEQUENCE order because ' ' (0x20) sorts
-        // below every token character on this ascii corpus, and an
-        // end-of-doc short gram is a string prefix of any continuation
-        // (shorter-suffix-first, same as the -1 rank sentinel).
-        val tok = d
-          .select(col("doc_id"), col("toks"), posexplode(col("toks")))
-          .select(col("doc_id"), col("pos").cast("long").as("pos"),
-            concat_ws(" ",
-              slice(col("toks"), (col("pos") + 1).cast("int"), lit(8)))
-              .as("tok"))
-        val r0 = denseRankGlobal(tok, Seq("tok"))
-          .select("doc_id", "pos", "rk").localCheckpoint()
-        // The k=16 round: ranks ordering by 8 tokens compose into 128.
-        val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-        val withLeads = (1 to 15).foldLeft(r0) { (acc, j) =>
-          acc.withColumn(s"rk$j",
-            coalesce(lead(col("rk"), j * 8).over(wDoc), lit(-1L)))
-        }
-        val fin = denseRankGlobal(withLeads,
-            "rk" +: (1 to 15).map(j => s"rk$j"),
-            dupCntCol = Some("dup_cnt"))
-          .select("doc_id", "pos", "rk", "dup_cnt")
+        val d = saSlice(s, dir).localCheckpoint()
+        val fin = suffixArrayRank(d, saRoundsOf(d))
         fin.join(broadcast(d), "doc_id")
           .select(col("rk").as("srank"), col("dup_cnt"),
             col("doc_id"), col("pos"),
@@ -895,39 +880,135 @@ object DedupOps extends QueryPack {
           // Mid-query top-k (TakeOrdered), not presentation — the SA head
           // is the declared result.
           .orderBy("srank", "doc_id", "pos").limit(64)
-      }))
+      },
+      oracleGen = Some((s, dir) => suffixRankOracle(saRoundsOf(saSlice(s, dir))))))
 
-  /** DuckDB oracle for `dedup_suffix_array_rank`: the same seed + one
-    * k=16 round unrolled as CTEs (rank-tuple fetch via 15 LEADs, then a
-    * global DENSE_RANK — DuckDB runs single-node, so the plain window IS
-    * its two-phase rank).
+  /** The SA corpus slice: `lang='en', doc_id%10=3`, lowercased
+    * space-tokenized. Shared by the query body, the per-dir oracle
+    * generator (both must see the same max length), and SuffixArraySpec.
     */
-  private def suffixRankOracle: String = {
-    val leads = (1 to 15).map(j =>
-      s"    COALESCE(LEAD(rk, ${j * 8}) OVER " +
-        s"(PARTITION BY doc_id ORDER BY pos), -1) AS rk$j").mkString(",\n")
-    val keys = (1 to 15).map(j => s"rk$j").mkString(", ")
-    s"""WITH d AS (
-       |  SELECT doc_id, string_split(lower(text), ' ') AS toks
-       |  FROM documents WHERE lang = 'en' AND doc_id % 10 = 3),
-       |tok AS (
-       |  SELECT doc_id,
-       |    array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 7 AS INT)), ' ') AS tok,
-       |    CAST(i - 1 AS BIGINT) AS pos
-       |  FROM d, unnest(range(1, len(toks) + 1)) r(i)),
-       |r0 AS (
-       |  SELECT doc_id, pos, DENSE_RANK() OVER (ORDER BY tok) AS rk
-       |  FROM tok),
-       |p1 AS (
-       |  SELECT doc_id, pos, rk,
-       |$leads
-       |  FROM r0),
-       |r1 AS (
-       |  SELECT doc_id, pos, DENSE_RANK() OVER (ORDER BY rk, $keys) AS rk
-       |  FROM p1),
-       |fin AS (
-       |  SELECT doc_id, pos, rk, COUNT(*) OVER (PARTITION BY rk) AS dup_cnt
-       |  FROM r1)
+  private def saSlice(
+      s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(col("lang") === "en" && col("doc_id") % 10 === 3)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+
+  /** SA geometry: round 0 seeds with the [[SaSeedGram]]-token gram
+    * (three doublings bought for one slice+concat — space-joined gram
+    * order equals token-SEQUENCE order because ' ' (0x20) sorts below
+    * every token character, and an end-of-doc short gram is a string
+    * prefix of any continuation: shorter-suffix-first, same as the -1
+    * rank sentinel); each later round is [[SaK]]-ary.
+    */
+  private[graft] val SaSeedGram = 8
+  private[graft] val SaK = 16
+
+  /** Derive the k=[[SaK]] round count from the slice's max doc length
+    * (coverage [[SaSeedGram]]·[[SaK]]^r ≥ maxlen), and enforce the token
+    * contract the seed-gram ordering equivalence needs — nonempty
+    * tokens, no characters below 0x20 (an empty token from doubled
+    * spaces, or a token containing a control char, would break
+    * "space-joined gram order = token order"). One bounded driver fold:
+    * a single aggregate row over the slice, independent of corpus size.
+    * Fails LOUDLY on contract violation instead of silently mis-ranking
+    * (ADVICE r18).
+    */
+  private[graft] def saRoundsOf(d: DataFrame): Int = {
+    val probe = d.agg(
+      coalesce(max(size(col("toks"))), lit(0)).as("maxlen"),
+      coalesce(max(when(exists(col("toks"),
+        t => t === "" || t.rlike("[\\x00-\\x1f]")), 1).otherwise(0)), lit(0))
+        .as("bad")).head()
+    require(probe.getInt(1) == 0,
+      "dedup_suffix_array_rank: corpus violates the SA token contract " +
+        "(empty token or control character in a token) — the space-joined " +
+        "seed-gram ordering would not equal token-sequence ordering")
+    val maxLen = probe.getInt(0)
+    var cov = SaSeedGram
+    var r = 0
+    while (cov < maxLen) { r += 1; cov *= SaK }
+    r
+  }
+
+  /** Generalized distributed SA build over `d` (doc_id, toks): seed
+    * dense rank by the [[SaSeedGram]]-token gram, then `rounds`
+    * [[SaK]]-ary prefix-doubling rounds (stride multiplies by [[SaK]]
+    * each round; per-round lineage cuts — the iterative-op discipline).
+    * Returns (doc_id, pos, rk, dup_cnt) with dup_cnt computed on the
+    * FINAL round's exchange. Exposed for SuffixArraySpec's >128-token
+    * sequential-twin pin.
+    */
+  private[graft] def suffixArrayRank(d: DataFrame, rounds: Int): DataFrame = {
+    val tok = d
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        concat_ws(" ",
+          slice(col("toks"), (col("pos") + 1).cast("int"), lit(SaSeedGram)))
+          .as("tok"))
+    if (rounds == 0)
+      denseRankGlobal(tok, Seq("tok"), dupCntCol = Some("dup_cnt"))
+        .select("doc_id", "pos", "rk", "dup_cnt")
+    else {
+      var r = denseRankGlobal(tok, Seq("tok"))
+        .select("doc_id", "pos", "rk").localCheckpoint()
+      var stride = SaSeedGram.toLong
+      for (round <- 1 to rounds) {
+        val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+        val withLeads = (1 until SaK).foldLeft(r) { (acc, j) =>
+          acc.withColumn(s"rk$j",
+            coalesce(lead(col("rk"), (j * stride).toInt).over(wDoc), lit(-1L)))
+        }
+        val last = round == rounds
+        val ranked = denseRankGlobal(withLeads,
+          "rk" +: (1 until SaK).map(j => s"rk$j"),
+          dupCntCol = if (last) Some("dup_cnt") else None)
+        r =
+          if (last) ranked.select("doc_id", "pos", "rk", "dup_cnt")
+          else ranked.select("doc_id", "pos", "rk").localCheckpoint()
+        stride *= SaK
+      }
+      r
+    }
+  }
+
+  /** DuckDB oracle for `dedup_suffix_array_rank`, GENERATED per data dir
+    * with the SAME derived round count as the query: the seed +
+    * `rounds` k=[[SaK]] rounds unrolled as CTEs (rank-tuple fetch via 15
+    * LEADs at the round's stride, then a global DENSE_RANK — DuckDB runs
+    * single-node, so the plain window IS its two-phase rank).
+    */
+  private def suffixRankOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).flatMap { r =>
+      val stride = (1 until r).foldLeft(SaSeedGram.toLong)((a, _) => a * SaK)
+      val leads = (1 until SaK).map(j =>
+        s"    COALESCE(LEAD(rk, ${j * stride}) OVER " +
+          s"(PARTITION BY doc_id ORDER BY pos), -1) AS rk$j").mkString(",\n")
+      val keys = (1 until SaK).map(j => s"rk$j").mkString(", ")
+      Seq(
+        s"""p$r AS (
+           |  SELECT doc_id, pos, rk,
+           |$leads
+           |  FROM r${r - 1})""".stripMargin,
+        s"""r$r AS (
+           |  SELECT doc_id, pos, DENSE_RANK() OVER (ORDER BY rk, $keys) AS rk
+           |  FROM p$r)""".stripMargin)
+    }
+    val ctes = Seq(
+      s"""d AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+         |  FROM documents WHERE lang = 'en' AND doc_id % 10 = 3)""".stripMargin,
+      s"""tok AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + ${SaSeedGram - 1} AS INT)), ' ') AS tok,
+         |    CAST(i - 1 AS BIGINT) AS pos
+         |  FROM d, unnest(range(1, len(toks) + 1)) r(i))""".stripMargin,
+      s"""r0 AS (
+         |  SELECT doc_id, pos, DENSE_RANK() OVER (ORDER BY tok) AS rk
+         |  FROM tok)""".stripMargin) ++ roundCtes :+
+      s"""fin AS (
+         |  SELECT doc_id, pos, rk, COUNT(*) OVER (PARTITION BY rk) AS dup_cnt
+         |  FROM r$rounds)""".stripMargin
+    s"""WITH ${ctes.mkString(",\n")}
        |SELECT CAST(f.rk AS BIGINT) AS srank, CAST(f.dup_cnt AS BIGINT) AS dup_cnt,
        |  f.doc_id, f.pos,
        |  array_to_string(list_slice(d.toks, CAST(f.pos + 1 AS INT),

@@ -173,13 +173,20 @@ object SimOps extends QueryPack {
       s: org.apache.spark.sql.SparkSession, dir: String,
       upperHops: Int, lowerHops: Int,
       beamWidth: Int = 1,
-      boundedBuild: Boolean = true): org.apache.spark.sql.DataFrame = {
+      boundedBuild: Boolean = true,
+      nQueries: Int = 5): org.apache.spark.sql.DataFrame = {
     require(lowerHops >= 1, "beam walk needs at least one lower-layer hop")
     native(s)
     val emb = Tables(s, dir, "embeddings")
     val n = emb.filter(col("vec_id") < 200)
       .select(col("vec_id"), col("embedding"))
-    val qs = emb.filter(col("vec_id") >= 200 && col("vec_id") < 205)
+    // `nQueries` sizes the query BATCH (registry row: 5) — the
+    // batch-amortization knob: the per-invocation qd/m1 derivations are
+    // paid once per batch, so their cost per query falls ~|Q|-fold
+    // (measured in BENCH_ISOLATION.json's graph-walk batch sweep,
+    // VERDICT r18 item 4).
+    val qs = emb.filter(
+        col("vec_id") >= 200 && col("vec_id") < 200 + nQueries)
       .select(col("vec_id").as("q"), col("embedding").as("qe"))
     // Per-invocation |Q|·|V| query-node cosine table, materialized ONCE
     // (one tiny job) so the walk-time derivations below read a leaf

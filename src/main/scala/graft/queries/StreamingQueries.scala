@@ -378,6 +378,72 @@ object StreamingQueries extends QueryPack {
         s.table(sink).oracleOrder("user_id", "s_start")
       }),
 
+    // Online CUSUM drift alarms (VERDICT r18 item 8): the STREAMING twin
+    // of the batch custom operator behind `window_cusum_alert` —
+    // flatMapGroupsWithState (graft.streaming.CusumAlert) folds each
+    // user's clamped sum S_t = max(0, S_{t-1} + (x_t − 60)) across
+    // micro-batches and emits an alarm row AT EACH ONSET (S crossing 300
+    // from at-or-below) — the online form a monitoring pipeline actually
+    // consumes, where the batch row reports post-hoc counts. Emission is
+    // in-batch (append mode), so the emitted set is deterministic and
+    // SQL-expressible: the oracle replays the identical double chain as
+    // a DuckDB recursive CTE carrying (prev, cur) and filters the
+    // crossings — the engine's state machine is hash-checked against an
+    // independent engine (and CusumStreamSpec pins it against the batch
+    // graft.plans.Cusum operator). The watermark/event-time timeout only
+    // GARBAGE-COLLECTS idle users' state (two scalars per live user —
+    // bounded state at 100 TB), never emits, so no watermark-edge
+    // nondeterminism can enter the result.
+    Q(
+      "stream_cusum_alert",
+      Some("""WITH RECURSIVE base AS (
+             |  SELECT user_id, event_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |c AS (
+             |  SELECT user_id, rn, event_id, CAST(0 AS DOUBLE) AS sp,
+             |    GREATEST(0, value - 60.0) AS s
+             |  FROM base WHERE rn = 1
+             |  UNION ALL
+             |  SELECT b.user_id, b.rn, b.event_id, c.s AS sp,
+             |    GREATEST(0, c.s + (b.value - 60.0)) AS s
+             |  FROM base b JOIN c ON b.user_id = c.user_id AND b.rn = c.rn + 1)
+             |SELECT CAST(user_id AS BIGINT) AS user_id,
+             |  CAST(event_id AS BIGINT) AS event_id, ROUND(s, 6) AS cusum
+             |FROM c WHERE s > 300.0 AND sp <= 300.0
+             |ORDER BY user_id, event_id""".stripMargin),
+      (s, dir) => withStreamPartitions(s, 2) {
+        import s.implicits._
+        import graft.streaming.CusumAlert
+        val sink = s"cusum_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val ckpt = scratchDir("graft_cusum_ckpt").toString
+        val q = eventsStream(s, dir)
+          .withWatermark("ts", "0 seconds")
+          .select("user_id", "ts", "event_id", "value")
+          .as[CusumAlert.Ev]
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState(
+            org.apache.spark.sql.streaming.OutputMode.Append,
+            org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+            CusumAlert.apply)
+          .writeStream
+          .queryName(sink)
+          .outputMode("append")
+          .format("memory")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // 6-dp presentation round happens HERE (Spark's own round, the
+        // same one the batch row uses) — the state machine emits the raw
+        // fold value, so no hand-rolled rounding can drift from the
+        // engines' shared ROUND semantics.
+        s.table(sink)
+          .select(col("user_id"), col("event_id"),
+            round(col("cusum"), 6).as("cusum"))
+          .oracleOrder("user_id", "event_id")
+      }),
+
     // foreachBatch sink: the production escape hatch for sinks Structured
     // Streaming lacks natively (upserts, JDBC, multi-table writes). Complete
     // mode + overwrite per micro-batch => the final batch holds the full

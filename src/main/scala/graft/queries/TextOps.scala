@@ -222,16 +222,27 @@ object TextOps extends QueryPack {
     // word-frequency table (the same localCheckpoint-pinned artifact the
     // BPE trainer trains on); everything after is model-table-sized —
     // the Viterbi DP is a LINEAR chain of 12 position steps over that
-    // table, each step <=4 broadcast joins against the <=66-row vocab,
-    // carrying (score, segmentation) for the last 4 positions as columns
-    // (no backtrack pass, no quadratic lattice). Exactness: counts are
-    // integer sums; piece log-probs are ln of int/int double ratios
-    // ROUND 9dp (the bounded-distinct-inputs policy the logreg trace
-    // uses); DP scores are sums of those identical doubles in identical
-    // order, so argmax ties are bit-ties in BOTH engines and the fixed
-    // longer-piece-first CASE breaks them identically. Oracle: the full
-    // seed→EM→prune→EM chain unrolled as CTEs (TrainOracles discipline),
-    // vocab/count tables MATERIALIZED so the linear DP stays linear.
+    // table, each step probing the <=66-entry vocab as a COLLECTED
+    // LITERAL MAP (piece -> logp baked into the plan; VERDICT r18 item
+    // 5 — the previous <=4 broadcast joins per step cost ~48 tiny-join
+    // plan/broadcast rounds locally; the map literal folds each step
+    // into one map-side projection, the Quantizers
+    // inline-the-trained-model policy). The vocab collect is a bounded
+    // driver fold: the vocab is CAPPED at the single chars +
+    // UniSeedM/UniPruneK multi pieces by construction, independent of
+    // corpus size. The DP carries (score, segmentation) for the last 4
+    // positions as columns (no backtrack pass, no quadratic lattice).
+    // Exactness: counts are integer sums; piece log-probs are ln of
+    // int/int double ratios ROUND 9dp (the bounded-distinct-inputs
+    // policy the logreg trace uses), COLLECTED from the Spark
+    // computation itself so the literals are bit-identical to what the
+    // broadcast join produced; try_element_at returns NULL on a vocab
+    // miss exactly as the LEFT join did; DP scores are sums of those
+    // identical doubles in identical order, so argmax ties are bit-ties
+    // in BOTH engines and the fixed longer-piece-first CASE breaks them
+    // identically. Oracle: the full seed→EM→prune→EM chain unrolled as
+    // CTEs (TrainOracles discipline), vocab/count tables MATERIALIZED
+    // so the linear DP stays linear.
     Q(
       "text_unigram_train",
       Some(uniTrainSql),
@@ -262,10 +273,9 @@ object TextOps extends QueryPack {
         val v0 = v0keep.crossJoin(broadcast(v0tot))
           .select(col("piece"),
             round(log(col("c").cast("double") / col("tot")), 9).as("logp"))
-          .localCheckpoint()
         // EM round 1 → prune (keep chars + top-24 multi by Viterbi count)
         // → add-1 re-estimate → EM round 2 on the pruned vocabulary.
-        val cnt1 = uniEmRound(wf, v0).localCheckpoint()
+        val cnt1 = uniEmRound(wf, collectVocab(v0)).localCheckpoint()
         val v1keep = scnt.filter(length(col("piece")) === 1)
           .select(col("piece"))
           .join(cnt1.withColumnRenamed("piece", "cp").withColumnRenamed("c", "c1"),
@@ -279,8 +289,7 @@ object TextOps extends QueryPack {
           .select(col("piece"),
             round(log((col("c") + 1).cast("double") / (col("tot") + col("nv"))), 9)
               .as("logp"))
-          .localCheckpoint()
-        val cnt2 = uniEmRound(wf, v1)
+        val cnt2 = uniEmRound(wf, collectVocab(v1))
         val fagg = cnt2.agg(coalesce(sum("c"), lit(0L)).cast("long").as("tot"))
           .crossJoin(v1keep.agg(cnt.as("nv")))
         v1keep.select(col("piece"))
@@ -303,22 +312,38 @@ object TextOps extends QueryPack {
   private[queries] val UniSeedM = 40
   private[queries] val UniPruneK = 24
 
+  /** Collect a (piece, logp) vocabulary frame to a driver map for the
+    * literal-map DP probe. Bounded by construction (single chars +
+    * UniSeedM/UniPruneK capped multi pieces — never corpus-sized); the
+    * doubles are taken from the Spark computation itself, so the baked
+    * literals are bit-identical to what a broadcast join would carry.
+    */
+  private def collectVocab(
+      v: org.apache.spark.sql.DataFrame): Map[String, Double] =
+    v.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
   /** One hard-EM (Viterbi) E-step: segment every word of `wf` under
-    * `vocab` (piece, logp) and return per-piece counts weighted by word
+    * `vocab` (piece -> logp, a collected bounded map baked into the plan
+    * as ONE map literal) and return per-piece counts weighted by word
     * frequency. The DP is a linear chain over positions 1..[[UniMaxLen]]:
     * the state row carries, for the last [[UniMaxPiece]] prefix ends,
     * the best score (s0..s3) and its '|'-joined segmentation (g0..g3);
     * step `i` proposes one candidate per piece length (score[i-l] +
-    * logp(substr(i-l+1, l)), LEFT-joined so absent pieces and finished
-    * words propose nothing), takes the max (ties: longer piece first —
-    * the same fixed CASE order in the SQL oracle), and shifts the
-    * carried columns. Words shorter than `i` freeze (all candidates
-    * NULL). No backtrack pass: the winning segmentation rides the state,
-    * and counts fall out of one split+explode at the end.
+    * logp(substr(i-l+1, l)), `try_element_at` NULL on a vocab miss —
+    * the LEFT-join semantics — so absent pieces and finished words
+    * propose nothing), takes the max (ties: longer piece first — the
+    * same fixed CASE order in the SQL oracle), and shifts the carried
+    * columns. Words shorter than `i` freeze (all candidates NULL). No
+    * backtrack pass: the winning segmentation rides the state, and
+    * counts fall out of one split+explode at the end. Every step is a
+    * pure projection — the whole E-step is map-side over the
+    * word-frequency table (no joins, no shuffles before the final
+    * per-piece fold).
     */
   private def uniEmRound(
       wf: org.apache.spark.sql.DataFrame,
-      vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      vocab: Map[String, Double]): org.apache.spark.sql.DataFrame = {
+    val vm = typedLit(vocab)
     var st = wf.select(
       Seq(col("wd"), col("f"), lit(0.0).as("s0"), lit("").as("g0")) ++
         (1 until UniMaxPiece).flatMap(k => Seq(
@@ -326,11 +351,6 @@ object TextOps extends QueryPack {
           lit(null).cast("string").as(s"g$k"))): _*)
     for (i <- 1 to UniMaxLen) {
       val ls = 1 to math.min(UniMaxPiece, i)
-      var j = st
-      for (l <- ls)
-        j = j.join(
-          broadcast(vocab.select(col("piece").as(s"p$l"), col("logp").as(s"lp$l"))),
-          expr(s"substring(wd, ${i - l + 1}, $l)") === col(s"p$l"), "left")
       val stateCols = Seq("wd", "f") ++
         (0 until UniMaxPiece).flatMap(k => Seq(s"s$k", s"g$k"))
       // The len(wd) >= i mask is the FREEZE guard: past the word end,
@@ -338,9 +358,11 @@ object TextOps extends QueryPack {
       // real piece (substr('join', 4, 2) = 'n'), so an unmasked candidate
       // would keep "advancing" a finished word and scramble its
       // segmentation (caught by the Round18OpsSpec sequential twin).
-      val withC = j.select(stateCols.map(col) ++
+      val withC = st.select(stateCols.map(col) ++
         ls.map(l => when(length(col("wd")) >= i,
-          col(s"s${l - 1}") + col(s"lp$l")).as(s"c$l")): _*)
+          col(s"s${l - 1}") +
+            try_element_at(vm, expr(s"substring(wd, ${i - l + 1}, $l)")))
+          .as(s"c$l")): _*)
       val withM = withC.withColumn("m",
         if (ls.size > 1) greatest(ls.map(l => col(s"c$l")): _*) else col("c1"))
       def piece(l: Int) = expr(s"substring(wd, ${i - l + 1}, $l)")
