@@ -870,7 +870,7 @@ object DedupOps extends QueryPack {
       None,
       (s, dir) => {
         val d = saSlice(s, dir).localCheckpoint()
-        val fin = suffixArrayRank(d, saRoundsOf(d))
+        val fin = suffixArrayRank(d, saRounds(s, dir))
         fin.join(broadcast(d), "doc_id")
           .select(col("rk").as("srank"), col("dup_cnt"),
             col("doc_id"), col("pos"),
@@ -881,7 +881,7 @@ object DedupOps extends QueryPack {
           // is the declared result.
           .orderBy("srank", "doc_id", "pos").limit(64)
       },
-      oracleGen = Some((s, dir) => suffixRankOracle(saRoundsOf(saSlice(s, dir))))))
+      oracleGen = Some((s, dir) => suffixRankOracle(saRounds(s, dir)))))
 
   /** The SA corpus slice: `lang='en', doc_id%10=3`, lowercased
     * space-tokenized. Shared by the query body, the per-dir oracle
@@ -903,21 +903,38 @@ object DedupOps extends QueryPack {
   private[graft] val SaSeedGram = 8
   private[graft] val SaK = 16
 
+  /** Derived round count per (session, dir) — the probe is a property of
+    * the corpus, so it stages like the learned-quantizer codebooks (one
+    * bounded fold per session+dir, shared by the query body and the
+    * oracle generator; cross-session keying matches the Staged/typedSpools
+    * convention).
+    */
+  private val saRoundsMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Int]
+
+  private def saRounds(s: SparkSession, dir: String): Int =
+    saRoundsMemo.getOrElseUpdate(
+      (System.identityHashCode(s), dir), saRoundsOf(saSlice(s, dir)))
+
   /** Derive the k=[[SaK]] round count from the slice's max doc length
     * (coverage [[SaSeedGram]]·[[SaK]]^r ≥ maxlen), and enforce the token
     * contract the seed-gram ordering equivalence needs — nonempty
     * tokens, no characters below 0x20 (an empty token from doubled
     * spaces, or a token containing a control char, would break
     * "space-joined gram order = token order"). One bounded driver fold:
-    * a single aggregate row over the slice, independent of corpus size.
-    * Fails LOUDLY on contract violation instead of silently mis-ranking
-    * (ADVICE r18).
+    * a single aggregate row over the slice, independent of corpus size
+    * (doc-level checks: array_contains for the empty token, ONE regex
+    * scan of the rejoined doc for control chars — not a per-token
+    * regex). Fails LOUDLY on contract violation instead of silently
+    * mis-ranking (ADVICE r18).
     */
   private[graft] def saRoundsOf(d: DataFrame): Int = {
     val probe = d.agg(
       coalesce(max(size(col("toks"))), lit(0)).as("maxlen"),
-      coalesce(max(when(exists(col("toks"),
-        t => t === "" || t.rlike("[\\x00-\\x1f]")), 1).otherwise(0)), lit(0))
+      coalesce(max(when(
+        array_contains(col("toks"), "") ||
+          concat_ws(" ", col("toks")).rlike("[\\x00-\\x1f]"),
+        1).otherwise(0)), lit(0))
         .as("bad")).head()
     require(probe.getInt(1) == 0,
       "dedup_suffix_array_rank: corpus violates the SA token contract " +

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, QueryPack, Tables}
 import graft.Fns._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -325,61 +326,64 @@ object TextOps extends QueryPack {
   /** One hard-EM (Viterbi) E-step: segment every word of `wf` under
     * `vocab` (piece -> logp, a collected bounded map baked into the plan
     * as ONE map literal) and return per-piece counts weighted by word
-    * frequency. The DP is a linear chain over positions 1..[[UniMaxLen]]:
-    * the state row carries, for the last [[UniMaxPiece]] prefix ends,
-    * the best score (s0..s3) and its '|'-joined segmentation (g0..g3);
-    * step `i` proposes one candidate per piece length (score[i-l] +
-    * logp(substr(i-l+1, l)), `try_element_at` NULL on a vocab miss —
-    * the LEFT-join semantics — so absent pieces and finished words
-    * propose nothing), takes the max (ties: longer piece first — the
-    * same fixed CASE order in the SQL oracle), and shifts the carried
-    * columns. Words shorter than `i` freeze (all candidates NULL). No
+    * frequency. The DP is a linear chain over positions 1..[[UniMaxLen]]
+    * run as ONE fixed-size `aggregate()` lambda (the position loop lives
+    * INSIDE the higher-order function at runtime — 12 stacked per-step
+    * projections would CollapseProject into one exponentially-nested
+    * expression whose codegen compile dominated the query; the lambda's
+    * expression tree is position-independent and built once). The state
+    * struct carries, for the last [[UniMaxPiece]] prefix ends, the best
+    * score (s0..s3) and its '|'-joined segmentation (g0..g3); position
+    * `i` proposes one candidate per piece length (score[i-l] +
+    * logp(substr(i-l+1, l)), `try_element_at` NULL on a vocab miss — the
+    * LEFT-join semantics — so absent pieces and finished words propose
+    * nothing; candidates with l > i are NULL automatically because state
+    * s_{l-1} only becomes non-NULL after l-1 positions), takes the max
+    * (ties: longer piece first — the same fixed CASE order in the SQL
+    * oracle), and shifts the carried fields. Words shorter than `i`
+    * freeze (all candidates NULL — the len(wd) >= i mask: past the word
+    * end, substring() returns a TRUNCATED string that can still match a
+    * real piece, caught by the Round18OpsSpec sequential twin). No
     * backtrack pass: the winning segmentation rides the state, and
-    * counts fall out of one split+explode at the end. Every step is a
-    * pure projection — the whole E-step is map-side over the
-    * word-frequency table (no joins, no shuffles before the final
-    * per-piece fold).
+    * counts fall out of one split+explode at the end — the whole E-step
+    * is ONE map-side pass over the word-frequency table (no joins, no
+    * shuffles before the final per-piece fold).
     */
   private def uniEmRound(
       wf: org.apache.spark.sql.DataFrame,
       vocab: Map[String, Double]): org.apache.spark.sql.DataFrame = {
     val vm = typedLit(vocab)
-    var st = wf.select(
-      Seq(col("wd"), col("f"), lit(0.0).as("s0"), lit("").as("g0")) ++
+    val wd = col("wd")
+    val init = struct(
+      Seq(lit(0.0).as("s0"), lit("").as("g0")) ++
         (1 until UniMaxPiece).flatMap(k => Seq(
           lit(null).cast("double").as(s"s$k"),
           lit(null).cast("string").as(s"g$k"))): _*)
-    for (i <- 1 to UniMaxLen) {
-      val ls = 1 to math.min(UniMaxPiece, i)
-      val stateCols = Seq("wd", "f") ++
-        (0 until UniMaxPiece).flatMap(k => Seq(s"s$k", s"g$k"))
-      // The len(wd) >= i mask is the FREEZE guard: past the word end,
-      // substring() returns a TRUNCATED string that can still match a
-      // real piece (substr('join', 4, 2) = 'n'), so an unmasked candidate
-      // would keep "advancing" a finished word and scramble its
-      // segmentation (caught by the Round18OpsSpec sequential twin).
-      val withC = st.select(stateCols.map(col) ++
-        ls.map(l => when(length(col("wd")) >= i,
-          col(s"s${l - 1}") +
-            try_element_at(vm, expr(s"substring(wd, ${i - l + 1}, $l)")))
-          .as(s"c$l")): _*)
-      val withM = withC.withColumn("m",
-        if (ls.size > 1) greatest(ls.map(l => col(s"c$l")): _*) else col("c1"))
-      def piece(l: Int) = expr(s"substring(wd, ${i - l + 1}, $l)")
-      val seg = ls.reverse.init
-        .foldLeft(when(col("m").isNull, col("g0")))((acc, l) =>
-          acc.when(col(s"c$l") === col("m"),
-            concat(col(s"g${l - 1}"), lit("|"), piece(l))))
-        .otherwise(concat(col("g0"), lit("|"), piece(1)))
-      st = withM.select(
-        Seq(col("wd"), col("f"),
-          when(col("m").isNull, col("s0")).otherwise(col("m")).as("s0"),
+    def step(st: Column, i: Column): Column = {
+      def piece(l: Int) = wd.substr(i - lit(l) + lit(1), lit(l))
+      val cs = (1 to UniMaxPiece).map(l =>
+        when(length(wd) >= i,
+          st.getField(s"s${l - 1}") + try_element_at(vm, piece(l))))
+      val m = greatest(cs: _*)
+      val seg = (UniMaxPiece to 2 by -1)
+        .foldLeft(when(m.isNull, st.getField("g0")))((acc, l) =>
+          acc.when(cs(l - 1) === m,
+            concat(st.getField(s"g${l - 1}"), lit("|"), piece(l))))
+        .otherwise(concat(st.getField("g0"), lit("|"), piece(1)))
+      struct(
+        Seq(when(m.isNull, st.getField("s0")).otherwise(m).as("s0"),
           seg.as("g0")) ++
           (1 until UniMaxPiece).flatMap(k => Seq(
-            when(col("m").isNull, col(s"s$k")).otherwise(col(s"s${k - 1}")).as(s"s$k"),
-            when(col("m").isNull, col(s"g$k")).otherwise(col(s"g${k - 1}")).as(s"g$k"))): _*)
+            when(m.isNull, st.getField(s"s$k"))
+              .otherwise(st.getField(s"s${k - 1}")).as(s"s$k"),
+            when(m.isNull, st.getField(s"g$k"))
+              .otherwise(st.getField(s"g${k - 1}")).as(s"g$k"))): _*)
     }
-    st.select(explode(split(col("g0"), "\\|")).as("piece"), col("f"))
+    wf.select(
+        aggregate(sequence(lit(1), lit(UniMaxLen)), init, step,
+          _.getField("g0")).as("g0"),
+        col("f"))
+      .select(explode(split(col("g0"), "\\|")).as("piece"), col("f"))
       .filter(col("piece") =!= "")
       .groupBy("piece").agg(sum("f").cast("long").as("c"))
   }
