@@ -1304,7 +1304,89 @@ object CurationOps extends QueryPack {
             (col("n").cast("double") + noise).as("noisy_n"))
           .withColumn("suppressed", col("noisy_n") < 5.0)
           .oracleOrder("source", "lang")
+      }),
+
+    // Corpus-distribution DRIFT gate — Population Stability Index between
+    // the published snapshot and the new crawl batch (the incremental-
+    // bloom doc_id%5 split) over fixed-width n_chars bins: the data-
+    // quality monitor a recurring-crawl pipeline runs BEFORE admitting a
+    // batch (PSI < 0.1 stable / 0.1-0.25 drifting / > 0.25 shifted — the
+    // credit-scoring convention). Laplace-smoothed bin shares (+1/+B)
+    // keep empty bins finite without dropping them.
+    //
+    // Exactness: bin counts are integer GROUP BYs; p and q are single
+    // int/int double divisions of identical operands (bit-equal cross-
+    // engine); each (q−p)·ln(q/p) term is ROUND 9dp then DECIMAL-summed
+    // (the chi-squared discipline ⇒ shuffle-order-free), PSI closes
+    // ROUND 6dp. Scale shape: two grouped folds to B=10-row bin tables
+    // (map-side partials — one row per bin shuffles), a broadcast
+    // full-outer bin join + one broadcast 1-row totals product; nothing
+    // after the folds grows with the corpus.
+    Q(
+      "curation_quality_drift_psi",
+      Some(s"""WITH d AS (
+             |  SELECT doc_id % 5 = 4 AS is_new,
+             |    least(${PsiBins - 1}, n_chars // $PsiBinWidth) AS bin
+             |  FROM documents),
+             |r AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_ref
+             |      FROM d WHERE NOT is_new GROUP BY 1),
+             |w AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_new
+             |      FROM d WHERE is_new GROUP BY 1),
+             |j AS (
+             |  SELECT COALESCE(r.bin, w.bin) AS bin,
+             |    COALESCE(n_ref, 0) AS n_ref, COALESCE(n_new, 0) AS n_new
+             |  FROM r FULL OUTER JOIN w ON r.bin = w.bin),
+             |t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tot_ref,
+             |             CAST(SUM(n_new) AS BIGINT) AS tot_new FROM j),
+             |terms AS (
+             |  SELECT bin, n_ref, n_new,
+             |    CAST(ROUND(
+             |      (CAST(n_new + 1 AS DOUBLE) / (tot_new + $PsiBins)
+             |        - CAST(n_ref + 1 AS DOUBLE) / (tot_ref + $PsiBins))
+             |      * ln((CAST(n_new + 1 AS DOUBLE) / (tot_new + $PsiBins))
+             |           / (CAST(n_ref + 1 AS DOUBLE) / (tot_ref + $PsiBins))), 9)
+             |      AS DECIMAL(18,9)) AS term
+             |  FROM j, t)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+             |  CAST(SUM(n_ref) AS BIGINT) AS n_ref,
+             |  CAST(SUM(n_new) AS BIGINT) AS n_new,
+             |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
+             |FROM terms""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d = Tables(s, dir, "documents")
+          .select((col("doc_id") % 5 === 4).as("is_new"),
+            least(lit(PsiBins - 1),
+              expr(s"n_chars div $PsiBinWidth")).as("bin"))
+        val r = d.filter(!col("is_new")).groupBy("bin").agg(cnt.as("n_ref"))
+        val w = d.filter(col("is_new")).groupBy("bin")
+          .agg(cnt.as("n_new"))
+          .withColumnRenamed("bin", "wbin")
+        val j = r.join(w, col("bin") === col("wbin"), "full_outer")
+          .select(coalesce(col("bin"), col("wbin")).as("bin"),
+            coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+        val t = j.agg(sum("n_ref").cast("long").as("tot_ref"),
+          sum("n_new").cast("long").as("tot_new"))
+        val q = (col("n_new") + 1).cast("double") / (col("tot_new") + PsiBins)
+        val p = (col("n_ref") + 1).cast("double") / (col("tot_ref") + PsiBins)
+        j.crossJoin(broadcast(t))
+          .select(col("n_ref"), col("n_new"),
+            round((q - p) * log(q / p), 9).cast(DecimalType(18, 9)).as("term"))
+          .agg(cnt.as("n_bins"),
+            sum("n_ref").cast("long").as("n_ref"),
+            sum("n_new").cast("long").as("n_new"),
+            round(sum("term").cast("double"), 6).as("psi"))
       }))
+
+  /** PSI drift-gate geometry: fixed-width n_chars bins (bin =
+    * min(PsiBins-1, n_chars div PsiBinWidth)) — fixed-width keeps both
+    * engines' binning a single integer division (a quantile binning
+    * would be the equi-depth row's two-pass shape; PSI over fixed bins
+    * is standard practice for bounded metrics).
+    */
+  private val PsiBins = 10
+  private val PsiBinWidth = 200
 
   /** Per-source cap + its sampling seed for `corpus_cap_per_source`. */
   private val capPerSource = 15

@@ -381,6 +381,36 @@ object Scans extends QueryPack {
           .oracleOrder("lang")
       }),
 
+    // XML round-trip on Spark 4's BUILT-IN XML source (the spark-xml
+    // donation, in-core since 4.0) — the last interchange format in the
+    // matrix (parquet/ORC/CSV/JSON/jsonl.gz/text/npz/binary/XML): write a
+    // customer projection as row-tagged XML, read it back with an
+    // explicit schema (XML carries no types) and the same rowTag,
+    // aggregate. XML-escaping of special chars survives the round-trip by
+    // construction; result equals the same aggregate straight off
+    // parquet. Like every interchange row the fixture is written by the
+    // query itself — the 100 TB story is the source's, not the fixture's:
+    // one file per writer task, readers parallelize per file.
+    Q(
+      "scan_xml_roundtrip",
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(c_nationkey) AS BIGINT) AS natsum
+             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_xml_customer"
+        Tables(s, dir, "customer")
+          .select("c_custkey", "c_nationkey", "c_mktsegment")
+          .write.mode("overwrite").option("rowTag", "customer")
+          .format("xml").save(tmp)
+        s.read
+          .schema("c_custkey BIGINT, c_nationkey BIGINT, c_mktsegment STRING")
+          .option("rowTag", "customer")
+          .format("xml").load(tmp)
+          .groupBy("c_mktsegment")
+          .agg(cnt.as("n"), sum("c_nationkey").cast("long").as("natsum"))
+          .oracleOrder("c_mktsegment")
+      }),
+
     // Raw text-lines round-trip (the corpus interchange format LLM
     // pipelines actually exchange — one document per line): write the
     // document bodies as a text sink, stream them back through the line
