@@ -125,19 +125,25 @@ object BenchIsolation {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Ad-hoc adjudication subset (any registry ids, not just the standing
+    // Suspects): SPARK_GRAFT_ISOLATION_ONLY=a,b,c — used e.g. to isolate
+    // the r19 capture-anomaly rows without paying the full sweep.
+    val suspects: Seq[String] = sys.env.get("SPARK_GRAFT_ISOLATION_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Suspects)
 
     // Leg 1 — shared session, Bench's exact protocol (warm all table caches,
     // then run each suspect back-to-back in the one session).
     val shared = newSession(cpus)
     Tables.names.foreach(t => Tables(shared, sfDir, t).count())
-    val sharedTimes = Suspects.map(q => q -> time(shared, sfDir, q)).toMap
+    val sharedTimes = suspects.map(q => q -> time(shared, sfDir, q)).toMap
     shared.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
 
     // Leg 2 — one FRESH session per suspect: cold session state, cold table
     // cache (Tables keys on session identity), warm JVM/JIT.
-    val freshTimes = Suspects.map { q =>
+    val freshTimes = suspects.map { q =>
       val s = newSession(cpus)
       Tables.names.foreach(t => Tables(s, sfDir, t).count())
       val t = time(s, sfDir, q)
@@ -147,7 +153,7 @@ object BenchIsolation {
       q -> t
     }.toMap
 
-    val qs = Suspects.map { q =>
+    val qs = suspects.map { q =>
       val sh = sharedTimes(q); val fr = freshTimes(q)
       val failed = sh.isNaN || fr.isNaN
       s""""$q":{"shared":${jnum(sh)},"fresh":${jnum(fr)},""" +

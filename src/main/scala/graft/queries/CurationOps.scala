@@ -1377,6 +1377,121 @@ object CurationOps extends QueryPack {
             sum("n_ref").cast("long").as("n_ref"),
             sum("n_new").cast("long").as("n_new"),
             round(sum("term").cast("double"), 6).as("psi"))
+      }),
+
+    // HTML boilerplate strip — the FIRST transform every real web-crawl
+    // corpus build runs (C4/RefinedWeb-style pipelines lead with it), and
+    // the markup generalization of the reference's crash-free dirty-input
+    // cleaning pass (`trainer/flax_model.py:79-95`). Each document is
+    // wrapped in a deterministic page shell (head/style/script, nav,
+    // footer) and recovered by a strip chain shared VERBATIM with the
+    // DuckDB oracle: (1) drop <script>/<style> blocks wholesale — the
+    // pattern is a plain alternation, NOT a backreference, so it runs
+    // identically under Java regex and DuckDB's RE2 (RE2 has no backrefs);
+    // (2) block-close tags become newlines so the page decomposes into
+    // lines; (3) strip remaining tags to spaces; (4) decode entities;
+    // (5) collapse whitespace. The keep flag is the classic boilerplate
+    // LINE-DENSITY heuristic: chars on short (<30-char) lines are chrome
+    // (nav items, page title, footer), chars on long lines are content; a
+    // page passes when content chars are >= 85% of the stripped total
+    // (both outcomes occur at every test sf: 314/186 at sf0.001, 306/194
+    // at sf0.01, 2952/2048 at sf0.1). The gate compares pure integers
+    // (content*100 >= 85*total) so the cross-engine verdict never touches
+    // a float; content_frac is display-only. md5(clean) pins the full
+    // stripped text without shipping it through the diff. Scale shape:
+    // ZERO shuffle — a codegen'd regexp/replace chain plus one
+    // fixed-depth line fold per row, then only the presentation sort; at
+    // 100 TB this runs as a pure map stage at input parallelism.
+    Q(
+      "text_html_boilerplate_strip",
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+             |    '</title><style>body{margin:0}</style><script>var t=' ||
+             |    CAST(doc_id AS VARCHAR) || ';track(t);</script></head><body>' ||
+             |    '<nav><ul><li>Home</li><li>Docs</li><li>About</li></ul></nav>' ||
+             |    '<div id="main"><p>' || text || '</p></div>' ||
+             |    '<footer>&copy; 2026 ' || source ||
+             |    ' &middot; <a href="/privacy">Privacy</a></footer></body></html>'
+             |      AS html
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, html,
+             |    trim(regexp_replace(regexp_replace(regexp_replace(
+             |      replace(replace(
+             |        regexp_replace(regexp_replace(regexp_replace(html,
+             |          '<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
+             |          '', 'g'),
+             |          '</(title|li|ul|nav|p|div|footer)>', chr(10), 'g'),
+             |          '<[^>]*>', ' ', 'g'),
+             |        '&copy;', '(c)'), '&middot;', '-'),
+             |      ' +', ' ', 'g'),
+             |      ' *' || chr(10) || ' *', chr(10), 'g'),
+             |      chr(10) || '+', chr(10), 'g'), ' ' || chr(10)) AS clean
+             |  FROM h),
+             |m AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT)
+             |      AS n_tags,
+             |    CAST(COALESCE(list_sum(list_transform(list_filter(
+             |      string_split(clean, chr(10)), l -> len(l) >= 30),
+             |      l -> len(l))), 0) AS BIGINT) AS content_chars,
+             |    CAST(COALESCE(list_sum(list_transform(list_filter(
+             |      string_split(clean, chr(10)), l -> len(l) < 30),
+             |      l -> len(l))), 0) AS BIGINT) AS boiler_chars,
+             |    md5(clean) AS clean_md5
+             |  FROM c)
+             |SELECT doc_id, n_tags, content_chars, boiler_chars,
+             |  ROUND(CAST(content_chars AS DOUBLE)
+             |    / (content_chars + boiler_chars), 4) AS content_frac,
+             |  content_chars * 100 >= 85 * (content_chars + boiler_chars)
+             |    AS keep,
+             |  clean_md5
+             |FROM m ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.Column
+        val id = col("doc_id").cast("string")
+        val html = concat(
+          lit("<html><head><title>Doc "), id,
+          lit("</title><style>body{margin:0}</style><script>var t="), id,
+          lit(";track(t);</script></head><body>"),
+          lit("<nav><ul><li>Home</li><li>Docs</li><li>About</li></ul></nav>"),
+          lit("<div id=\"main\"><p>"), col("text"), lit("</p></div>"),
+          lit("<footer>&copy; 2026 "), col("source"),
+          lit(" &middot; <a href=\"/privacy\">Privacy</a>" +
+            "</footer></body></html>"))
+        def strip(h: Column): Column = trim(
+          regexp_replace(regexp_replace(regexp_replace(
+            replace(replace(
+              regexp_replace(regexp_replace(regexp_replace(h,
+                "<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", ""),
+                "</(title|li|ul|nav|p|div|footer)>", "\n"),
+                "<[^>]*>", " "),
+              lit("&copy;"), lit("(c)")), lit("&middot;"), lit("-")),
+            " +", " "),
+            " *\n *", "\n"),
+            "\n+", "\n"), " \n")
+        val ls = split(col("clean"), "\n")
+        def lineChars(p: Column => Column): Column = aggregate(
+          filter(ls, l => p(length(l))),
+          lit(0L), (acc, l) => acc + length(l).cast("long"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), html.as("html"))
+          .withColumn("clean", strip(col("html")))
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("html"), lit("<[^>]*>"), lit(0)))
+              .cast("long").as("n_tags"),
+            lineChars(_ >= 30).as("content_chars"),
+            lineChars(_ < 30).as("boiler_chars"),
+            md5(col("clean")).as("clean_md5"))
+          .withColumn("content_frac",
+            round(col("content_chars").cast("double") /
+              (col("content_chars") + col("boiler_chars")), 4))
+          .withColumn("keep",
+            col("content_chars") * 100 >=
+              (col("content_chars") + col("boiler_chars")) * 85)
+          .oracleOrder("doc_id")
       }))
 
   /** PSI drift-gate geometry: fixed-width n_chars bins (bin =

@@ -55,4 +55,74 @@ class CusumStreamSpec extends SparkSpec {
     }
     assert(at(1) == at(3))
   }
+
+  /** Multi-batch path (ADVICE r19): the registry row runs the whole spool
+    * as ONE AvailableNow batch, so cross-batch state carryover and the
+    * watermark's late-row filter were never exercised. This leg replays
+    * the identical state machine over a 3-file TIME-ORDERED spool with
+    * maxFilesPerTrigger=1 (3 data micro-batches): in-order arrival is the
+    * operator's documented contract — an online CUSUM folds events in
+    * arrival order, and the oracle equivalence assumes arrival order ==
+    * event-time order (true for the single-batch registry row because the
+    * batch is sorted in-operator, true here by construction). With the
+    * ordered split, no row is late (each batch's min ts >= the previous
+    * batch's max, the watermark source), so the emitted onsets must equal
+    * the batch operator's EXACTLY, now with state flowing through the
+    * store across batches.
+    */
+  test("multi-batch time-ordered replay equals the batch onsets") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.CusumAlert
+    val rows = Tables(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._2.getTime, t._3))
+    val spool = java.nio.file.Files.createTempDirectory("cusum_mb").toString
+    val n = rows.length
+    require(n >= 3)
+    (0 until 3).foreach { i =>
+      val slice = rows.slice(i * n / 3, (i + 1) * n / 3).toSeq
+      val tmp = java.nio.file.Files.createTempDirectory("cusum_mb_part")
+      slice.toDF("user_id", "ts", "event_id", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
+      // Lexicographic name == arrival order: the file source breaks
+      // equal-mod-time ties by path.
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(s"$spool/part-$i.parquet"))
+    }
+    val schema = Tables(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "value").schema
+    val sink = s"cusum_mb_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("cusum_mb_ckpt").toString
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(spool)
+      .withWatermark("ts", "0 seconds")
+      .as[CusumAlert.Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        CusumAlert.apply)
+      .writeStream
+      .queryName(sink)
+      .outputMode("append")
+      .format("memory")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 3, s"expected >=3 data micro-batches, got $dataBatches")
+    val got = spark.table(sink)
+      .select(col("user_id"), col("event_id"), round(col("cusum"), 6).as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(got == batchOnsets())
+  }
 }

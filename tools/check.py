@@ -65,6 +65,7 @@ def compare(name, spark_df, duck_df):
 
 BASELINE_CEILING_SEC = 120.0   # 2x the declared 60 s total (BASELINE.md)
 CANARY_HEALTHY_MAX = 1.15      # above this the box is drifting
+DRIFT_CREDIT_MAX = 2.0         # max drift ratio a normalized pass may claim
 
 
 def check_bench_capture(bench_path, oracle_json_path):
@@ -76,14 +77,18 @@ def check_bench_capture(bench_path, oracle_json_path):
     query plus both raw samples and load averages — the driver's 2000-char
     stdout tail cannot hold the full per-query map.
 
-    Drift canary (VERDICT r18 item 1): the capture must carry the in-run
-    canary block (>= 8 pinned code-stable rows re-timed against their
-    committed round-17 values). Gate: raw total under the 120 s baseline
-    ceiling on a healthy box (canary ratio <= 1.15), OR — when the canary
-    proves machine drift (ratio > 1.15) — the drift-normalized total
-    (total / ratio, stamped in the artifact itself) under the ceiling. A
-    capture that fails BOTH is a real breach: re-run on a quieter box or
-    fix the regression.
+    Drift adjudication (VERDICT r18 item 1, hardened per VERDICT r19 item 3
+    + ADVICE r19): the capture must carry TWO independent in-run drift
+    estimators — the 16-row pinned canary AND the median ratio over every
+    code-present row vs the committed round-17 full capture ("allrows").
+    The gate uses the MORE CONSERVATIVE (smaller) of the two: a normalized
+    pass must survive the estimator granting the least drift credit.
+    Additionally the credit is CAPPED at 2.0x: the estimators run on the
+    same harness/JVM/config stack as the benchmark itself, so an unbounded
+    normalization would let a repo-wide infrastructure regression be waved
+    through as machine drift. Gate: raw total under the 120 s ceiling, OR
+    (drift proven, conservative ratio in (1.15, 2.0]) normalized total
+    under the ceiling. A capture that fails both is a real breach.
     """
     with open(bench_path) as f:
         bench = json.load(f)
@@ -102,23 +107,43 @@ def check_bench_capture(bench_path, oracle_json_path):
               f"(canary={canary}) — an official capture must adjudicate "
               f"its own machine state")
         sys.exit(1)
+    allrows = canary.get("allrows") or {}
+    all_ratio = allrows.get("ratio")
+    if all_ratio is None or allrows.get("n", 0) < 32:
+        print(f"FAIL bench capture {bench_path}: no all-rows drift estimator "
+              f"(allrows={allrows}) — the capture must carry BOTH the 16-row "
+              f"canary and the all-code-stable-rows median vs the pinned "
+              f"round-17 capture")
+        sys.exit(1)
+    cons = min(ratio, all_ratio)
+    stamped = canary.get("ratio_conservative")
+    if stamped is not None and abs(stamped - cons) > 0.005:
+        print(f"FAIL bench capture {bench_path}: stamped ratio_conservative "
+              f"{stamped} != min(canary {ratio}, allrows {all_ratio})")
+        sys.exit(1)
     total = bench["value"]
-    norm = total / max(ratio, 1.0)
-    if total < BASELINE_CEILING_SEC and ratio <= CANARY_HEALTHY_MAX:
+    norm = total / max(cons, 1.0)
+    agree = max(ratio, all_ratio) / max(min(ratio, all_ratio), 1e-9)
+    est = (f"canary {ratio:.3f} / allrows[n={allrows['n']}] {all_ratio:.3f} "
+           f"(agreement x{agree:.2f}, conservative {cons:.3f})")
+    if total < BASELINE_CEILING_SEC and cons <= CANARY_HEALTHY_MAX:
         verdict = (f"raw PASS: total {total:.1f}s < {BASELINE_CEILING_SEC:.0f}s "
-                   f"on a healthy box (canary {ratio:.3f})")
+                   f"on a healthy box ({est})")
     elif total < BASELINE_CEILING_SEC:
         verdict = (f"raw PASS with drift flag: total {total:.1f}s < "
-                   f"{BASELINE_CEILING_SEC:.0f}s despite canary {ratio:.3f}")
-    elif ratio > CANARY_HEALTHY_MAX and norm < BASELINE_CEILING_SEC:
-        verdict = (f"drift-normalized PASS: raw {total:.1f}s on a box the "
-                   f"canary measures x{ratio:.3f} vs the pinned round-17 "
-                   f"capture -> normalized {norm:.1f}s < "
-                   f"{BASELINE_CEILING_SEC:.0f}s")
+                   f"{BASELINE_CEILING_SEC:.0f}s despite {est}")
+    elif (CANARY_HEALTHY_MAX < cons <= DRIFT_CREDIT_MAX
+          and norm < BASELINE_CEILING_SEC):
+        verdict = (f"drift-normalized PASS: raw {total:.1f}s on a box both "
+                   f"estimators call drifted ({est}) -> normalized "
+                   f"{norm:.1f}s < {BASELINE_CEILING_SEC:.0f}s")
     else:
+        why = ("drift credit capped at "
+               f"{DRIFT_CREDIT_MAX} (claimed {cons:.3f})"
+               if cons > DRIFT_CREDIT_MAX else
+               f"{est} does not explain it (normalized {norm:.1f}s)")
         print(f"FAIL bench capture {bench_path}: total {total:.1f}s >= "
-              f"{BASELINE_CEILING_SEC:.0f}s and canary {ratio:.3f} does not "
-              f"explain it (normalized {norm:.1f}s)")
+              f"{BASELINE_CEILING_SEC:.0f}s and {why}")
         sys.exit(1)
     print(f"PASS bench capture: {len(got)} queries cover all "
           f"{len(registry)} registry ids, samples + load averages present; "
