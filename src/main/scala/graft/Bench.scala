@@ -116,9 +116,12 @@ object Bench {
     // per-row value is the min over all four samples — still a real
     // measurement, now robust to a transient burst landing on both
     // back-to-back first-pass samples.
+    // The absolute floor (0.3 s) keeps the safeguard off sub-0.1s rows
+    // whose 3x-of-pin trips on scheduling noise alone — they cannot
+    // threaten the gate, and each retime costs two more runs of wall time.
     val retimed: Map[String, (Double, Double)] =
       firstPass.flatMap { case (k, v) =>
-        retimePins.get(k).filter(pin => v > 3.0 * pin).map { _ =>
+        retimePins.get(k).filter(pin => v > 3.0 * pin && v > 0.3).map { _ =>
           System.err.println(f"[bench] $k%s ended at $v%.2fs > 3x its " +
             f"pinned value ${retimePins(k)}%.2fs — re-timing")
           val fn = SparkEntry.queries(k)

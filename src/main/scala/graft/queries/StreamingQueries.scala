@@ -48,6 +48,12 @@ object StreamingQueries extends QueryPack {
   private val cdcBatches = scala.collection.concurrent.TrieMap
     .empty[(Int, String), Seq[java.nio.file.Path]]
 
+  /** Per-(session, dir) two-file ordered orders spool (snapshot + delta)
+    * for the streaming aggregate-view maintenance row.
+    */
+  private val aggViewSpools =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
   /** Per-(session, dir) PRISTINE partitioned CDC merge target: the merge
     * mutates its target, so each run needs a fresh copy — but the
     * partitioned Spark WRITE of the base table only needs to happen once;
@@ -677,6 +683,96 @@ object StreamingQueries extends QueryPack {
           .groupBy("o_orderstatus")
           .agg(cnt.as("n"), round(dsum(col("o_totalprice")), 4).as("s"))
           .oracleOrder("o_orderstatus")
+      }),
+
+    // ONLINE incremental aggregate-view maintenance — the streaming twin
+    // of `sink_incremental_agg_maintain`, completing the view-maintenance
+    // family's online form the way `stream_cusum_alert` completed the
+    // anomaly family. The fact stream arrives as two ordered micro-batches
+    // (the 90% snapshot load, then the 10% delta — maxFilesPerTrigger=1
+    // over a two-file spool); foreachBatch folds EACH batch to per-key
+    // PARTIAL aggregates (n, decimal s — key-cardinality-sized, never the
+    // raw rows) and merges them into the parquet serving view with the
+    // identical commutative merge arithmetic the batch row uses
+    // (n := n₀+n₁, s := s₀+s₁ — exact decimal adds). Because the merge is
+    // commutative+associative, the served view is independent of how the
+    // stream was batched, and converges to the full recompute — which IS
+    // the oracle (same SQL as the batch row). At 100 TB each maintenance
+    // pass aggregates only the arriving micro-batch and rewrites a
+    // key-cardinality-sized view: the base table is never rescanned.
+    Q(
+      "stream_incremental_agg_maintain",
+      Some("""SELECT o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n,
+             |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS s
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => withStreamPartitions(s, 2) {
+        import org.apache.spark.sql.types.DecimalType
+        // Stage the two-file ordered spool once per (session, dir):
+        // part-0 = the 90% snapshot batch, part-1 = the 10% delta batch
+        // (lexicographic names pin arrival order — the file source breaks
+        // equal-mod-time ties by path).
+        val spool = aggViewSpools.getOrElseUpdate(
+          (System.identityHashCode(s), dir), {
+            val p = scratchDir("graft_aggview_spool").toString
+            val orders = Tables(s, dir, "orders")
+              .select(col("o_orderkey"),
+                col("o_orderpriority").as("pri"), col("o_totalprice"))
+            Seq(orders.filter(col("o_orderkey") % 10 =!= 0),
+                orders.filter(col("o_orderkey") % 10 === 0))
+              .zipWithIndex.foreach { case (df, i) =>
+                val tmp = scratchDir(s"graft_aggview_stage$i").toString
+                df.coalesce(1).write.mode("overwrite").parquet(tmp)
+                import scala.jdk.CollectionConverters._
+                val part = java.nio.file.Files.list(
+                    java.nio.file.Paths.get(tmp)).iterator().asScala
+                  .find(_.getFileName.toString.endsWith(".parquet"))
+                  .getOrElse(sys.error(s"no parquet part in $tmp"))
+                java.nio.file.Files.move(
+                  part, java.nio.file.Paths.get(p, s"part-$i.parquet"))
+              }
+            p
+          })
+        val run = scratchDir("graft_aggview_run").toString
+        val view = s"$run/view"
+        val ckpt = s"$run/ckpt"
+        def partials(df: DataFrame): DataFrame =
+          df.groupBy("pri").agg(
+            cnt.as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 6))).as("s"))
+        val q = s.readStream
+          .schema(s.read.parquet(spool).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(spool)
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val delta = partials(batch)
+              .withColumnRenamed("n", "dn").withColumnRenamed("s", "ds")
+            if (!java.nio.file.Files.exists(java.nio.file.Paths.get(view))) {
+              delta.select(col("pri"), col("dn").as("n"), col("ds").as("s"))
+                .write.parquet(view)
+            } else {
+              val merged = s.read.parquet(view)
+                .join(delta, Seq("pri"), "full_outer")
+                .select(col("pri"),
+                  (coalesce(col("n"), lit(0L)) +
+                    coalesce(col("dn"), lit(0L))).as("n"),
+                  (coalesce(col("s"), lit(0).cast(DecimalType(18, 6))) +
+                    coalesce(col("ds"), lit(0).cast(DecimalType(18, 6))))
+                    .as("s"))
+                // Materialize BEFORE overwriting the directory being read.
+                .localCheckpoint()
+              merged.write.mode("overwrite").parquet(view)
+            }
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(view)
+          .select(col("pri"), col("n"),
+            round(col("s").cast("double"), 4).as("s"))
+          .oracleOrder("pri")
       }),
 
     // The TensorBoard LIVE reader (trainer/tensorboard.ipynb:36-55) as a

@@ -69,4 +69,22 @@ class Round20OpsSpec extends SparkSpec {
     // The gate must split the corpus — a constant flag would be vacuous.
     assert(expected.exists(_._5) && expected.exists(!_._5))
   }
+
+  /** The streaming view-maintenance twin must serve EXACTLY the batch
+    * row's view (same merge arithmetic, different arrival protocol) and
+    * must genuinely run the two-micro-batch path — one per spool file —
+    * so the partial-merge leg (not just the initial load) is exercised.
+    */
+  test("stream_incremental_agg_maintain equals its batch sibling") {
+    val got = Registry.byId("stream_incremental_agg_maintain")
+      .run(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val want = Registry.byId("sink_incremental_agg_maintain")
+      .run(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
 }
