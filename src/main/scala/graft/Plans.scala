@@ -79,7 +79,9 @@ object Plans {
     // round-18 additions
     "text_unigram_train", "dedup_suffix_array_rank", "ml_dpo_pair_loss",
     // round-19 additions
-    "stream_cusum_alert", "curation_quality_drift_psi", "scan_xml_roundtrip")
+    "stream_cusum_alert", "curation_quality_drift_psi", "scan_xml_roundtrip",
+    // round-20 additions
+    "text_html_boilerplate_strip", "stream_incremental_agg_maintain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
