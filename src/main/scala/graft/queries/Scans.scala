@@ -14,6 +14,19 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Scans extends QueryPack {
 
+  /** Per-invocation unique scratch dir for write-then-read-back staging.
+    * A FIXED path here is a correctness hazard: the test harness runs
+    * suites in parallel in one JVM, and two concurrent invocations of the
+    * same query sharing one staging dir can interleave delete/append/read
+    * (the round-20 suite caught `graft_metrics_log` serving a 4th stale
+    * generation exactly that way). Uniqueness removes the race; the dirs
+    * are small and die with the tmpdir.
+    */
+  private def scratch(prefix: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+
+
   /** Once-per-JVM spill registry for `scan_binary_blobs` (value = path). */
   private val binarySpilled =
     scala.collection.concurrent.TrieMap.empty[String, String]
@@ -312,7 +325,7 @@ object Scans extends QueryPack {
       "sink_parquet_overwrite",
       Some("SELECT * FROM part ORDER BY p_partkey"),
       (s, dir) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_sink_parquet"
+        val tmp = scratch("graft_sink_parquet")
         Tables(s, dir, "part").write.mode("overwrite").parquet(tmp)
         s.read.parquet(tmp).oracleOrder("p_partkey")
       }),
@@ -326,7 +339,7 @@ object Scans extends QueryPack {
       Some("""SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n
              |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin),
       (s, dir) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_nation"
+        val tmp = scratch("graft_csv_nation")
         Tables(s, dir, "nation")
           .select("n_nationkey", "n_regionkey", "n_name")
           .write.mode("overwrite").option("header", "true").csv(tmp)
@@ -346,7 +359,7 @@ object Scans extends QueryPack {
              |  CAST(SUM(n_chars) AS BIGINT) AS chars
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
       (s, dir) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_docs"
+        val tmp = scratch("graft_json_docs")
         Tables(s, dir, "documents")
           .write.mode("overwrite").json(tmp)
         s.read.json(tmp)
@@ -369,7 +382,7 @@ object Scans extends QueryPack {
              |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
       (s, dir) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_gz"
+        val tmp = scratch("graft_jsonl_gz")
         Tables(s, dir, "documents")
           .write.mode("overwrite").option("compression", "gzip").json(tmp)
         s.read.json(tmp)
@@ -397,7 +410,7 @@ object Scans extends QueryPack {
              |  CAST(SUM(c_nationkey) AS BIGINT) AS natsum
              |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin),
       (s, dir) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_xml_customer"
+        val tmp = scratch("graft_xml_customer")
         Tables(s, dir, "customer")
           .select("c_custkey", "c_nationkey", "c_mktsegment")
           .write.mode("overwrite").option("rowTag", "customer")
@@ -424,7 +437,7 @@ object Scans extends QueryPack {
              |  CAST(MAX(length(text)) AS INT) AS max_len
              |FROM documents""".stripMargin),
       (s, dir) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_text_docs"
+        val tmp = scratch("graft_text_docs")
         Tables(s, dir, "documents")
           .select("text")
           .write.mode("overwrite").text(tmp)
@@ -449,7 +462,7 @@ object Scans extends QueryPack {
              |FROM orders WHERE year(o_orderdate) = 1995
              |GROUP BY 1 ORDER BY 1""".stripMargin),
       (s, dir) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders"
+        val tmp = scratch("graft_part_orders")
         Tables(s, dir, "orders")
           .withColumn("o_year", year(col("o_orderdate")))
           .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
@@ -480,7 +493,7 @@ object Scans extends QueryPack {
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_metrics_log"
+        val tmp = scratch("graft_metrics_log")
         val fs = new org.apache.hadoop.fs.Path(tmp)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -522,7 +535,7 @@ object Scans extends QueryPack {
              |FROM orders
              |WHERE o_custkey % 256 < 32 AND dayofyear(o_orderdate) % 256 < 32""".stripMargin),
       (s, dir) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_orders"
+        val tmp = scratch("graft_zorder_orders")
         Scans.writeZOrdered(Tables(s, dir, "orders"), tmp)
         s.read.parquet(tmp)
           .filter(zorderBox)
@@ -610,7 +623,7 @@ object Scans extends QueryPack {
              |FROM documents""".stripMargin),
       (s, dir) => {
         import s.implicits._
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_corrupt_json"
+        val tmp = scratch("graft_corrupt_json")
         Tables(s, dir, "documents")
           .select("doc_id", "lang", "n_chars")
           .write.mode("overwrite").json(tmp)
@@ -689,7 +702,7 @@ object Scans extends QueryPack {
               .as("o_orderstatus"),
             coalesce(col("c.o_totalprice"), col("b.o_totalprice"))
               .as("o_totalprice"))
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_merge_orders"
+        val tmp = scratch("graft_merge_orders")
         merged.write.mode("overwrite").parquet(tmp)
         s.read.parquet(tmp)
           .groupBy("o_orderstatus")
@@ -830,7 +843,7 @@ object Scans extends QueryPack {
         val v2 = chg.select(
           col("c_custkey").cast("long"), lit(2).as("valid_from"),
           lit(null).cast("int").as("valid_to"), col("seg"), col("acctbal"))
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_scd2_customer"
+        val tmp = scratch("graft_scd2_customer")
         v1.unionByName(v2).write.mode("overwrite").parquet(tmp)
         s.read.parquet(tmp)
           .filter(col("c_custkey") < 300)
@@ -857,7 +870,7 @@ object Scans extends QueryPack {
              |  CAST(SUM(coalesce(n_chars, 0)) AS BIGINT) AS sum_chars
              |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       (s, dir) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_schema_evo"
+        val tmp = scratch("graft_schema_evo")
         val d = Tables(s, dir, "documents")
         d.filter(col("doc_id") < 250)
           .select("doc_id", "lang")

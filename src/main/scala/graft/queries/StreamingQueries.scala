@@ -461,7 +461,8 @@ object StreamingQueries extends QueryPack {
              |  CAST(COUNT(*) AS BIGINT) AS n
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
       (s, dir) => withStreamPartitions(s, 2) {
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft_feb_sink"
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_feb_sink_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
         val ckpt = scratchDir("graft_feb_ckpt").toString
         val q = eventsStream(s, dir)
           .groupBy(window(col("ts"), "1 hour"))
