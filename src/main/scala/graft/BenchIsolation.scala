@@ -86,11 +86,16 @@ object BenchIsolation {
     "dedup_suffix_array_rank")
 
   private def newSession(cpus: String): SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Optional state-store-parallelism override for the streaming rows
+    // (the PartitionInvarianceSpec knob) — lets an isolation run A/B the
+    // micro-batch floor at different store counts.
+    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS")
+      .foreach(n => b.config("graft.stream.partitions", n))
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
