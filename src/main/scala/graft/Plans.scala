@@ -81,7 +81,8 @@ object Plans {
     // round-19 additions
     "stream_cusum_alert", "curation_quality_drift_psi", "scan_xml_roundtrip",
     // round-20 additions
-    "text_html_boilerplate_strip", "stream_incremental_agg_maintain")
+    "text_html_boilerplate_strip", "stream_incremental_agg_maintain",
+    "multimodal_audio_frame_energy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -19,6 +19,34 @@ import org.apache.spark.sql.types.DecimalType
   */
 object SimOps extends QueryPack {
 
+  /** Samples per synthetic audio clip (`multimodal_audio_frame_energy`). */
+  private[graft] val AudioClipSamples = 256
+
+  /** Closed-form sample i of a doc's synthetic clip as an unsigned 16-bit
+    * value (0..65535) — an integer LCG of (doc_id, i): all-long
+    * arithmetic with positive operands, so Spark % == DuckDB % exactly
+    * and the JVM replay in Round20OpsSpec is bit-identical.
+    */
+  private[graft] def audioU16(i: Column): Column =
+    (col("doc_id") * 7919L + i.cast("long") * 104729L + 12345L) % 65536L
+
+  /** PCM16LE encode of the synthetic clip: per sample the TWO'S-COMPLEMENT
+    * 16-bit pattern of the signed sample s = u − 32768 (pattern =
+    * (u + 32768) mod 2¹⁶ — the sign bit flips, NOT offset-binary; the
+    * ByteBuffer leg of Round20OpsSpec caught exactly that mix-up), low
+    * byte then high byte, folded into one hex string and unhex'd into a
+    * real BINARY column. Shared between the registry row and the layout
+    * spec so the spec pins THE row's bytes, not a copy.
+    */
+  private[graft] def audioPcm16le: Column = unhex(aggregate(
+    sequence(lit(0), lit(AudioClipSamples - 1)), lit(""),
+    (acc, i) => {
+      val v = (audioU16(i) + 32768L) % 65536L
+      concat(acc,
+        lpad(hex(v.bitwiseAND(lit(255L))), 2, "0"),
+        lpad(hex(shiftright(v, 8)), 2, "0"))
+    }))
+
   /** Typed rows for the mapPartitions decode path. */
   final case class DocBlob(
       doc_id: Long, lang: String, source: String, blob: Array[Byte])
@@ -1795,6 +1823,83 @@ object SimOps extends QueryPack {
           .select(col("doc_id"), phash.cast("long").as("phash"))
           .withColumn("n_same", count(lit(1)).over(byHash).cast("long"))
           .oracleOrder("doc_id")
+      }),
+
+    // AUDIO modality QC — completes the image/audio/video triple as a
+    // first-class row: per-clip PCM16LE encode → binary column → DECODE →
+    // framewise energy / peak / clipping counts, the silence-and-clipping
+    // gate an audio corpus build runs before transcription. Each doc
+    // carries a deterministic 256-sample int16 clip (an integer LCG of
+    // (doc_id, i) — exact in both engines, no libm); Spark packs it into
+    // a real little-endian PCM16 BINARY column in-plan (hex fold →
+    // unhex), then decodes the BYTES back (substring/hex/conv per sample)
+    // and folds 4 × 64-sample frames to integer energy (Σs²), peak
+    // (max |s|) and clipped-sample counts. The DuckDB oracle replays the
+    // closed-form samples directly and never sees the binary — hash
+    // equality therefore PROVES the encode→decode leg is the identity
+    // (the scan_xml_roundtrip invisibility discipline), and
+    // Round20OpsSpec decodes the same blobs with java.nio.ByteBuffer
+    // (LITTLE_ENDIAN asShortBuffer) to pin the layout as genuine PCM16LE,
+    // not merely self-consistent. audio_bytes pins the encoded size
+    // (2 bytes/sample). Scale shape: ZERO shuffle — per-row array
+    // kernels + one generator (posexplode) fanout of 4 frame rows per
+    // clip, then only the presentation sort; at 100 TB this is a pure
+    // map stage over the audio blob column at input parallelism.
+    Q(
+      "multimodal_audio_frame_energy",
+      Some("""WITH f AS (SELECT range AS frame FROM range(4)),
+             |j AS (SELECT range AS j FROM range(64)),
+             |s AS (
+             |  SELECT doc_id, frame,
+             |    (doc_id * 7919 + (frame * 64 + j) * 104729 + 12345) % 65536
+             |      - 32768 AS smp
+             |  FROM documents, f, j)
+             |SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+             |  CAST(SUM(smp * smp) AS BIGINT) AS energy,
+             |  CAST(MAX(ABS(smp)) AS BIGINT) AS peak,
+             |  CAST(SUM(CASE WHEN ABS(smp) >= 32767 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_clipped,
+             |  CAST(512 AS BIGINT) AS audio_bytes
+             |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val nSamples = AudioClipSamples
+        val frameLen = 64
+        // DECODE the bytes back (this is the leg under test): the 16-bit
+        // pattern v = byte(2i) + 256*byte(2i+1) read off the binary with
+        // 1-based substring, then the two's-complement sign fold
+        // ((v + 32768) mod 2¹⁶) − 32768.
+        val decoded = transform(
+          sequence(lit(0), lit(nSamples - 1)),
+          i => {
+            val lo = conv(hex(substring(col("audio"), i * 2 + 1, lit(1))), 16, 10)
+              .cast("long")
+            val hi = conv(hex(substring(col("audio"), i * 2 + 2, lit(1))), 16, 10)
+              .cast("long")
+            (lo + hi * 256L + 32768L) % 65536L - 32768L
+          })
+        val frameStats = transform(
+          sequence(lit(0), lit(nSamples / frameLen - 1)),
+          f => {
+            val fr = slice(col("smp"), f * frameLen + 1, lit(frameLen))
+            struct(
+              aggregate(fr, lit(0L), (a, x) => a + x * x).as("energy"),
+              aggregate(fr, lit(0L), (a, x) => greatest(a, abs(x)))
+                .as("peak"),
+              aggregate(fr, lit(0L),
+                (a, x) => a + when(abs(x) >= 32767L, 1L).otherwise(0L))
+                .as("n_clipped"))
+          })
+        Tables(s, dir, "documents")
+          .select(col("doc_id"))
+          .withColumn("audio", audioPcm16le)
+          .withColumn("audio_bytes", octet_length(col("audio")).cast("long"))
+          .withColumn("smp", decoded)
+          .select(col("doc_id"), col("audio_bytes"),
+            posexplode(frameStats).as(Seq("frame", "st")))
+          .select(col("doc_id"), col("frame").cast("long").as("frame"),
+            col("st.energy").as("energy"), col("st.peak").as("peak"),
+            col("st.n_clipped").as("n_clipped"), col("audio_bytes"))
+          .oracleOrder("doc_id", "frame")
       }),
 
     // Per-DIMENSION embedding whitening (feature standardization across

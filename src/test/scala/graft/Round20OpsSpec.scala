@@ -87,4 +87,46 @@ class Round20OpsSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got == want)
   }
+
+  /** The audio row's in-plan PCM16LE encode must be GENUINE little-endian
+    * 16-bit PCM, not merely self-consistent with its in-plan decoder:
+    * decode the row's own binary column with java.nio.ByteBuffer
+    * (LITTLE_ENDIAN asShortBuffer — the JVM's canonical PCM16LE reader)
+    * and require the samples to equal the closed-form LCG; then re-derive
+    * the frame stats from those samples and require them to equal the
+    * registry row's output.
+    */
+  test("multimodal_audio_frame_energy blobs are genuine PCM16LE") {
+    import org.apache.spark.sql.functions._
+    val nS = graft.queries.SimOps.AudioClipSamples
+    val blobs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), graft.queries.SimOps.audioPcm16le.as("audio"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .sortBy(_._1)
+    assert(blobs.nonEmpty)
+    val stats = blobs.flatMap { case (id, bytes) =>
+      assert(bytes.length == 2 * nS)
+      val sb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+      val samples = Array.tabulate(nS)(i => sb.get(i).toLong)
+      // ByteBuffer-decoded shorts == the closed-form LCG samples.
+      samples.zipWithIndex.foreach { case (got, i) =>
+        val want = (id * 7919L + i * 104729L + 12345L) % 65536L - 32768L
+        assert(got == want, s"doc $id sample $i: $got != $want")
+      }
+      samples.grouped(64).zipWithIndex.map { case (fr, f) =>
+        (id, f.toLong,
+          fr.map(x => x * x).sum,
+          fr.map(math.abs).max,
+          fr.count(x => math.abs(x) >= 32767L).toLong,
+          2L * nS)
+      }
+    }.toSeq
+    val got = Registry.byId("multimodal_audio_frame_energy").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == stats)
+  }
 }
