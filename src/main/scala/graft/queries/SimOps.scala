@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.DecimalType
 object SimOps extends QueryPack {
 
   /** Samples per synthetic audio clip (`multimodal_audio_frame_energy`). */
-  private[graft] val AudioClipSamples = 256
+  private[graft] val AudioClipSamples = 64
 
   /** Closed-form sample i of a doc's synthetic clip as an unsigned 16-bit
     * value (0..65535) — an integer LCG of (doc_id, i): all-long
@@ -1829,11 +1829,11 @@ object SimOps extends QueryPack {
     // first-class row: per-clip PCM16LE encode → binary column → DECODE →
     // framewise energy / peak / clipping counts, the silence-and-clipping
     // gate an audio corpus build runs before transcription. Each doc
-    // carries a deterministic 256-sample int16 clip (an integer LCG of
+    // carries a deterministic 64-sample int16 clip (an integer LCG of
     // (doc_id, i) — exact in both engines, no libm); Spark packs it into
     // a real little-endian PCM16 BINARY column in-plan (hex fold →
     // unhex), then decodes the BYTES back (substring/hex/conv per sample)
-    // and folds 4 × 64-sample frames to integer energy (Σs²), peak
+    // and folds 4 × 16-sample frames to integer energy (Σs²), peak
     // (max |s|) and clipped-sample counts. The DuckDB oracle replays the
     // closed-form samples directly and never sees the binary — hash
     // equality therefore PROVES the encode→decode leg is the identity
@@ -1848,10 +1848,10 @@ object SimOps extends QueryPack {
     Q(
       "multimodal_audio_frame_energy",
       Some("""WITH f AS (SELECT range AS frame FROM range(4)),
-             |j AS (SELECT range AS j FROM range(64)),
+             |j AS (SELECT range AS j FROM range(16)),
              |s AS (
              |  SELECT doc_id, frame,
-             |    (doc_id * 7919 + (frame * 64 + j) * 104729 + 12345) % 65536
+             |    (doc_id * 7919 + (frame * 16 + j) * 104729 + 12345) % 65536
              |      - 32768 AS smp
              |  FROM documents, f, j)
              |SELECT doc_id, CAST(frame AS BIGINT) AS frame,
@@ -1859,11 +1859,11 @@ object SimOps extends QueryPack {
              |  CAST(MAX(ABS(smp)) AS BIGINT) AS peak,
              |  CAST(SUM(CASE WHEN ABS(smp) >= 32767 THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_clipped,
-             |  CAST(512 AS BIGINT) AS audio_bytes
+             |  CAST(128 AS BIGINT) AS audio_bytes
              |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       (s, dir) => {
         val nSamples = AudioClipSamples
-        val frameLen = 64
+        val frameLen = 16
         // DECODE the bytes back (this is the leg under test): the 16-bit
         // pattern v = byte(2i) + 256*byte(2i+1) read off the binary with
         // 1-based substring, then the two's-complement sign fold

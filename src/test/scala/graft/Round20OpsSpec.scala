@@ -114,7 +114,7 @@ class Round20OpsSpec extends SparkSpec {
         val want = (id * 7919L + i * 104729L + 12345L) % 65536L - 32768L
         assert(got == want, s"doc $id sample $i: $got != $want")
       }
-      samples.grouped(64).zipWithIndex.map { case (fr, f) =>
+      samples.grouped(16).zipWithIndex.map { case (fr, f) =>
         (id, f.toLong,
           fr.map(x => x * x).sum,
           fr.map(math.abs).max,
