@@ -113,4 +113,5 @@ object Fns {
     val n = cnt
     sqrt((s2 - s1 * s1 / n) / (n - lit(1)))
   }
+
 }

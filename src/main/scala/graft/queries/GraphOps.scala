@@ -670,6 +670,12 @@ object GraphOps extends QueryPack {
         val nodes = Staged(s, dir, "trade_nodes")(
           edges.select(col("src").as("v")).distinct())
         var labels = nodes.select(col("v"), col("v").as("lab"))
+        // Per-round lineage cut (the dedup_cc_clusters policy — r21): the
+        // un-checkpointed loop re-planned and RE-EXECUTED round 1's whole
+        // subtree inside round 2 AND duplicated the finished tree across
+        // the com/tot references (36-Exchange, 8-SortMergeJoin plan; the
+        // cut form re-executes nothing and AQE coalesces each round's
+        // node-sized exchanges).
         for (_ <- 1 to 2) {
           labels = edges
             .join(labels.withColumnRenamed("v", "dst"), "dst")
@@ -680,8 +686,13 @@ object GraphOps extends QueryPack {
             // max of the (c, -lab) struct picks the same label as the
             // oracle's row_number form.
             .agg(max_by(col("lab"), struct(col("c"), -col("lab"))).as("lab"))
+            .localCheckpoint()
         }
+        // com is referenced twice (histogram + the n_communities scalar):
+        // one more cheap lineage cut keeps the readout from running the
+        // community fold twice.
         val com = labels.groupBy(col("lab").as("community")).agg(cnt.as("n"))
+          .localCheckpoint()
         val tot = com.agg(cnt.as("n_communities"))
         com.crossJoin(broadcast(tot))
           .orderBy(col("n").desc, col("community"))
@@ -807,6 +818,10 @@ object GraphOps extends QueryPack {
         // The directed customer→supplier half IS the even-src slice of the
         // family's memoized symmetrized trade graph — reuse that
         // checkpointed edge list instead of re-running the fact join.
+        // (r21: per-score localCheckpoint cuts were tried and measured
+        // WORSE — the doubly-referenced a1/h1/a2 subtrees deduplicate via
+        // ReuseExchange inside the one plan, so the eager cut jobs only
+        // added latency: 0.88s -> 1.4s. Left as the single-plan form.)
         val eds = tradeEdges(s, dir).filter(col("src") % 2 === 0)
         val a1 = eds.groupBy("dst").agg(cnt.as("a1"))
         val h1 = eds.join(a1, "dst").groupBy("src")
