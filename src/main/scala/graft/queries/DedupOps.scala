@@ -648,6 +648,13 @@ object DedupOps extends QueryPack {
         // shuffles twice for the same answer; the declarative
         // array_distinct(transform(...)) form is the O(L^2) seek +
         // CodegenFallback boxing GramHashes.scala documents.
+        // Lineage cut after PASS 1 (r21): `hot` feeds BOTH broadcast builds
+        // below (repDocs and hotR), and their column-pruned subtrees do not
+        // canonicalize identically, so ReuseExchange never fired — the full
+        // corpus gram scan (the dominant cost) executed TWICE. The cut
+        // materializes the bounded hot-span table once (47 rows at sf0.01,
+        // ~1.5k at sf0.1 — bounded by the qualifying-gram count, never the
+        // corpus).
         val hot = d
           .select(col("doc_id"),
             explode(call_function("graft_gram_hashes", col("tx"), lit(20)))
@@ -655,6 +662,7 @@ object DedupOps extends QueryPack {
           .groupBy("gram_h")
           .agg(cnt.as("n_docs"), min(col("doc_id")).cast("long").as("rep_doc"))
           .filter(col("n_docs") >= spanMinDocs)
+          .localCheckpoint()
         // PASS 2: explode only the representative docs; the span string is
         // read out of its own rep doc (doc_id match pins it there).
         val repDocs = hot.select(col("rep_doc").as("doc_id")).distinct()
