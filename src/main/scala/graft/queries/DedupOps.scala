@@ -71,7 +71,12 @@ object DedupOps extends QueryPack {
           .select(col("doc_id"), (tokHash(col("tok")) % P).as("hm"))
         val minCols = (0 until NumHashes)
           .map(i => min((col("hm") * a(i) + b(i)) % P).as(s"m$i"))
+        // Lineage cut (r21): sig is referenced SIX times (4 band legs + the
+        // sa/sb confirm sides) and the pruned copies don't all reuse one
+        // exchange — each re-ran the token scan + 16-min fold. The table is
+        // slice-bounded (|docs| rows), so one materialization feeds all six.
         val sig = h.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+          .localCheckpoint()
         val bands = (0 until NumBands).map { bd =>
           sig.select(
             col("doc_id"), lit(bd).as("b"),

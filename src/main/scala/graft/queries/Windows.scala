@@ -220,14 +220,20 @@ object Windows extends QueryPack {
             row_number().over(Window.partitionBy("pid").orderBy("o_orderkey")))
         // Unpartitioned prefix-sum window is SAFE here: its input is one
         // row per partition (numPartitions rows total), never data rows.
-        val offsets = local.groupBy("pid").agg(count(lit(1)).as("psz"))
+        // ONE per-partition count fold feeds both the offsets and the
+        // grand total (r21: `total` was a third full pass over `local`,
+        // re-running the range exchange + sampling; ntot = Σ psz needs
+        // only the numPartitions-row counts table).
+        val counts = local.groupBy("pid").agg(count(lit(1)).as("psz"))
+          .localCheckpoint()
+        val offsets = counts
           .withColumn("offset",
             coalesce(
               sum("psz").over(
                 Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
               lit(0L)))
           .select("pid", "offset")
-        val total = local.agg(count(lit(1)).as("ntot"))
+        val total = counts.agg(sum("psz").as("ntot"))
         val ranked = local
           .join(broadcast(offsets), "pid")
           .crossJoin(broadcast(total))
