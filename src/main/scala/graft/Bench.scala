@@ -88,6 +88,13 @@ object Bench {
       }
     }
     val r17Pins: Map[String, Double] = pinsOf("BENCH_FULL_r17.json")
+    // A FULL-registry run without the pin file cannot stamp the allrows
+    // drift estimator check.py --bench requires — say so at capture time
+    // instead of producing an artifact that can never pass (ADVICE r20).
+    if (only.isEmpty && r17Pins.isEmpty)
+      System.err.println("[bench] WARNING: BENCH_FULL_r17.json not readable " +
+        "from cwd — the capture will lack the allrows drift estimator and " +
+        "check.py --bench will reject it; run from the repo root")
     // Rows added after round 17 have no r17 pin; give the anomaly
     // safeguard a drift-adjusted fallback from the committed round-19
     // capture (its stamped canary ratio de-drifts the values to the
@@ -125,14 +132,24 @@ object Bench {
           System.err.println(f"[bench] $k%s ended at $v%.2fs > 3x its " +
             f"pinned value ${retimePins(k)}%.2fs — re-timing")
           val fn = SparkEntry.queries(k)
+          // A FAILED retime sample returns +inf, never its (near-zero)
+          // elapsed time — a fast failure must not win the min and
+          // silently under-report an already-suspicious row (ADVICE r20).
           def once(): Double = {
             val t0 = System.nanoTime()
-            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $k retime failed: ${e.getMessage}") }
-            (System.nanoTime() - t0) / 1e9
+            try {
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] $k retime failed: ${e.getMessage}")
+              Double.PositiveInfinity
+            }
           }
-          k -> ((v, math.min(once(), once())))
+          val re = math.min(once(), once())
+          // Both retime samples failed: keep the original measurement and
+          // stamp the failure (an infinite 'remeasure' would break the
+          // JSON consumers downstream).
+          k -> ((v, if (re.isInfinity) v else re))
         }
       }.toMap
     val results = firstPass.map { case (k, v) =>

@@ -23,7 +23,7 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private val cache = TrieMap.empty[(Int, String, String), DataFrame]
+  private val cache = TrieMap.empty[(String, String, String), DataFrame]
 
   /** Diagnostic switch (graft.Plans): bypass the in-memory cache so plan
     * dumps show the real parquet scans (PushedFilters / ReadSchema) instead
@@ -87,7 +87,7 @@ object Tables {
     graft.functions.Native.register(spark)
     if (noCache) load(spark, sfDir, name)
     else cache.getOrElseUpdate(
-      (System.identityHashCode(spark), sfDir, name),
+      (org.apache.spark.sql.graft.GraftSqlBridge.sessionUUID(spark), sfDir, name),
       load(spark, sfDir, name).cache())
   }
 }

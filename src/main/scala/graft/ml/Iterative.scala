@@ -56,12 +56,12 @@ object GradientDescent {
     * sees stale state.
     */
   private val momentsCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), AnyRef]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), AnyRef]
 
   def cached[T <: AnyRef](
       s: SparkSession, dir: String, tag: String)(build: => T): T =
     momentsCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir, tag), build).asInstanceOf[T]
+      (org.apache.spark.sql.graft.GraftSqlBridge.sessionUUID(s), dir, tag), build).asInstanceOf[T]
 
   /** ONE distributed pass over a DataFrame with columns (x, y). */
   def moments(xy: DataFrame): Moments = {

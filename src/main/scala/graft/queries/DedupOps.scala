@@ -920,22 +920,19 @@ object DedupOps extends QueryPack {
     * the corpus, so it stages like the learned-quantizer codebooks (one
     * bounded fold per session+dir, shared by the query body and the
     * oracle generator; cross-session keying matches the Staged/typedSpools
-    * convention). Keyed by a per-session UUID held in a WEAK-keyed map —
-    * stable for the session's lifetime and never reused after GC (ADVICE
-    * r19: an identityHashCode can collide across collected sessions in
-    * one JVM). Like the spools convention, the memo assumes the data dir
+    * convention). Keyed by the session's own UUID
+    * (GraftSqlBridge.sessionUUID — stable for the session's lifetime and
+    * never reused after GC; ADVICE r19: an identityHashCode can collide
+    * across collected sessions in one JVM; r21 unified every memo on this
+    * key). Like the spools convention, the memo assumes the data dir
     * is IMMUTABLE within a session: rewriting the corpus at `dir`
     * mid-session would reuse a stale round count / token-contract verdict.
     */
-  private val saSessionIds = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, String]())
-
   private val saRoundsMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), Int]
 
   private def saRounds(s: SparkSession, dir: String): Int = {
-    val sid = saSessionIds.computeIfAbsent(
-      s, _ => java.util.UUID.randomUUID.toString)
+    val sid = org.apache.spark.sql.graft.GraftSqlBridge.sessionUUID(s)
     saRoundsMemo.getOrElseUpdate((sid, dir), saRoundsOf(saSlice(s, dir)))
   }
 

@@ -41,12 +41,12 @@ object Joins extends QueryPack {
     * dir-disambiguated table-name map.
     */
   private val cboStaged =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Map[String, String]]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Map[String, String]]
 
   private[graft] def cboTables(
       s: org.apache.spark.sql.SparkSession,
       dir: String): Map[String, String] =
-    cboStaged.getOrElseUpdate((System.identityHashCode(s), dir), {
+    cboStaged.getOrElseUpdate((org.apache.spark.sql.graft.GraftSqlBridge.sessionUUID(s), dir), {
       // pid + dir digest: concurrent harness JVMs (each with its own
       // in-memory catalog but a SHARED filesystem) must never collide on
       // a table location, so the tables are EXTERNAL over pid-private

@@ -19,12 +19,16 @@ object Scans extends QueryPack {
     * suites in parallel in one JVM, and two concurrent invocations of the
     * same query sharing one staging dir can interleave delete/append/read
     * (the round-20 suite caught `graft_metrics_log` serving a 4th stale
-    * generation exactly that way). Uniqueness removes the race; the dirs
-    * are small and die with the tmpdir.
+    * generation exactly that way). Uniqueness removes the race; created
+    * dirs are registered in [[Scratch]] and deleted on JVM exit (ADVICE
+    * r20: a full bench run otherwise leaves several fresh parquet copies
+    * of orders/documents in the tmpdir PER SAMPLE, accumulating
+    * unboundedly across runs).
     */
   private def scratch(prefix: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
-      java.util.UUID.randomUUID.toString.replace("-", "")
+    Scratch.register(
+      s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
+        java.util.UUID.randomUUID.toString.replace("-", ""))
 
 
   /** Once-per-JVM spill registry for `scan_binary_blobs` (value = path). */
@@ -129,11 +133,11 @@ object Scans extends QueryPack {
     * share the filesystem but not the in-memory catalog.
     */
   private val bucketStaged =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private[graft] def bucketedTable(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
-    bucketStaged.getOrElseUpdate((System.identityHashCode(s), dir), {
+    bucketStaged.getOrElseUpdate((org.apache.spark.sql.graft.GraftSqlBridge.sessionUUID(s), dir), {
       val tag = s"${ProcessHandle.current().pid()}_" +
         java.security.MessageDigest.getInstance("SHA-256")
           .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString

@@ -30,29 +30,29 @@ object StreamingQueries extends QueryPack {
     * the landing zone a real pipeline would already have.
     */
   private val spools =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   /** Per-(session, dir) metrics append-log spool for the live reader. */
   private val metricsSpools =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   /** Per-(session, dir) staged epoch-generation files for the
     * restart/exactly-once query (one parquet file per generation).
     */
   private val restartGens = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), Seq[java.nio.file.Path]]
+    .empty[(String, String), Seq[java.nio.file.Path]]
 
   /** Per-(session, dir) staged CDC change-batch files for the streaming
     * upsert sink (three key-disjoint single-file parquet batches).
     */
   private val cdcBatches = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), Seq[java.nio.file.Path]]
+    .empty[(String, String), Seq[java.nio.file.Path]]
 
   /** Per-(session, dir) two-file ordered orders spool (snapshot + delta)
     * for the streaming aggregate-view maintenance row.
     */
   private val aggViewSpools =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   /** Per-(session, dir) PRISTINE partitioned CDC merge target: the merge
     * mutates its target, so each run needs a fresh copy — but the
@@ -61,7 +61,7 @@ object StreamingQueries extends QueryPack {
     * ~ms) instead of re-paying the write.
     */
   private val cdcTargets =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   /** Recursive file copy of a staged parquet layout (dirs + data files).
     * The walk stream is closed (it holds a directory handle), and copies
@@ -90,10 +90,16 @@ object StreamingQueries extends QueryPack {
     */
   private[graft] def scratchDir(prefix: String): java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isDirectory(shm) &&
-        java.nio.file.Files.isWritable(shm))
-      java.nio.file.Files.createTempDirectory(shm, prefix)
-    else java.nio.file.Files.createTempDirectory(prefix)
+    val p =
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, prefix)
+      else java.nio.file.Files.createTempDirectory(prefix)
+    // tmpfs dirs are RAM — register for JVM-exit deletion (ADVICE r20's
+    // scratch-accumulation class; per-invocation checkpoints otherwise
+    // pile up in /dev/shm across bench samples).
+    Scratch.register(p.toString)
+    p
   }
 
   /** Run a true-streaming body with a state-store-sized shuffle-partition
@@ -141,12 +147,12 @@ object StreamingQueries extends QueryPack {
     * pipeline would already maintain.
     */
   private val typedSpools =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
 
   private[graft] def typedEventsStream(
       s: SparkSession, dir: String, eventType: String): DataFrame = {
     val spool = typedSpools.getOrElseUpdate(
-      (System.identityHashCode(s), dir, eventType), {
+      (org.apache.spark.sql.graft.GraftSqlBridge.sessionUUID(s), dir, eventType), {
         val p = scratchDir(s"graft_events_${eventType}_spool").toString
         Tables(s, dir, "events")
           .filter(col("event_type") === eventType)
@@ -166,7 +172,7 @@ object StreamingQueries extends QueryPack {
     // The spool is immutable once written — reuse it across the streaming
     // queries/tests of a session instead of re-materializing per call.
     val spool = spools.getOrElseUpdate(
-      (System.identityHashCode(s), dir), {
+      (org.apache.spark.sql.graft.GraftSqlBridge.sessionUUID(s), dir), {
         val p = scratchDir("graft_events_spool").toString
         batch.write.mode("overwrite").parquet(p)
         p
@@ -461,8 +467,9 @@ object StreamingQueries extends QueryPack {
              |  CAST(COUNT(*) AS BIGINT) AS n
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
       (s, dir) => withStreamPartitions(s, 2) {
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft_feb_sink_" +
-          java.util.UUID.randomUUID.toString.replace("-", "")
+        val out = Scratch.register(
+          s"${System.getProperty("java.io.tmpdir")}/graft_feb_sink_" +
+            java.util.UUID.randomUUID.toString.replace("-", ""))
         val ckpt = scratchDir("graft_feb_ckpt").toString
         val q = eventsStream(s, dir)
           .groupBy(window(col("ts"), "1 hour"))
@@ -604,7 +611,7 @@ object StreamingQueries extends QueryPack {
         // (session, dir) — repeated runs measure the streaming merge, not
         // the change derivation.
         val batches = cdcBatches.getOrElseUpdate(
-          (System.identityHashCode(s), dir), {
+          (org.apache.spark.sql.graft.GraftSqlBridge.sessionUUID(s), dir), {
             val upd = base.filter(col("o_orderkey") % 10 === 0)
               .select(
                 col("o_orderkey"), lit("U").as("o_orderstatus"),
@@ -637,7 +644,7 @@ object StreamingQueries extends QueryPack {
         // lakehouse MERGE shape: at 100 TB a change batch touches its
         // partitions, never the full target.
         val pristine = cdcTargets.getOrElseUpdate(
-          (System.identityHashCode(s), dir), {
+          (org.apache.spark.sql.graft.GraftSqlBridge.sessionUUID(s), dir), {
             val p = scratchDir("graft_cdc_pristine").toString
             base.withColumn("pb", pmod(col("o_orderkey"), lit(3)))
               .write.mode("overwrite").partitionBy("pb").parquet(p)
@@ -713,7 +720,7 @@ object StreamingQueries extends QueryPack {
         // (lexicographic names pin arrival order — the file source breaks
         // equal-mod-time ties by path).
         val spool = aggViewSpools.getOrElseUpdate(
-          (System.identityHashCode(s), dir), {
+          (org.apache.spark.sql.graft.GraftSqlBridge.sessionUUID(s), dir), {
             val p = scratchDir("graft_aggview_spool").toString
             val orders = Tables(s, dir, "orders")
               .select(col("o_orderkey"),
@@ -798,7 +805,7 @@ object StreamingQueries extends QueryPack {
         // One file per generation so the stream genuinely tails the log
         // incrementally (3 micro-batches), not as one bulk load.
         val logDir = metricsSpools.getOrElseUpdate(
-          (System.identityHashCode(s), dir), {
+          (org.apache.spark.sql.graft.GraftSqlBridge.sessionUUID(s), dir), {
             val p = scratchDir("graft_metrics_spool").toString
             for ((maxDay, e) <- Seq(10, 20, 31).zipWithIndex) {
               Tables(s, dir, "events")
@@ -872,7 +879,7 @@ object StreamingQueries extends QueryPack {
         // keeps repeated runs measuring the streaming legs — the thing
         // under test — not four re-aggregations of `events`.
         val genFiles = restartGens.getOrElseUpdate(
-          (System.identityHashCode(s), dir), {
+          (org.apache.spark.sql.graft.GraftSqlBridge.sessionUUID(s), dir), {
             val stage = scratchDir("graft_restart_gens")
             Seq(10 -> 1, 20 -> 2, 31 -> 3, 31 -> 4).map { case (maxDay, e) =>
               val p = stage.resolve(s"gen$e").toString

@@ -45,12 +45,12 @@ object TransformerOps extends QueryPack {
     * instead of rederiving it from the corpus.
     */
   private val kvCaches = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), org.apache.spark.sql.DataFrame]
+    .empty[(String, String), org.apache.spark.sql.DataFrame]
 
   private[graft] def kvCache(
       s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    kvCaches.getOrElseUpdate((System.identityHashCode(s), dir), {
+    kvCaches.getOrElseUpdate((org.apache.spark.sql.graft.GraftSqlBridge.sessionUUID(s), dir), {
       Tables(s, dir, "embeddings")
         .select(expr("vec_id div 8").as("gid"),
           (col("vec_id") % 8 + 1).cast("int").as("kpos"),
