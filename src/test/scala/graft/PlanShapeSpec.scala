@@ -613,6 +613,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  // --- r21 optimization pins: the lineage cuts must stay cut -----------
+
+  test("repeated-spans PASS-1 gram scan runs once, outside the readout plan") {
+    // The hot-span table is localCheckpoint-cut after PASS 1; if the cut
+    // regresses, the full-corpus graft_gram_hashes explode re-enters the
+    // readout plan (and executes once per broadcast build — 2x the
+    // dominant cost, r21).
+    val p = plan("dedup_repeated_spans")
+    assert(!p.contains("graft_gram_hashes"), p)
+  }
+
+  test("minhash-LSH readout reads the checkpointed signature, not the token scan") {
+    // sig is referenced six times (4 band legs + both confirm sides); the
+    // r21 cut materializes it once. A regression re-inlines the token
+    // explode (a Generate) into the readout plan.
+    val p = plan("dedup_minhash_lsh")
+    assert(!p.contains("Generate"), p)
+  }
+
+  test("label propagation rounds are lineage-cut: readout joins nothing") {
+    // Each LPA round ends in a localCheckpoint; the readout (community
+    // histogram + count) must see only ExistingRDD scans — a join in the
+    // final plan means a round's subtree leaked back in (the 36-Exchange
+    // pre-r21 shape re-executed round 1 inside round 2).
+    val p = plan("graph_label_propagation")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("ExistingRDD"), p)
+  }
+
+  test("ntile split pays its range exchange once") {
+    // offsets + grand total both fold from the checkpointed per-partition
+    // counts table (r21); a regression re-runs the range repartition (and
+    // its sampling pass) per consumer.
+    val p = plan("window_ntile_split")
+    assert(occurrences(p, "rangepartitioning") <= 1, p)
+  }
+
   private def occurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 }
