@@ -32,3 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Dev-loop A/B hook (driver never sets it): extra JVM flags / -Dspark.*
+// conf for config experiments, e.g.
+// SPARK_GRAFT_EXTRA_JVM="-Dspark.sql.adaptive.coalescePartitions.parallelismFirst=false"
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JVM")
+  .map(_.split(" ").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
