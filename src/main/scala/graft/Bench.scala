@@ -3,6 +3,34 @@ import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
 object Bench {
+  /** Round-22 drift pin (VERDICT r20 item 1): the committed quiet-box full
+    * capture every official run adjudicates itself against, and the
+    * compounding factor that keeps stamped ratios on the round-17 scale
+    * (the pin capture itself measured conservative 1.074 vs the r17
+    * drift-free box — BENCH_r21.json, stamped by the round driver).
+    * Object-level so BenchPinSpec can check the pin file, the canary set
+    * and tools/canary_pins.json stay consistent.
+    */
+  private[graft] val PinFile = "BENCH_PIN_r22.json"
+  private[graft] val PinScale = 1.074
+  private[graft] val canaryRef: Map[String, Double] = Map(
+    "ml_conv_train_gd" -> 1.296,
+    "dedup_incremental_bloom" -> 0.605,
+    "ml_histogram_split_finding" -> 0.524,
+    "agg_bootstrap_ci" -> 0.424,
+    "stream_stream_left_outer" -> 1.828,
+    "stream_stream_right_outer" -> 1.870,
+    "stream_late_data_policy" -> 0.979,
+    "stream_static_enrich" -> 0.919,
+    "dedup_cc_clusters" -> 1.192,
+    "corpus_perplexity_kneser_ney" -> 0.952,
+    "corpus_perplexity_bigram_filter" -> 0.863,
+    "sql_flagship_twin" -> 1.301,
+    "stream_foreachbatch_sink" -> 0.870,
+    "sink_dynamic_partition_overwrite" -> 0.585,
+    "ml_conv2d_5x5_multiband" -> 0.491,
+    "agg_corr_covar" -> 0.411)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -67,9 +95,8 @@ object Bench {
       name -> ((once(), once()))
     }
     val firstPass = samples.map { case (k, (a, b)) => k -> math.min(a, b) }
-    // Full-capture pins from the round-17 official artifact (the last
-    // drift-free box), parsed from the committed envelope so the capture
-    // can adjudicate EVERY code-stable row, not just the 16-row canary.
+    // Full-capture pins parsed from the committed pin envelope so the
+    // capture can adjudicate EVERY row, not just the 16-row canary.
     // The "queries" block holds only bare numbers, so the first '}' after
     // its opening brace closes it — no JSON library needed.
     def pinsOf(file: String): Map[String, Double] = {
@@ -87,33 +114,29 @@ object Bench {
         }
       }
     }
-    val r17Pins: Map[String, Double] = pinsOf("BENCH_FULL_r17.json")
+    // Round-22 re-pin (VERDICT r20 item 1, executed in the final
+    // optimization round): the drift reference moves from the aging r17
+    // envelope to BENCH_PIN_r22.json — a committed snapshot of the round-22
+    // quiet-box full capture (all 277 rows, current code, load < 1.5).
+    // The r17 ANCHORING is preserved by compounding: that pin capture
+    // itself measured conservative ratio 1.074 vs the r17 envelope
+    // (BENCH_r21.json, stamped by the round driver), so every ratio below
+    // is multiplied by PinScale — stamped drift ratios remain "box vs the
+    // r17 drift-free box" and check.py's 1.15 / 2.0 thresholds keep their
+    // meaning. What the re-pin buys: every row (including the 9 added
+    // after r17 and the rows legitimately changed by the r18-r21
+    // optimizations) now has a CURRENT-code pin, so the allrows median no
+    // longer mixes stale-code ratios and the retime safeguard needs no
+    // r19 drift-adjusted fallback.
+    val pinRef: Map[String, Double] = pinsOf(PinFile)
     // A FULL-registry run without the pin file cannot stamp the allrows
     // drift estimator check.py --bench requires — say so at capture time
     // instead of producing an artifact that can never pass (ADVICE r20).
-    if (only.isEmpty && r17Pins.isEmpty)
-      System.err.println("[bench] WARNING: BENCH_FULL_r17.json not readable " +
+    if (only.isEmpty && pinRef.isEmpty)
+      System.err.println(s"[bench] WARNING: $PinFile not readable " +
         "from cwd — the capture will lack the allrows drift estimator and " +
         "check.py --bench will reject it; run from the repo root")
-    // Rows added after round 17 have no r17 pin; give the anomaly
-    // safeguard a drift-adjusted fallback from the committed round-19
-    // capture (its stamped canary ratio de-drifts the values to the
-    // r17 box scale). Never overrides a real r17 pin.
-    val retimePins: Map[String, Double] = {
-      val f = "BENCH_FULL_r19.json"
-      val ratio = {
-        val p = Paths.get(f)
-        if (!Files.exists(p)) 1.0
-        else {
-          val txt = Files.readString(p)
-          val i = txt.indexOf("\"canary\":{")
-          val m = "\"ratio\":([0-9.]+)".r
-            .findFirstMatchIn(if (i < 0) "" else txt.substring(i))
-          m.map(_.group(1).toDouble).getOrElse(1.0)
-        }
-      }
-      pinsOf(f).map { case (k, v) => k -> v / math.max(ratio, 1.0) } ++ r17Pins
-    }
+    val retimePins: Map[String, Double] = pinRef
     // In-run anomaly safeguard (VERDICT r19 item 2): the r19 capture kept
     // six rows at 10-60x their pins — capture-local pathology (page cache /
     // scheduling bursts), not regression — and they sat unadjudicated for a
@@ -167,40 +190,21 @@ object Bench {
     // was ~1.26x slower (proven out-of-band by re-running the committed
     // r17 code on it — BENCH_MACHINE_r18.json), and the load gate above
     // cannot see that drift mode (multi-threaded scheduling slowdown at
-    // NORMAL load_avg). So the capture now adjudicates itself: these 16
-    // code-stable rows (drift ratio within the uniform band and r18-code
-    // == r17-code timing on the same box — i.e. their implementations
-    // have not changed since the pin) are re-timed BY THIS VERY RUN and
-    // compared against their committed ROUND-17 official values
-    // (BENCH_FULL_r17.json — the last capture on a drift-free box). The
-    // median measured/pinned ratio stamps into the artifact: ~1.0 on a
-    // healthy box; >1.15 means machine drift, and the artifact carries
-    // its own drift-normalized total (total / ratio) so the 2x-gate read
-    // needs no out-of-band memo. tools/check.py --bench enforces it.
-    // Changing any of these rows' implementations requires re-pinning.
+    // NORMAL load_avg). So the capture adjudicates itself: these 16
+    // code-stable rows (implementations untouched since round 17) are
+    // re-timed BY THIS VERY RUN and compared against their values in the
+    // committed round-22 pin envelope (BENCH_PIN_r22.json); the
+    // measured/pinned median, compounded by PinScale, stamps into the
+    // artifact as a ratio on the ROUND-17 box scale: ~1.07 on a box at
+    // the pin capture's speed; >1.15 means machine drift, and the
+    // artifact carries its own drift-normalized total (total / ratio) so
+    // the 2x-gate read needs no out-of-band memo. tools/check.py --bench
+    // enforces it AND (r22) rejects a capture whose canary rows' source
+    // files changed without a re-pin ack in tools/canary_pins.json.
     // (16 rows, 6 streaming / 10 not: the round-19 captures showed the
     // streaming floors spike hardest under this drift mode, so the
     // median needs a majority of non-streaming rows to track the
-    // all-rows estimate — with 12 rows/4 streaming-adjacent spikes the
-    // 10:00 capture's canary overstated drift 2.30 vs the independent
-    // 1.74; the widened set keeps the median within ~10% of it.)
-    val canaryRef: Map[String, Double] = Map(
-      "ml_conv_train_gd" -> 1.017,
-      "dedup_incremental_bloom" -> 0.694,
-      "ml_histogram_split_finding" -> 0.598,
-      "agg_bootstrap_ci" -> 0.501,
-      "stream_stream_left_outer" -> 1.728,
-      "stream_stream_right_outer" -> 1.780,
-      "stream_late_data_policy" -> 0.925,
-      "stream_static_enrich" -> 0.854,
-      "dedup_cc_clusters" -> 1.036,
-      "corpus_perplexity_kneser_ney" -> 1.035,
-      "corpus_perplexity_bigram_filter" -> 0.855,
-      "sql_flagship_twin" -> 0.815,
-      "stream_foreachbatch_sink" -> 0.798,
-      "sink_dynamic_partition_overwrite" -> 0.591,
-      "ml_conv2d_5x5_multiband" -> 0.466,
-      "agg_corr_covar" -> 0.457)
+    // all-rows estimate.) The canaryRef map itself lives at object level.
     val canaryRows = canaryRef.toSeq.sortBy(_._1).flatMap { case (k, ref) =>
       results.get(k).map(m => k -> m / ref)
     }
@@ -210,35 +214,38 @@ object Bench {
     }
     // Second, independent drift estimator (VERDICT r19 item 3): the median
     // measured/pinned ratio over EVERY row present in both this capture and
-    // the committed round-17 full envelope. Rows whose code changed since
-    // r17 are a small minority of the registry, so the median is robust to
-    // them without a hand-maintained stability list — and unlike the 16-row
+    // the committed pin envelope. Rows whose code changed since the pin are
+    // a small minority of the registry, so the median is robust to them
+    // without a hand-maintained stability list — and unlike the 16-row
     // canary it cannot be skewed by a handful of streaming floors spiking.
+    // Both estimators are compounded by PinScale (the pin capture's own
+    // measured ratio vs the r17 drift-free box) so the stamped values stay
+    // on the r17 scale check.py's thresholds were calibrated against.
     // The stamped normalization uses the MORE CONSERVATIVE (smaller) of the
     // two ratios: a pass must survive the estimator that grants the LEAST
     // drift credit. tools/check.py validates both fields and additionally
     // caps the credit (ratio <= 2.0) so an unbounded slowdown can never be
     // normalized away as machine drift (ADVICE r19).
     val allRowRatios = results.toSeq.collect {
-      case (k, v) if r17Pins.contains(k) => v / r17Pins(k)
+      case (k, v) if pinRef.contains(k) => v / pinRef(k) * PinScale
     }
     val canaryJson = if (canaryRows.size < 8) {
       // A dev-loop subset run can't adjudicate drift — say so explicitly
       // rather than stamping a ratio off 1-2 rows.
-      s""""canary":{"ref_round":17,"n":${canaryRows.size},"ratio":null}"""
+      s""""canary":{"ref_round":22,"n":${canaryRows.size},"ratio":null}"""
     } else {
-      val ratio = median(canaryRows.map(_._2))
-      val rows = canaryRows.map { case (k, r) => f""""$k":$r%.3f""" }
+      val ratio = median(canaryRows.map(_._2)) * PinScale
+      val rows = canaryRows.map { case (k, r) => f""""$k":${r * PinScale}%.3f""" }
         .mkString("{", ",", "}")
       val allJson = if (allRowRatios.size < 32) "" else {
         val allRatio = median(allRowRatios)
         val cons = math.min(ratio, allRatio)
-        f""""allrows":{"ref":"BENCH_FULL_r17.json","n":${allRowRatios.size},""" +
+        f""""allrows":{"ref":"$PinFile","n":${allRowRatios.size},""" +
           f""""ratio":$allRatio%.3f},"ratio_conservative":$cons%.3f,"""
       }
       val normRatio =
         if (allRowRatios.size < 32) ratio else math.min(ratio, median(allRowRatios))
-      f""""canary":{"ref_round":17,"n":${canaryRows.size},"ratio":$ratio%.3f,""" +
+      f""""canary":{"ref_round":22,"n":${canaryRows.size},"ratio":$ratio%.3f,""" +
         allJson +
         f""""total_drift_normalized":${total / math.max(normRatio, 1.0)}%.3f,""" +
         s""""rows":$rows}"""

@@ -9,6 +9,7 @@ wrote, sorts columns by name on both sides, and compares row count, column
 names, and values exactly. Dev tool only — the JVM library has no Python
 dependency; the real gate is driver-owned.
 """
+import hashlib
 import json
 import math
 import os, sys
@@ -78,9 +79,12 @@ def check_bench_capture(bench_path, oracle_json_path):
     stdout tail cannot hold the full per-query map.
 
     Drift adjudication (VERDICT r18 item 1, hardened per VERDICT r19 item 3
-    + ADVICE r19): the capture must carry TWO independent in-run drift
-    estimators — the 16-row pinned canary AND the median ratio over every
-    code-present row vs the committed round-17 full capture ("allrows").
+    + ADVICE r19; re-pinned r22 per VERDICT r20 item 1): the capture must
+    carry TWO independent in-run drift estimators — the 16-row pinned
+    canary AND the median ratio over every code-present row vs the
+    committed pin envelope ("allrows", BENCH_PIN_r22.json; both estimators
+    are compounded by the pin capture's own 1.074 ratio vs the r17
+    drift-free box, so the 1.15/2.0 thresholds keep their r17 calibration).
     The gate uses the MORE CONSERVATIVE (smaller) of the two: a normalized
     pass must survive the estimator granting the least drift credit.
     Additionally the credit is CAPPED at 2.0x: the estimators run on the
@@ -112,8 +116,7 @@ def check_bench_capture(bench_path, oracle_json_path):
     if all_ratio is None or allrows.get("n", 0) < 32:
         print(f"FAIL bench capture {bench_path}: no all-rows drift estimator "
               f"(allrows={allrows}) — the capture must carry BOTH the 16-row "
-              f"canary and the all-code-stable-rows median vs the pinned "
-              f"round-17 capture")
+              f"canary and the all-rows median vs the committed pin envelope")
         sys.exit(1)
     cons = min(ratio, all_ratio)
     stamped = canary.get("ratio_conservative")
@@ -121,6 +124,35 @@ def check_bench_capture(bench_path, oracle_json_path):
         print(f"FAIL bench capture {bench_path}: stamped ratio_conservative "
               f"{stamped} != min(canary {ratio}, allrows {all_ratio})")
         sys.exit(1)
+    # Canary source tripwire (VERDICT r20 item 1, mechanized r22): the drift
+    # estimators are only meaningful while the canary rows' implementations
+    # match the committed pin envelope. tools/canary_pins.json records the
+    # sha256 of every source file hosting a canary row at the last re-pin;
+    # a capture taken after an un-acknowledged edit to one of them is
+    # rejected (checked only when the repo sources are present — the gate
+    # runs from the repo root, same as the oracle checks).
+    pins_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "canary_pins.json")
+    if os.path.exists(pins_path):
+        with open(pins_path) as f:
+            pins = json.load(f)
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        changed = []
+        for rel, want in sorted(pins.get("files", {}).items()):
+            p = os.path.join(repo_root, rel)
+            if not os.path.exists(p):
+                changed.append(f"{rel} (missing)")
+                continue
+            with open(p, "rb") as f:
+                have = hashlib.sha256(f.read()).hexdigest()
+            if have != want:
+                changed.append(rel)
+        if changed:
+            print(f"FAIL bench capture {bench_path}: canary-row source "
+                  f"changed without a re-pin ack — {', '.join(changed)} "
+                  f"no longer match tools/canary_pins.json; either revert, "
+                  f"or re-pin and update the hash in the same commit")
+            sys.exit(1)
     total = bench["value"]
     norm = total / max(cons, 1.0)
     agree = max(ratio, all_ratio) / max(min(ratio, all_ratio), 1e-9)
